@@ -1,0 +1,589 @@
+"""Lightweight HTML DOM for the extraction pipeline.
+
+A from-scratch, stdlib-only DOM used inside the Arrow/pandas UDFs.  It plays
+the role libxml2's recovering HTML parser plays for the reference
+(ContentExtractor.php:1134-1149 builds a ``\\DOMDocument`` via php-readability,
+all rule application then happens on that mutable tree).  lxml / bs4 are not
+available in this environment, so the parser is built on
+``html.parser.HTMLParser`` with a small HTML5-ish recovery model (implied end
+tags, void elements, implicit <html>/<body> wrappers).
+
+The serializer targets byte parity with PHP ``DOMDocument::saveXML`` output as
+observed in the reference golden fixtures
+(/root/reference/tests/fixtures/sites/*.test PARSED_CONTENT):
+  * empty elements self-close with a space-less ``/>``  (``<img src="x"/>``)
+  * text escapes ``& < >``; attributes additionally escape ``"``
+  * attribute order is preserved as parsed
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from html import unescape
+
+__all__ = [
+    "Node",
+    "Element",
+    "TextNode",
+    "CommentNode",
+    "Document",
+    "AttrNode",
+    "parse_html",
+    "serialize",
+    "inner_html",
+]
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Elements whose open tag implicitly closes a same-or-listed open element
+# (small recovery model in the spirit of the HTML5 tree construction rules).
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details div dl fieldset figcaption figure "
+    "footer form h1 h2 h3 h4 h5 h6 header hr main menu nav ol p pre section "
+    "table ul".split()
+)
+_IMPLIED_END = {
+    "li": frozenset(["li"]),
+    "dt": frozenset(["dt", "dd"]),
+    "dd": frozenset(["dt", "dd"]),
+    "tr": frozenset(["tr", "td", "th"]),
+    "td": frozenset(["td", "th"]),
+    "th": frozenset(["td", "th"]),
+    "option": frozenset(["option"]),
+    "optgroup": frozenset(["option", "optgroup"]),
+    "thead": frozenset(["tbody", "tfoot"]),
+    "tbody": frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
+    "tfoot": frozenset(["thead", "tbody", "tr", "td", "th"]),
+}
+# Elements which cannot be closed implicitly by those rules (scope barriers).
+_SCOPE_BARRIERS = frozenset(
+    "html body table template caption applet object marquee".split()
+)
+
+
+class Node:
+    """Base DOM node."""
+
+    __slots__ = ("parent",)
+
+    def __init__(self) -> None:
+        self.parent: Element | None = None
+
+    @property
+    def text_content(self) -> str:
+        return ""
+
+    def clone(self) -> "Node":  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def root(self) -> "Node":
+        node: Node = self
+        while node.parent is not None:
+            node = node.parent
+        return node
+
+
+class TextNode(Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+    @property
+    def text_content(self) -> str:
+        return self.data
+
+    def clone(self) -> "TextNode":
+        return TextNode(self.data)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"TextNode({self.data!r})"
+
+
+class RawTextNode(TextNode):
+    """Text stored pre-escaped; serialized verbatim.
+
+    Models PHP ``DOMDocument::createElement($tag, $value)`` whose value is
+    not escaped again at save time (used by the JSON-LD articleBody path,
+    ContentExtractor.php:1482-1485).
+    """
+
+    __slots__ = ()
+
+    def clone(self) -> "RawTextNode":
+        return RawTextNode(self.data)
+
+
+class CommentNode(Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+    def clone(self) -> "CommentNode":
+        return CommentNode(self.data)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"CommentNode({self.data!r})"
+
+
+class AttrNode(Node):
+    """Attribute pseudo-node, returned by XPath ``@attr`` selections.
+
+    Mirrors ``\\DOMAttr`` results in the reference: strip rules may target
+    attributes (``strip_attr: //img/@srcset``) and removal detaches the
+    attribute from its owner element (ContentExtractor.php:819-827).
+    """
+
+    __slots__ = ("owner", "name")
+
+    def __init__(self, owner: "Element", name: str) -> None:
+        super().__init__()
+        self.owner = owner
+        self.name = name
+
+    @property
+    def value(self) -> str:
+        return self.owner.get(self.name) or ""
+
+    @property
+    def text_content(self) -> str:
+        return self.value
+
+    def detach(self) -> None:
+        self.owner.remove_attr(self.name)
+
+    def clone(self) -> "AttrNode":
+        return AttrNode(self.owner, self.name)
+
+
+class Element(Node):
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: list[tuple[str, str]] | None = None) -> None:
+        super().__init__()
+        self.tag = tag
+        # ordered (name, value) pairs; duplicate names keep first (libxml rule)
+        self.attrs: list[tuple[str, str]] = list(attrs or [])
+        self.children: list[Node] = []
+
+    # -- attribute API ---------------------------------------------------
+    def get(self, name: str, default: str | None = None) -> str | None:
+        for k, v in self.attrs:
+            if k == name:
+                return v
+        return default
+
+    def has_attr(self, name: str) -> bool:
+        return any(k == name for k, _ in self.attrs)
+
+    def set_attr(self, name: str, value: str) -> None:
+        for i, (k, _) in enumerate(self.attrs):
+            if k == name:
+                self.attrs[i] = (name, value)
+                return
+        self.attrs.append((name, value))
+
+    def remove_attr(self, name: str) -> None:
+        self.attrs = [(k, v) for k, v in self.attrs if k != name]
+
+    # -- tree API --------------------------------------------------------
+    def append(self, node: Node) -> None:
+        if node.parent is not None:
+            node.parent.remove_child(node)
+        node.parent = self
+        self.children.append(node)
+
+    def insert(self, index: int, node: Node) -> None:
+        if node.parent is not None:
+            node.parent.remove_child(node)
+        node.parent = self
+        self.children.insert(index, node)
+
+    def remove_child(self, node: Node) -> None:
+        for i, child in enumerate(self.children):
+            if child is node:
+                del self.children[i]
+                node.parent = None
+                return
+
+    def replace_child(self, new: Node, old: Node) -> None:
+        for i, child in enumerate(self.children):
+            if child is old:
+                if new.parent is not None:
+                    new.parent.remove_child(new)
+                new.parent = self
+                self.children[i] = new
+                old.parent = None
+                return
+
+    def detach(self) -> None:
+        if self.parent is not None:
+            self.parent.remove_child(self)
+
+    @property
+    def first_child(self) -> Node | None:
+        return self.children[0] if self.children else None
+
+    def next_sibling(self) -> Node | None:
+        if self.parent is None:
+            return None
+        sibs = self.parent.children
+        for i, child in enumerate(sibs):
+            if child is self:
+                return sibs[i + 1] if i + 1 < len(sibs) else None
+        return None
+
+    # -- queries ---------------------------------------------------------
+    def iter(self, tag: str | None = None):
+        """Depth-first pre-order over descendant elements (self excluded)."""
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Element):
+                if tag is None or node.tag == tag:
+                    yield node
+                stack.extend(reversed(node.children))
+
+    def iter_with_self(self, tag: str | None = None):
+        if tag is None or self.tag == tag:
+            yield self
+        yield from self.iter(tag)
+
+    @property
+    def text_content(self) -> str:
+        parts: list[str] = []
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, TextNode):
+                parts.append(node.data)
+            elif isinstance(node, Element):
+                stack.extend(reversed(node.children))
+        return "".join(parts)
+
+    def clone(self) -> "Element":
+        new = Element(self.tag, list(self.attrs))
+        for child in self.children:
+            c = child.clone()
+            c.parent = new
+            new.children.append(c)
+        return new
+
+    def normalize(self) -> None:
+        """Merge adjacent text nodes, drop empty ones (DOM ``normalize()``)."""
+        merged: list[Node] = []
+        for child in self.children:
+            if isinstance(child, TextNode):
+                if child.data == "":
+                    continue
+                if merged and isinstance(merged[-1], TextNode):
+                    merged[-1].data += child.data
+                    continue
+            merged.append(child)
+        self.children = merged
+        for child in self.children:
+            if isinstance(child, Element):
+                child.normalize()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<Element {self.tag} attrs={self.attrs!r} children={len(self.children)}>"
+
+
+class Document(Element):
+    """Document root; ``tag`` is the synthetic ``#document``."""
+
+    def __init__(self) -> None:
+        super().__init__("#document")
+
+    @property
+    def document_element(self) -> Element | None:
+        for child in self.children:
+            if isinstance(child, Element):
+                return child
+        return None
+
+    def body(self) -> Element | None:
+        doc_el = self.document_element
+        if doc_el is None:
+            return None
+        if doc_el.tag == "body":
+            return doc_el
+        for child in doc_el.children:
+            if isinstance(child, Element) and child.tag == "body":
+                return child
+        return None
+
+    def create_element(self, tag: str) -> Element:
+        return Element(tag)
+
+    def create_text(self, data: str) -> TextNode:
+        return TextNode(data)
+
+
+class _TreeBuilder(HTMLParser):
+    """Recovering HTML parser producing our Document tree."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.document = Document()
+        self.stack: list[Element] = []
+        self._saw_html = False
+        self._saw_body = False
+
+    # stack helpers
+    def _current(self) -> Element:
+        if not self.stack:
+            self._ensure_body()
+        return self.stack[-1]
+
+    def _ensure_html(self) -> Element:
+        for child in self.document.children:
+            if isinstance(child, Element) and child.tag == "html":
+                return child
+        html = Element("html")
+        self.document.append(html)
+        return html
+
+    def _ensure_body(self) -> None:
+        """Open implicit <html><body> when content appears at top level."""
+        html = self._ensure_html()
+        body = None
+        for child in html.children:
+            if isinstance(child, Element) and child.tag == "body":
+                body = child
+                break
+        if body is None:
+            body = Element("body")
+            html.append(body)
+        if not self.stack:
+            self.stack = [body]
+
+    def _implied_close(self, tag: str) -> None:
+        if tag in _P_CLOSERS:
+            # close an open <p> in scope
+            for i in range(len(self.stack) - 1, -1, -1):
+                open_tag = self.stack[i].tag
+                if open_tag in _SCOPE_BARRIERS:
+                    break
+                if open_tag == "p":
+                    del self.stack[i:]
+                    break
+        closers = _IMPLIED_END.get(tag)
+        if closers:
+            for i in range(len(self.stack) - 1, -1, -1):
+                open_tag = self.stack[i].tag
+                if open_tag in _SCOPE_BARRIERS:
+                    break
+                if open_tag in closers:
+                    del self.stack[i:]
+                    break
+
+    # HTMLParser hooks
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        tag = tag.lower()
+        clean_attrs: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        for k, v in attrs:
+            if k in seen:
+                continue  # libxml keeps the first duplicate attribute
+            seen.add(k)
+            clean_attrs.append((k, v if v is not None else ""))
+
+        if tag == "html":
+            html = self._ensure_html()
+            if not self._saw_html:
+                self._saw_html = True
+                for k, v in clean_attrs:
+                    if not html.has_attr(k):
+                        html.set_attr(k, v)
+            if not self.stack:
+                self.stack = [html]
+            return
+        if tag in ("head", "body"):
+            html = self._ensure_html()
+            existing = None
+            for child in html.children:
+                if isinstance(child, Element) and child.tag == tag:
+                    existing = child
+                    break
+            if existing is None:
+                existing = Element(tag, clean_attrs)
+                html.append(existing)
+            else:
+                for k, v in clean_attrs:
+                    if not existing.has_attr(k):
+                        existing.set_attr(k, v)
+            self.stack = [existing]
+            return
+
+        if not self.stack:
+            # metadata content may live in an implicit head; everything else
+            # opens the implicit body (libxml behaves similarly)
+            if tag in ("meta", "link", "title", "style", "base"):
+                html = self._ensure_html()
+                head = None
+                for child in html.children:
+                    if isinstance(child, Element) and child.tag == "head":
+                        head = child
+                        break
+                if head is None:
+                    head = Element("head")
+                    html.insert(0, head)
+                el = Element(tag, clean_attrs)
+                head.append(el)
+                if tag not in VOID_ELEMENTS:
+                    self.stack = [head, el]
+                return
+            self._ensure_body()
+
+        self._implied_close(tag)
+        el = Element(tag, clean_attrs)
+        self._current().append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            self.handle_starttag(tag, attrs)
+            return
+        # <div/> in text/html is an open tag per spec, but libxml's recovery
+        # treats XML self-closing syntax as an empty element; match libxml.
+        self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                if not self.stack:
+                    if tag not in ("html", "body", "head"):
+                        self._ensure_body()
+                return
+        # unmatched end tag: ignored (recovery)
+
+    def handle_data(self, data: str) -> None:
+        if not self.stack:
+            if data.strip() == "":
+                return
+            self._ensure_body()
+        cur = self._current()
+        if cur.children and isinstance(cur.children[-1], TextNode):
+            cur.children[-1].data += data
+        else:
+            cur.append(TextNode(data))
+
+    def handle_comment(self, data: str) -> None:
+        if not self.stack:
+            return
+        self._current().append(CommentNode(data))
+
+    def handle_decl(self, decl: str) -> None:  # <!doctype ...>
+        pass
+
+    def unknown_decl(self, data: str) -> None:  # CDATA etc.
+        if data.startswith("CDATA["):
+            self.handle_data(data[6:])
+
+
+def parse_html(html: str) -> Document:
+    """Parse an HTML string into a Document, never raising on bad markup."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        # total recovery: return whatever tree was built so far
+        pass
+    builder._ensure_body()
+    return builder.document
+
+
+# ---------------------------------------------------------------------------
+# Serialization (PHP DOMDocument::saveXML parity)
+# ---------------------------------------------------------------------------
+
+def _escape_text(text: str) -> str:
+    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(value: str) -> str:
+    return (
+        value.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+# Raw-text elements: PHP saveXML still escapes their text (they become normal
+# text nodes after parse); match that.
+
+def serialize(node: Node) -> str:
+    """Outer serialization of a node, saveXML-style."""
+    out: list[str] = []
+    _serialize_into(node, out)
+    return "".join(out)
+
+
+def _serialize_into(node: Node, out: list[str]) -> None:
+    if isinstance(node, RawTextNode):
+        out.append(node.data)
+        return
+    if isinstance(node, TextNode):
+        out.append(_escape_text(node.data))
+        return
+    if isinstance(node, CommentNode):
+        out.append(f"<!--{node.data}-->")
+        return
+    if isinstance(node, AttrNode):
+        out.append(node.value)
+        return
+    assert isinstance(node, Element)
+    if node.tag == "#document":
+        for child in node.children:
+            _serialize_into(child, out)
+        return
+    out.append("<")
+    out.append(node.tag)
+    for k, v in node.attrs:
+        out.append(f' {k}="{_escape_attr(v)}"')
+    if not node.children:
+        out.append("/>")
+        return
+    out.append(">")
+    for child in node.children:
+        _serialize_into(child, out)
+    out.append(f"</{node.tag}>")
+
+
+def inner_html(node: Element) -> str:
+    out: list[str] = []
+    for child in node.children:
+        _serialize_into(child, out)
+    return "".join(out)
+
+
+def parse_fragment(html: str) -> list[Node]:
+    """Parse an HTML fragment and return the list of top-level body nodes."""
+    doc = parse_html(html)
+    body = doc.body()
+    if body is None:
+        return []
+    nodes = list(body.children)
+    for node in nodes:
+        node.parent = None
+    body.children = []
+    return nodes
+
+
+def unescape_entities(text: str) -> str:
+    return unescape(text)

@@ -1,0 +1,328 @@
+"""Arc90 Readability-style content scoring (SURVEY.md §2.6 D25).
+
+The reference delegates this to the external ``j0k3r/php-readability``
+package (wired at ContentExtractor.php:528-565, 1134-1149); the algorithm is
+the public Arc90 heuristic: score ``<p>/<td>/<pre>`` ancestors by comma count
+and text length, apply class/id weight regexes, penalize link density, pick
+the top candidate and append qualifying siblings, then ``prepArticle``
+cleanup.  This module is a from-scratch Python implementation of that public
+algorithm over the graby_spark DOM; it runs per-row inside the extraction
+pandas UDF (never at the Spark API layer).
+
+Also provides ``get_title`` (document <title>) and ``prep_article`` which the
+site-config path reuses for ``prune: yes`` (ContentExtractor.php:1079-1084).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .dom import Document, Element, Node, TextNode, parse_html
+
+__all__ = ["Readability"]
+
+_UNLIKELY_RE = re.compile(
+    r"combx|comment|community|disqus|extra|foot|header|menu|remark|rss|shoutbox|"
+    r"sidebar|sponsor|ad-break|agegate|pagination|pager|popup|tweet|twitter",
+    re.I,
+)
+_MAYBE_RE = re.compile(r"and|article|body|column|main|shadow", re.I)
+_POSITIVE_RE = re.compile(
+    r"article|body|content|entry|hentry|main|page|pagination|post|text|blog|story",
+    re.I,
+)
+_NEGATIVE_RE = re.compile(
+    r"combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta|outbrain|"
+    r"promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|tool|widget",
+    re.I,
+)
+_DIV_TO_P_RE = re.compile(
+    r"<(a|blockquote|dl|div|img|ol|p|pre|table|ul)", re.I
+)
+
+_BLOCK_TAGS = frozenset(
+    "a blockquote dl div img ol p pre table ul script iframe".split()
+)
+
+
+def _class_and_id(el: Element) -> str:
+    return f"{el.get('class') or ''} {el.get('id') or ''}"
+
+
+def _inner_text(el: Element) -> str:
+    return el.text_content.strip()
+
+
+class Readability:
+    """Holds the parsed document and scoring state for one page."""
+
+    def __init__(self, html: str, url: str = "") -> None:
+        self.original_html = html
+        self.url = url
+        self.dom: Document = parse_html(html)
+        self.success: bool | None = None
+        self._scores: dict[int, float] = {}
+        self._article: Element | None = None
+
+    # -- public API mirroring the reference wrapper ----------------------
+
+    def get_title(self) -> str:
+        for el in self.dom.iter("title"):
+            return el.text_content
+        return ""
+
+    def init(self) -> bool:
+        """Run the Arc90 grab; True when a plausible article was found."""
+        try:
+            article = self._grab_article()
+        except Exception:
+            article = None
+        self._article = article
+        self.success = article is not None and len(_inner_text(article)) > 0
+        return bool(self.success)
+
+    def get_content(self) -> Element:
+        if self._article is not None:
+            return self._article
+        # graceful fallback: whole body
+        body = self.dom.body()
+        if body is not None:
+            return body
+        div = Element("div")
+        return div
+
+    # -- scoring ---------------------------------------------------------
+
+    def _score(self, el: Element) -> float:
+        return self._scores.get(id(el), 0.0)
+
+    def _add_score(self, el: Element, delta: float) -> None:
+        self._scores[id(el)] = self._scores.get(id(el), 0.0) + delta
+
+    def _initialize_node(self, el: Element) -> None:
+        if id(el) in self._scores:
+            return
+        tag = el.tag
+        score = 0.0
+        if tag == "div":
+            score += 5
+        elif tag in ("pre", "td", "blockquote"):
+            score += 3
+        elif tag in ("address", "ol", "ul", "dl", "dd", "dt", "li", "form"):
+            score -= 3
+        elif tag in ("h1", "h2", "h3", "h4", "h5", "h6", "th"):
+            score -= 5
+        score += self._class_weight(el)
+        self._scores[id(el)] = score
+
+    @staticmethod
+    def _class_weight(el: Element) -> float:
+        weight = 0.0
+        for value in (el.get("class"), el.get("id")):
+            if not value:
+                continue
+            if _NEGATIVE_RE.search(value):
+                weight -= 25
+            if _POSITIVE_RE.search(value):
+                weight += 25
+        return weight
+
+    @staticmethod
+    def _link_density(el: Element) -> float:
+        text_len = len(_inner_text(el))
+        if text_len == 0:
+            return 0.0
+        link_len = sum(len(_inner_text(a)) for a in el.iter("a"))
+        return link_len / text_len
+
+    def _grab_article(self) -> Element | None:
+        body = self.dom.body()
+        if body is None:
+            return None
+
+        # 1. strip unlikely candidates + convert loose divs to paragraph-ish
+        for el in list(body.iter()):
+            if el.parent is None:
+                continue
+            unlikely = _class_and_id(el)
+            if (
+                _UNLIKELY_RE.search(unlikely)
+                and not _MAYBE_RE.search(unlikely)
+                and el.tag != "body"
+            ):
+                el.detach()
+
+        # 2. score paragraphs
+        candidates: list[Element] = []
+        for el in list(body.iter()):
+            if el.tag not in ("p", "td", "pre"):
+                continue
+            parent = el.parent
+            if parent is None:
+                continue
+            grandparent = parent.parent
+            text = _inner_text(el)
+            if len(text) < 25:
+                continue
+            score = 1.0
+            score += text.count(",")
+            score += text.count("，")  # CJK comma, as in the JS original
+            score += min(len(text) // 100, 3)
+            if id(parent) not in self._scores:
+                self._initialize_node(parent)
+                candidates.append(parent)
+            self._add_score(parent, score)
+            if grandparent is not None:
+                if id(grandparent) not in self._scores:
+                    self._initialize_node(grandparent)
+                    candidates.append(grandparent)
+                self._add_score(grandparent, score / 2.0)
+
+        # 3. pick top candidate after link-density scaling
+        top: Element | None = None
+        top_score = 0.0
+        for cand in candidates:
+            scaled = self._score(cand) * (1.0 - self._link_density(cand))
+            self._scores[id(cand)] = scaled
+            if top is None or scaled > top_score:
+                top = cand
+                top_score = scaled
+
+        if top is None or top.tag == "body":
+            # fall back to the whole body wrapped in a div
+            top = Element("div")
+            for child in list(body.children):
+                top.append(child)
+            body.append(top)
+            self._initialize_node(top)
+
+        # 4. append qualifying siblings into the article container
+        article = Element("div")
+        threshold = max(10.0, top_score * 0.2)
+        parent = top.parent
+        siblings = list(parent.children) if parent is not None else [top]
+        for sibling in siblings:
+            if not isinstance(sibling, Element):
+                if isinstance(sibling, TextNode) and sibling.data.strip():
+                    article.append(sibling.clone())
+                continue
+            append = False
+            if sibling is top:
+                append = True
+            elif self._scores.get(id(sibling), 0.0) >= threshold:
+                append = True
+            elif sibling.tag == "p":
+                density = self._link_density(sibling)
+                text = _inner_text(sibling)
+                if len(text) > 80 and density < 0.25:
+                    append = True
+                elif len(text) <= 80 and density == 0.0 and re.search(r"\.( |$)", text):
+                    append = True
+            if append:
+                article.append(sibling)
+        return article
+
+    # -- prepArticle ------------------------------------------------------
+
+    def prep_article(self, article: Element) -> None:
+        """Cleanup pass over a chosen article element (prune: yes path)."""
+        self._kill_breaks(article)
+        self._clean(article, "form")
+        self._clean(article, "object")
+        self._clean(article, "iframe", allow_known_video=True)
+        if self._count(article, "h1") == 1:
+            self._clean(article, "h1")
+        if self._count(article, "h2") == 1:
+            self._clean(article, "h2")
+        self._clean_headers(article)
+        for tag in ("table", "ul", "div"):
+            self._clean_conditionally(article, tag)
+        # remove empty paragraphs (no text, no img/embed/object)
+        for p in list(article.iter("p")):
+            if p.parent is None:
+                continue
+            has_media = any(True for _ in p.iter("img")) or any(True for _ in p.iter("embed")) or any(
+                True for _ in p.iter("object")
+            )
+            if not has_media and _inner_text(p) == "":
+                p.detach()
+
+    @staticmethod
+    def _count(el: Element, tag: str) -> int:
+        return sum(1 for _ in el.iter(tag))
+
+    @staticmethod
+    def _kill_breaks(el: Element) -> None:
+        # collapse <br/><br/> runs: DOM-level approximation
+        for parent in [el] + [e for e in el.iter()]:
+            prev_was_br = False
+            for child in list(parent.children):
+                if isinstance(child, Element) and child.tag == "br":
+                    if prev_was_br:
+                        parent.remove_child(child)
+                    else:
+                        prev_was_br = True
+                elif isinstance(child, TextNode) and child.data.strip() == "":
+                    continue
+                else:
+                    prev_was_br = False
+
+    _VIDEO_RE = re.compile(r"youtube|vimeo|dailymotion", re.I)
+
+    def _clean(self, el: Element, tag: str, allow_known_video: bool = False) -> None:
+        for target in list(el.iter(tag)):
+            if target.parent is None:
+                continue
+            if allow_known_video:
+                src = target.get("src") or ""
+                if self._VIDEO_RE.search(src):
+                    continue
+            target.detach()
+
+    def _clean_headers(self, el: Element) -> None:
+        for tag in ("h1", "h2"):
+            for header in list(el.iter(tag)):
+                if header.parent is None:
+                    continue
+                if self._class_weight(header) < 0 or self._link_density(header) > 0.33:
+                    header.detach()
+
+    def _clean_conditionally(self, el: Element, tag: str) -> None:
+        for target in list(el.iter(tag)):
+            if target.parent is None:
+                continue
+            weight = self._class_weight(target) + self._scores.get(id(target), 0.0)
+            if weight < 0:
+                target.detach()
+                continue
+            text = _inner_text(target)
+            if text.count(",") + text.count("，") < 10:
+                p_count = self._count(target, "p")
+                img_count = self._count(target, "img")
+                li_count = self._count(target, "li") - 100
+                input_count = self._count(target, "input")
+                embed_count = sum(
+                    1
+                    for e in target.iter("embed")
+                    if not self._VIDEO_RE.search(e.get("src") or "")
+                )
+                density = self._link_density(target)
+                length = len(text)
+                remove = (
+                    (img_count > p_count)
+                    or (li_count > p_count and tag not in ("ul", "ol"))
+                    or (input_count > p_count // 3)
+                    or (length < 25 and (img_count == 0 or img_count > 2))
+                    or (weight < 25 and density > 0.2)
+                    or (weight >= 25 and density > 0.5)
+                    or ((embed_count == 1 and length < 75) or embed_count > 1)
+                )
+                if remove:
+                    target.detach()
+
+    # -- misc helpers used by Graby post-processing -----------------------
+
+    def clean(self, el: Element, tag: str) -> None:
+        """Public ``clean`` used by Graby::cleanupHtml for <select>
+        (Graby.php:219)."""
+        self._clean(el, tag)

@@ -1,0 +1,164 @@
+"""String-level helpers shared by the extraction UDF and Spark-side exprs.
+
+Each function mirrors a reference behavior:
+  * ``excerpt``            — Graby::getExcerpt (Graby.php:879-901)
+  * ``strip_trackers``     — HttpClient::removeTrackersFromUrl
+                             (HttpClient.php:521-544)
+  * ``make_absolute``      — Graby::makeAbsoluteStr (Graby.php:854-872,
+                             RFC 3986 resolution via UriResolver)
+  * ``pre_clean``          — empty-line + empty-node regex pre-clean with the
+                             JIT-stacklimit fallback (Graby.php:318-332)
+  * ``validate_date``      — ContentExtractor::validateDate
+                             (ContentExtractor.php:735-748), W3C format with
+                             the reference test default timezone Europe/Paris
+                             (phpunit.xml:23)
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from urllib.parse import urljoin, urlsplit, urlunsplit, parse_qsl, urlencode
+from zoneinfo import ZoneInfo
+
+try:
+    import regex as _regex  # supports \h \v \pZ \pC like PCRE
+except ImportError:  # pragma: no cover
+    _regex = None
+
+import re
+
+try:
+    from dateutil import parser as _dateparser
+except ImportError:  # pragma: no cover
+    _dateparser = None
+
+__all__ = [
+    "excerpt",
+    "strip_trackers",
+    "make_absolute",
+    "pre_clean",
+    "validate_date",
+    "DEFAULT_TZ",
+]
+
+DEFAULT_TZ = "Europe/Paris"
+
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RUN_RE = re.compile(r"[\n\r\t ]+")
+if _regex is not None:
+    _EDGE_SPACE_RE = _regex.compile(r"^[\pZ\pC]+|[\pZ\pC]+$")
+    _EMPTY_P_RE = _regex.compile(r"<p>[\s\h\v]*</p>")
+else:  # pragma: no cover
+    _EDGE_SPACE_RE = re.compile(r"^\s+|\s+$")
+    _EMPTY_P_RE = re.compile(r"<p>\s*</p>")
+
+_EMPTY_LINE_RE = re.compile(r"^[ \t]*[\r\n]+", re.M)
+_EMPTY_NODE_RE = re.compile(
+    r"<(?!audio|iframe|img|td|th)([^>\s]+)[^>]*>"
+    r"(?:<br />|&nbsp;|&thinsp;|&ensp;|&emsp;|&#8201;|&#8194;|&#8195;|\s)*</\1>",
+    re.M,
+)
+_IE_COND_RE = re.compile(r"<!--\[if[^>]*>.*?(<!\[endif\]-->|<!-- <!\[endif\] -->)", re.S | re.I)
+
+
+def excerpt(text: str, length: int = 250, separator: str = " &hellip;") -> str:
+    """250-char word-boundary excerpt of an HTML string."""
+    text = _TAG_RE.sub(" ", text)
+    text = _EDGE_SPACE_RE.sub("", text)
+    text = _WS_RUN_RE.sub(" ", text).strip(" ")
+    if len(text) > length:
+        breakpoint_ = text.find(" ", length)
+        if breakpoint_ < 0:
+            return text
+        return text[:breakpoint_].rstrip() + separator
+    return text
+
+
+_TRACKER_PARAM_RE = re.compile(r"^(utm_|mtm_)")
+
+
+def strip_trackers(url: str) -> str:
+    """Drop utm_*/mtm_* query params and the xtor=RSS- fragment."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    query = parts.query
+    if query:
+        kept = [(k, v) for k, v in parse_qsl(query, keep_blank_values=True) if not _TRACKER_PARAM_RE.match(k)]
+        query = urlencode(kept)
+    fragment = parts.fragment
+    if fragment and fragment.startswith("xtor=RSS-"):
+        fragment = ""
+    return urlunsplit((parts.scheme, parts.netloc, parts.path, query, fragment))
+
+
+def make_absolute(base: str, url: str) -> str | None:
+    """Resolve ``url`` against ``base`` (None when impossible)."""
+    if not url:
+        return None
+    url = url.strip()
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    if parts.scheme:
+        return url
+    try:
+        base_parts = urlsplit(base)
+    except ValueError:
+        return None
+    if not base_parts.netloc:
+        return None
+    try:
+        return urljoin(base, url)
+    except ValueError:
+        return None
+
+
+def pre_clean(html: str) -> str:
+    """Empty-line strip + guarded empty-node strip (P1/P2)."""
+    cleaned = _EMPTY_LINE_RE.sub("", html)
+    try:
+        # the reference falls back to the un-stripped html when PCRE's JIT
+        # stack limit trips on pathological input; bound work the same way
+        stripped = _EMPTY_NODE_RE.sub("", cleaned, count=500000)
+    except Exception:
+        return cleaned
+    return stripped
+
+
+def strip_ie_conditionals(html: str) -> str:
+    """Remove IE conditional comments when more than one present
+    (HttpClient.php:206-214)."""
+    matches = _IE_COND_RE.findall(html)
+    if len(matches) > 1:
+        return _IE_COND_RE.sub("", html)
+    return html
+
+
+def validate_date(date: str | None, tz_name: str = DEFAULT_TZ) -> str | None:
+    """Parse a date string and format as W3C ``Y-m-d\\TH:i:sP`` or None."""
+    if date is None or _dateparser is None:
+        return None
+    date = date.strip()
+    if not date:
+        return None
+    try:
+        parsed = _dateparser.parse(date, default=datetime(2000, 1, 1, 0, 0, 0))
+    except (ValueError, OverflowError, TypeError):
+        return None
+    if parsed.tzinfo is None:
+        parsed = parsed.replace(tzinfo=ZoneInfo(tz_name))
+    formatted = parsed.strftime("%Y-%m-%dT%H:%M:%S%z")
+    return formatted[:-2] + ":" + formatted[-2:]
+
+
+def remove_empty_paragraphs(html: str) -> str:
+    """``<p>[\\s\\h\\v]*</p>`` removal (Graby.php:267)."""
+    return _EMPTY_P_RE.sub("", html)
+
+
+def remove_links_keep_text(html: str) -> str:
+    """content_links=remove regex (Graby.php:268-270)."""
+    return re.sub(r"</?a[^>]*>", "", html)
