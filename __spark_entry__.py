@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from SURVEY.md §2 as
+a (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+twin for each SQL-expressible query (same column names — the driver compares
+row count + schema + order-insensitive value hash).
+
+Extraction queries run the REAL pipeline end-to-end: the pages table is
+synthesized deterministically from ``documents`` (see
+graby_spark.pages), raw bytes go through charset sniffing → site-config
+rules → microformat fallbacks → serialization, and the oracle recomputes
+the expected output from ``documents`` with plain SQL.  A value match means
+the whole byte-level pipeline is correct, not just the plumbing.
 """
 
 from __future__ import annotations
@@ -12,27 +18,479 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graby_spark.extract import ExtractOptions
+from graby_spark.job import run_extraction, resolve_multipage
+from graby_spark.operators import dedup, similarity, textstats, multimodal
+from graby_spark.pages import (
+    build_multipage_pages_df,
+    build_pages_df,
+    oracle_excerpt_sql,
+    oracle_pages_cte,
+    pages_ruleset,
+)
+
+_OPTS = ExtractOptions(xss_filter=False)  # golden-fixture parity mode
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = build_pages_df(spark, sf_dir)
+    return run_extraction(spark, pages, pages_ruleset(), options=_OPTS)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction of the synthetic pages table at sf0.001."""
+    return _extracted(spark, "/root/testdata/sf0.001").select(
+        "url", "title", "language", "date", "text", "summary", "is_success"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _extracted(spark, sf_dir)
+    return out.select(
+        "url",
+        "title",
+        "language",
+        F.col("date").alias("pub_date"),
+        F.concat_ws(",", "authors").alias("author_names"),
+        F.col("is_success").cast("int").alias("ok"),
+    )
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extracted(spark, sf_dir).select("url", F.col("text").alias("extracted_text"))
+
+
+def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extracted(spark, sf_dir).select("url", "summary")
+
+
+def q_extract_metrics_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _extracted(spark, sf_dir)
+    domain = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
+    return (
+        out.groupBy(domain.alias("domain"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("is_success").cast("int")).alias("ok_docs"),
+        )
+        .orderBy("domain")
+    )
+
+
+def q_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M6 routing: image/zip/text-plain payloads bypass the DOM path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.selectExpr(
+        "concat('http://files.example.com/item/', cast(doc_id as string)) as url",
+        "timestamp'2024-01-01 00:00:00' as warc_ts",
+        "encode(text, 'UTF-8') as html",
+        "text",
+        "lang",
+        "CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'application/zip' "
+        "ELSE 'text/plain; charset=utf-8' END as content_type",
+        "200 as http_status",
+    )
+    out = run_extraction(spark, pages, pages_ruleset(), options=_OPTS)
+    return out.select("url", "title", F.col("html").alias("routed_html"))
+
+
+def q_multipage_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = build_multipage_pages_df(spark, sf_dir)
+    extracted = run_extraction(spark, pages, pages_ruleset(), options=_OPTS)
+    merged = resolve_multipage(extracted)
+    return merged.select(
+        "url",
+        "title",
+        F.col("text").alias("stitched_text"),
+        "page_count",
+    )
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus re-ids'd copies of every 50th doc (known duplicates)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    copies = docs.where("doc_id % 50 = 0").selectExpr("doc_id + 1000000 as doc_id", "text")
+    return docs.unionByName(copies)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = dedup.exact_duplicates(_dup_corpus(spark, sf_dir))
+    return groups.select(
+        F.concat_ws(",", F.transform("doc_ids", lambda d: d.cast("string"))).alias("doc_ids"),
+        "dup_count",
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), threshold=0.8)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), threshold=0.9)
+    return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs).select("doc", "simhash")
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = dedup.embedding_near_dups(emb, threshold=0.4)
+    return pairs.select("id_a", "id_b")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where("vec_id < 10")
+    topk = similarity.brute_force_topk(emb, queries_df, k=5)
+    return topk.select("query_id", "neighbor_id", "rank")
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where("vec_id < 10")
+    topk = similarity.lsh_topk(emb, queries_df, k=5)
+    return topk.select("query_id", "neighbor_id", "rank")
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.token_stats(docs).select(
+        "doc_id", "char_count", "ws_token_count", "punct_count", "digit_count"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.quality_score(docs).select("doc_id", "n_tokens", "stop_ratio", "quality")
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.language_id(docs).select("doc_id", "en_hits", "fr_hits", "lang_guess")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.fingerprints(docs).select("doc", "fingerprint")
+
+
+def q_media_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.selectExpr(
+        "doc_id as media_id",
+        "CASE doc_id % 3 "
+        "WHEN 0 THEN concat(X'89504E47', encode(text, 'UTF-8')) "
+        "WHEN 1 THEN concat(X'FFD8FF', encode(text, 'UTF-8')) "
+        "ELSE encode(text, 'UTF-8') END as payload",
+    )
+    out = multimodal.attach_media_metadata(media)
+    return out.select("media_id", "mime", "payload_bytes")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
+    media = docs.selectExpr("doc_id as media_id", "encode(text, 'UTF-8') as payload")
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", F.size("features").alias("dim"))
+
+
+def q_agg_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation — the classic hash-agg plan check."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts by event_type (batch twin of the
+    Structured Streaming windowed aggregation)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q_join_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join chain orders→customer→nation (dimension joins)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("n_name")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_meta": q_extract_meta,
+        "extract_text": q_extract_text,
+        "extract_summary": q_extract_summary,
+        "extract_metrics_by_domain": q_extract_metrics_by_domain,
+        "mime_route": q_mime_route,
+        "multipage_stitch": q_multipage_stitch,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "media_mime_sniff": q_media_mime_sniff,
+        "media_features": q_media_features,
+        "agg_lineitem_pricing": q_agg_lineitem_pricing,
+        "events_windowed": q_events_windowed,
+        "join_orders_by_nation": q_join_orders_by_nation,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    expected = oracle_pages_cte()
+    excerpt = oracle_excerpt_sql("expected_text")
+
+    dup_corpus = (
+        "dup_corpus AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0)"
+    )
+    tokens = (
+        "tokens AS (SELECT doc_id AS doc, unnest(list_distinct("
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''))) AS token "
+        "FROM dup_corpus)"
+    )
+
+    from graby_spark.operators.textstats import STOPWORDS
+    stop_en = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+
+    return {
+        "extract_meta": f"""
+WITH {expected}
+SELECT url, title, language, pub_date, coalesce(author_names, '') AS author_names, 1 AS ok
+FROM expected
+""",
+        "extract_text": f"""
+WITH {expected}
+SELECT url, expected_text AS extracted_text FROM expected
+""",
+        "extract_summary": f"""
+WITH {expected}
+SELECT url, {excerpt} AS summary FROM expected
+""",
+        "extract_metrics_by_domain": f"""
+WITH {expected}
+SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+       count(*) AS docs, count(*) AS ok_docs
+FROM expected GROUP BY 1 ORDER BY 1
+""",
+        "mime_route": """
+SELECT 'http://files.example.com/item/' || doc_id AS url,
+       CASE doc_id % 3 WHEN 0 THEN 'Image' WHEN 1 THEN 'ZIP' ELSE 'Plain text' END AS title,
+       CASE doc_id % 3
+         WHEN 0 THEN '<a href="http://files.example.com/item/' || doc_id || '"><img src="http://files.example.com/item/' || doc_id || '" alt="Image" /></a>'
+         WHEN 1 THEN '<a href="http://files.example.com/item/' || doc_id || '">Download ZIP</a>'
+         ELSE '<pre>' || text || '</pre>' END AS routed_html
+FROM documents
+""",
+        "multipage_stitch": """
+SELECT 'http://serial.example.com/article/' || doc_id AS url,
+       'Serial ' || doc_id AS title,
+       trim(regexp_replace(
+           left(text, cast(floor(length(text)/2) as int)) || ' ' ||
+           substr(text, cast(floor(length(text)/2) as int) + 1),
+           '[ \t\r\n]+', ' ', 'g')) AS stitched_text,
+       2 AS page_count
+FROM documents WHERE doc_id % 10 = 0
+""",
+        "dedup_exact": """
+WITH dup_corpus AS (SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+grp AS (
+  SELECT trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
+         count(*) AS dup_count,
+         list_sort(list(doc_id)) AS ids
+  FROM dup_corpus GROUP BY 1 HAVING count(*) > 1
+)
+SELECT array_to_string(ids, ',') AS doc_ids, dup_count FROM grp
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {dup_corpus},
+{tokens},
+sizes AS (SELECT doc, count(*) AS size FROM tokens GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+  FROM tokens a JOIN tokens b USING (token)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.size + sb.size - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE c * 1.0 / (sa.size + sb.size - c) >= 0.8
+""",
+        "text_token_stats": """
+SELECT doc_id,
+       length(trim(text)) AS char_count,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_token_count,
+       length(regexp_replace(trim(text), '[^.,;:!?]', '', 'g')) AS punct_count,
+       length(regexp_replace(trim(text), '[^0-9]', '', 'g')) AS digit_count
+FROM documents
+""",
+        "text_quality": f"""
+WITH t AS (
+  SELECT doc_id,
+         trim(text) AS text,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains([{stop_en}], x))) AS stop_hits,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(stop_hits * 1.0 / greatest(n_tokens, 1), 6) AS stop_ratio,
+       round(
+         (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN punct * 1.0 / greatest(n_chars, 1) <= 0.2 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN stop_hits * 1.0 / greatest(n_tokens, 1) >= 0.05 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+       , 2) AS quality
+FROM s
+""",
+        "text_langid": _langid_oracle(),
+        "media_mime_sniff": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+            ELSE 'application/octet-stream' END AS mime,
+       CASE doc_id % 3 WHEN 0 THEN octet_length(encode(text)) + 4
+            WHEN 1 THEN octet_length(encode(text)) + 3
+            ELSE octet_length(encode(text)) END AS payload_bytes
+FROM documents
+""",
+        "media_features": """
+SELECT doc_id AS media_id, 16 AS dim FROM documents WHERE doc_id < 200
+""",
+        "embedding_near_dups": """
+WITH unitv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE / sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(len(a.u)), i -> a.u[i+1] * b.u[i+1])) >= 0.4
+""",
+        "ann_topk": """
+WITH unitv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE / sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(len(q.u)), i -> q.u[i+1] * n.u[i+1])), 8) AS cosine
+  FROM unitv q JOIN unitv n ON q.vec_id <> n.vec_id
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+""",
+        "agg_lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "events_windowed": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "join_orders_by_nation": """
+SELECT n_name, count(*) AS order_count, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+    }
+
+
+def _langid_oracle() -> str:
+    from graby_spark.operators.textstats import STOPWORDS
+
+    def hits(lang: str) -> str:
+        words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         lower(trim(text)) AS text,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         {hits('en')} AS en_hits, {hits('fr')} AS fr_hits,
+         {hits('es')} AS es_hits, {hits('de')} AS de_hits,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+         length(text) AS n
+  FROM t
+)
+SELECT doc_id, en_hits, fr_hits,
+       CASE WHEN cjk * 4 > n THEN 'zh'
+            WHEN greatest(en_hits, fr_hits, es_hits, de_hits) = 0 THEN 'unknown'
+            WHEN en_hits = greatest(en_hits, fr_hits, es_hits, de_hits) THEN 'en'
+            WHEN fr_hits = greatest(en_hits, fr_hits, es_hits, de_hits) THEN 'fr'
+            WHEN es_hits = greatest(en_hits, fr_hits, es_hits, de_hits) THEN 'es'
+            ELSE 'de' END AS lang_guess
+FROM s
+"""

@@ -421,9 +421,11 @@ class _TreeBuilder(HTMLParser):
             self.stack = [existing]
             return
 
-        if not self.stack:
-            # metadata content may live in an implicit head; everything else
-            # opens the implicit body (libxml behaves similarly)
+        at_html_level = not self.stack or self.stack[-1].tag == "html"
+        if at_html_level:
+            # metadata content lives in the (implicit) head; everything else
+            # opens the implicit body (libxml recovery behaves the same for
+            # both missing <html> and content directly under <html>)
             if tag in ("meta", "link", "title", "style", "base"):
                 html = self._ensure_html()
                 head = None
@@ -439,6 +441,7 @@ class _TreeBuilder(HTMLParser):
                 if tag not in VOID_ELEMENTS:
                     self.stack = [head, el]
                 return
+            self.stack = []
             self._ensure_body()
 
         self._implied_close(tag)
@@ -471,9 +474,10 @@ class _TreeBuilder(HTMLParser):
         # unmatched end tag: ignored (recovery)
 
     def handle_data(self, data: str) -> None:
-        if not self.stack:
+        if not self.stack or self.stack[-1].tag == "html":
             if data.strip() == "":
                 return
+            self.stack = []
             self._ensure_body()
         cur = self._current()
         if cur.children and isinstance(cur.children[-1], TextNode):

@@ -78,6 +78,12 @@ class ExtractOptions:
     content_links: str = "preserve"  # preserve | footnotes | remove
     xss_filter: bool = True
     tz_name: str = textutils.DEFAULT_TZ
+    # full-pipeline normalization observed in the reference golden outputs
+    # (tests/fixtures/sites/*.test): class attributes are stripped from the
+    # final content block and attribute-less <span> wrappers unwrapped.
+    # Applied only on the Graby-level path (extract_one/cleanup), never in
+    # process() whose unit-level contract keeps classes.
+    strip_classes: bool = True
 
 
 @dataclass
@@ -850,6 +856,9 @@ def cleanup_html(
     """Post-processing & serialization (Graby.php:195-275)."""
     readability.clean(content, "select")  # O1
 
+    if options.strip_classes:
+        _normalize_presentation(content)
+
     if options.rewrite_relative_urls:
         _make_absolute(url, content)  # O2
 
@@ -881,6 +890,29 @@ def cleanup_html(
 
         html = sanitize_html(html)
     return html.strip()
+
+
+def _normalize_presentation(content: Element) -> None:
+    """Strip class attributes recursively and unwrap <span> elements left
+    with no attributes (observed full-pipeline behavior of the reference's
+    golden outputs — e.g. lemonde '<figure class=..>' → '<figure>',
+    '<span class="st">x</span>' → 'x')."""
+    if content.has_attr("class"):
+        content.remove_attr("class")
+    for el in list(content.iter()):
+        if el.tag in ("script", "style"):
+            el.detach()
+            continue
+        if el.has_attr("class"):
+            el.remove_attr("class")
+    for span in list(content.iter("span")):
+        if not span.attrs and span.parent is not None:
+            parent = span.parent
+            pos = parent.children.index(span)
+            children = list(span.children)
+            parent.remove_child(span)
+            for offset, child in enumerate(children):
+                parent.insert(pos + offset, child)
 
 
 _TAG_ATTR_MAP = {"a": "href", "img": "src", "iframe": "src"}
@@ -940,6 +972,16 @@ def extract_one(
         return _handle_mime_action(mime_info, html_bytes, effective_url, content_type, result, options)
 
     html = convert_to_utf8(html_bytes, content_type)
+
+    # AJAX "ugly url" detection (S9, HttpClient.php:485-512): a fragment
+    # meta means the crawler would have re-fetched with _escaped_fragment_;
+    # in table mode the content is prefetched, so only the effective url
+    # records the canonicalization.
+    if _has_ajax_trigger(html):
+        sep = "&" if "?" in effective_url else "?"
+        effective_url = f"{effective_url}{sep}_escaped_fragment_="
+        result.effective_url = effective_url
+
     html = textutils.pre_clean(html)
 
     extracted = process(html, effective_url, ruleset, options=options)
@@ -970,6 +1012,20 @@ def extract_one(
     extracted.summary = textutils.excerpt(html_out)
     extracted.text = _plain_text(html_out)
     return extracted
+
+
+# HttpClientConfig.php:73-78
+AJAX_TRIGGERS = (
+    "<meta name='fragment' content='!'",
+    '<meta name="fragment" content="!"',
+    "<meta content='!' name='fragment'",
+    '<meta content="!" name="fragment"',
+)
+
+
+def _has_ajax_trigger(html: str) -> bool:
+    lower = html.lower()
+    return any(trigger in lower for trigger in AJAX_TRIGGERS)
 
 
 _TAG_STRIP_RE = re.compile(r"<[^>]+>")

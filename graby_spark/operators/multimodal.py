@@ -1,0 +1,157 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images / audio / video ride through the pipeline as ``binary`` columns with
+a metadata struct; decode / feature-extract / resize / frame-sample are
+Arrow-batched ``mapInPandas`` stages.  The actual codec work is STUBBED in
+this environment (no image/audio libraries in the container): the Spark
+side — schema, batch shape, partitioning, UDF signatures — is real and
+tested; the decode stub is a deterministic fake (byte-level statistics)
+clearly marked, and ``decode_image`` raises ``NotImplementedError`` when
+``strict=True`` so a real codec can be dropped in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media_metadata",
+    "extract_features",
+    "sample_frames",
+    "decode_image",
+]
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+_MAGIC = [
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"RIFF", "audio/wav"),
+    (b"ID3", "audio/mpeg"),
+    (b"\x00\x00\x00", "video/mp4"),
+]
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Sniff mime from magic bytes — JVM-side (substring compare), no UDF."""
+    payload = F.col(payload_col)
+    mime = F.lit("application/octet-stream")
+    for magic, m in reversed(_MAGIC):
+        hexv = magic.hex()
+        mime = F.when(
+            F.hex(F.substring(payload, 1, len(magic))) == F.lit(hexv.upper()), F.lit(m)
+        ).otherwise(mime)
+    return df.withColumn("mime", mime).withColumn("payload_bytes", F.length(payload))
+
+
+def decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
+    """STUB — no image codec available in this container.
+
+    strict=True raises (drop-in point for a real decoder); otherwise a
+    deterministic fake 8x8 grayscale "image" derived from the payload
+    digest, so downstream feature plumbing is testable end-to-end."""
+    if strict:
+        raise NotImplementedError("image codecs are unavailable in this environment")
+    digest = hashlib.sha256(payload or b"").digest()
+    return np.frombuffer(digest * 2, dtype=np.uint8).reshape(8, 8).astype(np.float32)
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """payload → 16-dim feature vector via mapInPandas.
+
+    Feature extraction is the deterministic stub (byte histogram moments of
+    the fake decode); the Arrow batch shape and schema match what a real
+    vision encoder stage would use."""
+    src = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                img = decode_image(bytes(payload or b""))
+                flat = img.flatten()
+                feats = np.concatenate(
+                    [
+                        flat.reshape(16, 4).mean(axis=1) / 255.0,
+                    ]
+                ).astype(np.float32)
+                out.append({"media_id": mid, "features": feats.tolist()})
+            yield pd.DataFrame(out, columns=["media_id", "features"])
+
+    return src.mapInPandas(fn, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_ms: int = 1000,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame.
+
+    Frame decode is stubbed (slices of the payload digest); row explosion,
+    frame indices and timestamps are the real contract."""
+    src = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_no", IntegerType()),
+            StructField("ts_ms", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                data = bytes(payload or b"")
+                digest = hashlib.sha256(data).digest()
+                n = min(max_frames, max(len(data) // 64, 1))
+                for i in range(n):
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "frame_no": i,
+                            "ts_ms": i * every_ms,
+                            "frame": digest[i % 2 :][:16],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "frame_no", "ts_ms", "frame"])
+
+    return src.mapInPandas(fn, schema)

@@ -1,0 +1,163 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths:
+  * brute_force_topk — exact cosine top-k via a broadcast join of the
+    (small) query set against the corpus; dot products computed JVM-side
+    with ``aggregate(zip_with(...))`` so the whole plan stays in
+    whole-stage codegen (no Python in the loop).  This is the correctness
+    baseline and is also the right plan whenever |queries| is small enough
+    to broadcast.
+  * lsh_topk — random-hyperplane signature buckets (deterministic seed)
+    generated in a vectorized pandas UDF, candidates from a bucket join,
+    exact rerank of candidates only.  The 100 TB path: probe cost is
+    O(|queries| · bucket_size) instead of O(|queries| · n).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["brute_force_topk", "lsh_signatures", "lsh_topk"]
+
+
+def _unit(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    vec_d = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0).cast("double"), lambda a, v: a + v * v))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.transform(vec_d, lambda v: v / norm).alias(f"{prefix}_unit"),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank); self-matches excluded.
+    The query side is broadcast — the corpus is scanned once, no shuffle of
+    the corpus at all; only the (tiny) per-query top-k aggregation moves.
+    """
+    c = _unit(corpus, id_col, vec_col, "n")
+    q = _unit(queries, id_col, vec_col, "q")
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+        F.col("q_id").alias("query_id"),
+        F.col("n_id").alias("neighbor_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with("q_unit", "n_unit", lambda x, y: x * y),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ),
+            8,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+_N_PLANES = 8
+_N_TABLES = 4
+
+
+def _hyperplanes(dim: int, n_planes: int = _N_PLANES, n_tables: int = _N_TABLES) -> np.ndarray:
+    rng = np.random.RandomState(7)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def lsh_signatures(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """(id, table, bucket) random-hyperplane signatures — ``_N_TABLES``
+    independent hash tables of ``_N_PLANES`` planes each (multi-table LSH
+    trades bucket-join fanout for recall)."""
+    planes = _hyperplanes(dim)
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    schema = StructType(
+        [
+            StructField("id", src.schema[0].dataType),
+            StructField("table", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+    weights = 1 << np.arange(_N_PLANES, dtype=np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch) == 0:
+                yield pd.DataFrame({"id": [], "table": [], "bucket": []})
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
+            frames = []
+            for t in range(_N_TABLES):
+                signs = (mat @ planes[t].T) > 0  # (n, planes)
+                buckets = signs @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {"id": batch["id"].values, "table": t, "bucket": buckets}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return src.mapInPandas(fn, schema)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: bucket join on hyperplane signature, exact rerank of
+    candidates.  Recall < 1 by construction; rank semantics match
+    brute_force_topk on the candidate set."""
+    c_sig = lsh_signatures(corpus, id_col, vec_col, dim)
+    q_sig = lsh_signatures(queries, id_col, vec_col, dim)
+    cand = (
+        q_sig.select(F.col("id").alias("query_id"), "table", "bucket")
+        .join(c_sig.select(F.col("id").alias("neighbor_id"), "table", "bucket"), ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = _unit(corpus, id_col, vec_col, "n")
+    q = _unit(queries, id_col, vec_col, "q")
+    scored = (
+        cand.join(q.withColumnRenamed("q_id", "query_id"), "query_id")
+        .join(c.withColumnRenamed("n_id", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("q_unit", "n_unit", lambda x, y: x * y),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                ),
+                8,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,164 @@
+"""Text-analysis operators: token counts, quality scoring, language ID,
+document fingerprinting.
+
+Everything here is pure JVM Spark SQL (whole-stage codegen; zero Python in
+the hot path) except the rolling-hash fingerprint, which is a vectorized
+pandas UDF.  Each operator has an ANSI-SQL twin used as the DuckDB oracle
+in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "language_id",
+    "fingerprints",
+    "STOPWORDS",
+]
+
+# tiny per-language stopword tables for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "was"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "en"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts and basic char stats."""
+    text = F.trim(F.col(text_col))
+    ws_tokens = F.split(text, r"\s+")
+    # BPE-ish: word pieces + digits + punctuation as separate tokens
+    bpe_tokens = F.split(text, r"(?<=[^\w])|(?=[^\w\s])|\s+")
+    return df.select(
+        F.col(id_col),
+        F.length(text).alias("char_count"),
+        F.size(ws_tokens).alias("ws_token_count"),
+        F.size(F.filter(bpe_tokens, lambda t: t != "")).alias("bpe_token_count"),
+        F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).alias("punct_count"),
+        F.length(F.regexp_replace(text, r"[^0-9]", "")).alias("digit_count"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0, 1]: length band, punctuation ratio,
+    stopword ratio, mean word length band.  Mirrors common web-text
+    filtering recipes; every term is a SQL expression (oracle-checkable)."""
+    text = F.trim(F.col(text_col))
+    tokens = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    n_tokens = F.size(tokens)
+    n_chars = F.length(text)
+    stop_list = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(tokens, lambda t: F.array_contains(stop_list, t)))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    mean_word_len = (n_chars - (n_tokens - 1)) / n_tokens
+
+    length_ok = (n_chars >= 50) & (n_chars <= 20000)
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    word_len_ok = (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+
+    score = (
+        length_ok.cast("double") * 0.25
+        + (punct_ratio <= 0.2).cast("double") * 0.25
+        + (stop_ratio >= 0.05).cast("double") * 0.25
+        + word_len_ok.cast("double") * 0.25
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 2).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language heuristic over en/fr/es/de + CJK char check.
+
+    Pure CASE/array expressions; deterministic tie-break by language-code
+    order (en < fr < es < de checked in that order, zh wins when CJK chars
+    dominate)."""
+    text = F.lower(F.trim(F.col(text_col)))
+    tokens = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+    def hits(lang: str):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    en, fr, es, de = hits("en"), hits("fr"), hits("es"), hits("de")
+    best = F.greatest(en, fr, es, de)
+    guess = (
+        F.when(cjk * 4 > F.length(text), F.lit("zh"))
+        .when(best == F.lit(0), F.lit("unknown"))
+        .when(en == best, F.lit("en"))
+        .when(fr == best, F.lit("fr"))
+        .when(es == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return df.select(
+        F.col(id_col),
+        en.alias("en_hits"),
+        fr.alias("fr_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 16
+) -> DataFrame:
+    """Winnowing-style document fingerprint: polynomial rolling hash over
+    the normalized text, minimum hash per window — a compact signature for
+    shift-tolerant duplicate detection.  Vectorized pandas UDF (numpy)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    schema = StructType(
+        [
+            StructField("doc", src.schema[0].dataType),
+            StructField("fingerprint", LongType()),
+            StructField("minima", ArrayType(LongType())),
+        ]
+    )
+    base, mod = 257, (1 << 61) - 1
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id, text in zip(batch["doc"], batch["text"]):
+                data = " ".join((text or "").lower().split()).encode("utf-8", "replace")
+                if len(data) < window:
+                    data = data + b" " * (window - len(data))
+                arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                # rolling polynomial hash of each `window`-byte gram
+                h = 0
+                power = pow(base, window - 1, mod)
+                hashes = np.empty(len(arr) - window + 1, dtype=np.int64)
+                for i in range(window):
+                    h = (h * base + int(arr[i])) % mod
+                hashes[0] = h
+                for i in range(1, len(hashes)):
+                    h = ((h - int(arr[i - 1]) * power) * base + int(arr[i + window - 1])) % mod
+                    hashes[i] = h
+                # winnow: min per non-overlapping window of hashes
+                n_win = max(len(hashes) // window, 1)
+                minima = [int(hashes[i * window : (i + 1) * window].min()) for i in range(n_win)]
+                fp = 0
+                for m in minima:
+                    fp = (fp * 1099511628211 + m) % (1 << 61)
+                out.append({"doc": doc_id, "fingerprint": fp, "minima": minima})
+            yield pd.DataFrame(out, columns=["doc", "fingerprint", "minima"])
+
+    return src.mapInPandas(fn, schema)

@@ -152,14 +152,14 @@ def build_multipage_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     page1_html = (
         "concat('<html lang=\"', lang, '\"><head><title>head</title></head><body>',"
         "'<h1>Serial ', cast(doc_id as string), '</h1>',"
-        "'<div class=\"article-body\"><p>', left(text, cast(length(text)/2 as int)), '</p></div>',"
+        "'<div class=\"article-body\"><p>', left(text, cast(floor(length(text)/2) as int)), '</p></div>',"
         "'<a class=\"next\" href=\"/article/', cast(doc_id as string), '/page2\">next</a>',"
         "'</body></html>')"
     )
     page2_html = (
         "concat('<html lang=\"', lang, '\"><head><title>head</title></head><body>',"
         "'<h1>Serial ', cast(doc_id as string), ' part 2</h1>',"
-        "'<div class=\"article-body\"><p>', substring(text, cast(length(text)/2 as int) + 1), '</p></div>',"
+        "'<div class=\"article-body\"><p>', substring(text, cast(floor(length(text)/2) as int) + 1), '</p></div>',"
         "'</body></html>')"
     )
     page1 = docs.selectExpr(

@@ -144,6 +144,9 @@ def validate_date(date: str | None, tz_name: str = DEFAULT_TZ) -> str | None:
     date = date.strip()
     if not date:
         return None
+    # PHP DateTime treats a trailing offset after 'Z' as noise ('...21Z-09:00'
+    # parses as UTC); dateutil would honour the trailing offset — normalize
+    date = re.sub(r"Z[+-]\d{2}:?\d{2}$", "Z", date)
     try:
         parsed = _dateparser.parse(date, default=datetime(2000, 1, 1, 0, 0, 0))
     except (ValueError, OverflowError, TypeError):
