@@ -1,0 +1,159 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Headline: extraction throughput (docs/sec) over the synthetic CC-style
+pages table amplified from documents.parquet, plus per-operator timings and
+the north_rule scaling-efficiency evidence: the same extraction job at
+local[N] and local[4N] on identical input (sandbox proxy for N vs 4N
+executors; see BASELINE.md).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_AMPLIFY      (default 10 — pages per document row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graby_spark.extract import ExtractOptions
+from graby_spark.job import run_extraction, resolve_multipage
+from graby_spark.operators import dedup, similarity, textstats
+from graby_spark.pages import build_multipage_pages_df, build_pages_df, pages_ruleset
+from graby_spark.session import get_spark
+
+OPTS = ExtractOptions(xss_filter=False)
+
+
+def timed(fn) -> float:
+    start = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - start, 3)
+
+
+def run_extraction_job(
+    spark, sf_dir: str, amplify: int, text_repeat: int = 1
+) -> tuple[float, int]:
+    pages = build_pages_df(spark, sf_dir, repeat=amplify, text_repeat=text_repeat)
+    out = run_extraction(spark, pages, pages_ruleset(), options=OPTS)
+    start = time.perf_counter()
+    n = out.where("is_success").count()
+    return time.perf_counter() - start, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    amplify = int(os.environ.get("BENCH_AMPLIFY", "40"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    queries: dict[str, float] = {}
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # synthetic bench rows are ~1 KB; big Arrow batches amortize transfer
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+
+    # warm up JVM + python workers once (excluded from timings)
+    run_extraction_job(spark, sf_dir, 1)
+
+    # headline: extraction throughput
+    ext_secs, ext_docs = run_extraction_job(spark, sf_dir, amplify)
+    queries["extract_full"] = round(ext_secs, 3)
+    docs_per_sec = round(ext_docs / ext_secs, 1)
+
+    # operator suite
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    mp_pages = build_multipage_pages_df(spark, sf_dir)
+    queries["multipage_stitch"] = timed(
+        lambda: resolve_multipage(
+            run_extraction(spark, mp_pages, pages_ruleset(), options=OPTS)
+        ).count()
+    )
+    queries["dedup_exact"] = timed(lambda: dedup.exact_duplicates(docs).count())
+    queries["dedup_minhash_lsh"] = timed(
+        lambda: dedup.minhash_lsh_pairs(docs, threshold=0.9).count()
+    )
+    queries["dedup_simhash"] = timed(lambda: dedup.simhash(docs).count())
+    queries["ann_topk"] = timed(
+        lambda: similarity.brute_force_topk(emb, emb.where("vec_id < 50"), k=10).count()
+    )
+    queries["ann_topk_lsh"] = timed(
+        lambda: similarity.lsh_topk(emb, emb.where("vec_id < 50"), k=10).count()
+    )
+    queries["text_quality"] = timed(lambda: textstats.quality_score(docs).count())
+    queries["text_langid"] = timed(lambda: textstats.language_id(docs).count())
+    queries["agg_lineitem"] = timed(
+        lambda: li.where("l_shipdate <= '1998-09-02'")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg({"l_quantity": "sum", "l_extendedprice": "sum", "*": "count"})
+        .collect()
+    )
+    spark.stop()
+
+    # scaling: identical input at N vs 4N cores (north_rule evidence).
+    # Each measurement runs in its own process pinned with taskset so the
+    # whole tree (JVM + Python workers) genuinely sees N CPUs — an honest
+    # sandbox proxy for N vs 4N executors.  Production-sized pages (inflated
+    # bodies) make per-document parse cost dominate like a real crawl row.
+    # N defaults to 2 (so 4N=8 stays within the host's real capacity — the
+    # sandbox VM shows 10-16% CPU steal near 32 vCPUs, see BENCH notes).
+    scale_amplify = int(os.environ.get("BENCH_SCALE_AMPLIFY", "4"))
+    scale_text_repeat = int(os.environ.get("BENCH_SCALE_TEXT_REPEAT", "60"))
+    n_small = int(os.environ.get("BENCH_SCALE_SMALL", "2"))
+    n_big = n_small * 4
+    scale: dict[str, float] = {}
+    import subprocess
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_extract_worker.py")
+    for label, n in (("small", n_small), ("big", n_big)):
+        cmd = [
+            "taskset",
+            "-c",
+            f"0-{n - 1}",
+            sys.executable,
+            worker,
+            str(n),
+            sf_dir,
+            str(scale_amplify),
+            str(scale_text_repeat),
+        ]
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__))
+        )
+        line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT"))
+        _, docs_n, secs = line.split()
+        scale[label] = int(docs_n) / float(secs)
+    efficiency = round((scale["big"] / scale["small"]) / (n_big / n_small), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "extraction_throughput",
+                "value": round(ext_secs, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "docs": ext_docs,
+                "docs_per_sec": docs_per_sec,
+                "scaling": {
+                    "cores_small": n_small,
+                    "cores_big": n_big,
+                    "docs_per_sec_small": round(scale["small"], 1),
+                    "docs_per_sec_big": round(scale["big"], 1),
+                    "efficiency": efficiency,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -348,13 +348,21 @@ def _extract_jsonld(dom: Document) -> dict:
     return extracted
 
 
-def _extract_defined_information(html: str, site_config: SiteConfig) -> dict:
-    """OG + JSON-LD over a fresh meta DOM (ContentExtractor.php:1262-1313)."""
+def _extract_defined_information(
+    html: str, site_config: SiteConfig, doc: Document | None = None
+) -> dict:
+    """OG + JSON-LD (ContentExtractor.php:1262-1313).
+
+    The reference builds a second meta-only DOM from the raw string; at the
+    point it runs, the main DOM is still unmutated, so we reuse it when the
+    caller provides it (saves a full parse per document — the second-biggest
+    cost in the hot path)."""
     if html.strip() == "":
         return {}
-    from .dom import parse_html
+    if doc is None:
+        from .dom import parse_html
 
-    doc = parse_html(html)
+        doc = parse_html(html)
     extracted: dict = {}
     og = _extract_og(doc)
     for key in ("title", "image", "language", "date"):
@@ -483,8 +491,8 @@ def process(
     # next page link (D4)
     next_page_url = _find_link_url(site_config.next_page_link, "next_page_link", site_config, dom)
 
-    # OpenGraph / JSON-LD (D5-D6)
-    info = _extract_defined_information(html, site_config)
+    # OpenGraph / JSON-LD (D5-D6) — nothing has mutated `dom` yet, reuse it
+    info = _extract_defined_information(html, site_config, doc=dom)
     title = info.get("title", title)
     image = info.get("image", image)
     language = info.get("language", language)

@@ -183,6 +183,12 @@ def run_extraction(
         pages = pages.withColumn("http_status", F.lit(200))
 
     if repartition:
+        # explicit partition count: AQE's shuffle coalescing would otherwise
+        # merge the (byte-small but CPU-heavy) Python stage down to a handful
+        # of tasks and cap parallelism — coalescing targets bytes, but this
+        # stage's cost is per-row parse CPU, not bytes
+        if partitions is None:
+            partitions = spark.sparkContext.defaultParallelism * 2
         pages = attach_salt(pages, salt=salt, partitions=partitions)
 
     extracted = pages.mapInPandas(_make_extract_batch(ruleset_bc, options), EXTRACT_SCHEMA)

@@ -115,11 +115,23 @@ def _spark_v1_date() -> str:
     return "date_format(date_add(DATE '2020-01-01', cast(doc_id % 365 as int)), \"yyyy-MM-dd'T'00:00:00+00:00\")"
 
 
-def build_pages_df(spark: SparkSession, sf_dir: str, repeat: int = 1) -> DataFrame:
+def build_pages_df(
+    spark: SparkSession, sf_dir: str, repeat: int = 1, text_repeat: int = 1
+) -> DataFrame:
     """documents.parquet → pages(url, warc_ts, html, text, lang, content_type,
     http_status).  ``repeat`` > 1 amplifies the table for benchmarking
-    (each copy gets a distinct url / doc_id, preserving determinism)."""
+    (each copy gets a distinct url / doc_id, preserving determinism);
+    ``text_repeat`` inflates the body to production page sizes (50-500 KB)
+    so per-document parse cost dominates like it does on real crawls."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if text_repeat > 1:
+        docs = docs.selectExpr(
+            "doc_id",
+            f"array_join(array_repeat(text, {text_repeat}), ' ') as text",
+            "lang",
+            "source",
+            "n_chars",
+        )
     if repeat > 1:
         n = docs.selectExpr("max(doc_id) + 1 as n").collect()[0][0]
         docs = docs.selectExpr(
@@ -127,6 +139,10 @@ def build_pages_df(spark: SparkSession, sf_dir: str, repeat: int = 1) -> DataFra
         ).selectExpr(
             f"doc_id + copy * {n} as doc_id", "text", "lang", "source", "n_chars"
         )
+    # the documents parquet is tiny (one read task); spread the rows first so
+    # page synthesis (which amplifies bytes ~50-500x) runs on every core
+    # instead of inside the single scan task
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
     domain = _domain_expr()
     html = _html_expr()
     return docs.selectExpr(

@@ -29,10 +29,24 @@ def get_spark(
         # HTML rows are large (50-500 KB at production scale); keep Arrow
         # batches small enough to bound Python-worker memory (SURVEY.md §4)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # extraction is CPU-heavy per byte: smaller input splits give the
+        # scan/shuffle-write side enough tasks to keep every core busy
+        # (default 128 MB splits starve a 32-core box on a sub-GB table)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle spill on tmpfs when available: the extraction job shuffles the
+    # full html payload once (salted repartition); a ~240 MB/s disk would
+    # serialize an otherwise CPU-parallel pipeline on a many-core box
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        shm_dir = "/dev/shm/spark-graby"
+        os.makedirs(shm_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm_dir)
     return builder.getOrCreate()
 
 

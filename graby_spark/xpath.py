@@ -642,15 +642,134 @@ def _eval_step(step: _Step, nodes: list[Node], root: Node) -> list[Node]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Fast paths for the dominant site-config / graby pattern families.
+# Profiling shows generic evaluation of token-contains predicates
+# (``//*[contains(concat(' ',normalize-space(@class),' '),' x ')]``) is >80%
+# of the extraction hot path; these compile to direct attribute scans.
+# ---------------------------------------------------------------------------
+
+_TOKEN_CONTAINS_RE = re.compile(
+    r"^(?P<rel>\.?)//(?P<tag>\*|[a-zA-Z][\w-]*)\["
+    r"contains\(concat\(' ',\s*normalize-space\(@(?P<a1>[\w-]+)\),\s*' '\),\s*' (?P<t1>[^']+) '\)"
+    r"(?:\s+or\s+contains\(concat\(' ',\s*normalize-space\(@(?P<a2>[\w-]+)\),\s*' '\),\s*' (?P<t2>[^']+) '\))?"
+    r"\]$"
+)
+_ATTR_EQ_RE = re.compile(
+    r"^(?P<rel>\.?)//(?P<tag>\*|[a-zA-Z][\w-]*)\[@(?P<attr>[\w-]+)\s*=\s*(?P<q>['\"])(?P<val>[^'\"]*)(?P=q)\]"
+    r"(?:/@(?P<out>[\w-]+))?$"
+)
+_PLAIN_TAG_RE = re.compile(r"^(?P<rel>\.?)//(?P<tag>[a-zA-Z][\w-]*)$")
+
+
+def _norm_tokens(value: str) -> str:
+    return " " + " ".join(value.split()) + " "
+
+
+def _compile_fast(expr: str):
+    m = _TOKEN_CONTAINS_RE.match(expr)
+    if m:
+        tag = None if m.group("tag") == "*" else m.group("tag")
+        checks = [(m.group("a1"), f" {m.group('t1')} ")]
+        if m.group("a2"):
+            checks.append((m.group("a2"), f" {m.group('t2')} "))
+
+        def eval_token_contains(context: Node, root: Node) -> list[Node]:
+            base = context if m.group("rel") else root
+            if not isinstance(base, Element):
+                return []
+            out = []
+            for el in base.iter(tag):
+                for attr, needle in checks:
+                    value = el.get(attr)
+                    if value is not None and needle in _norm_tokens(value):
+                        out.append(el)
+                        break
+            return out
+
+        return eval_token_contains
+
+    m = _ATTR_EQ_RE.match(expr)
+    if m:
+        tag = None if m.group("tag") == "*" else m.group("tag")
+        attr, val, out_attr = m.group("attr"), m.group("val"), m.group("out")
+
+        def eval_attr_eq(context: Node, root: Node) -> list[Node]:
+            base = context if m.group("rel") else root
+            if not isinstance(base, Element):
+                return []
+            result: list[Node] = []
+            for el in base.iter(tag):
+                if el.get(attr) == val:
+                    if out_attr is None:
+                        result.append(el)
+                    elif el.has_attr(out_attr):
+                        result.append(AttrNode(el, out_attr))
+            return result
+
+        return eval_attr_eq
+
+    m = _PLAIN_TAG_RE.match(expr)
+    if m:
+        tag = m.group("tag")
+
+        def eval_plain(context: Node, root: Node) -> list[Node]:
+            base = context if m.group("rel") else root
+            if not isinstance(base, Element):
+                return []
+            return list(base.iter(tag))
+
+        return eval_plain
+
+    if expr == "//*[contains(@style,'display:none') or contains(@style,'visibility:hidden')]":
+
+        def eval_hidden(context: Node, root: Node) -> list[Node]:
+            if not isinstance(root, Element):
+                return []
+            out = []
+            for el in root.iter():
+                style = el.get("style")
+                if style and ("display:none" in style or "visibility:hidden" in style):
+                    out.append(el)
+            return out
+
+        return eval_hidden
+
+    if expr == "//a[not(./*) and normalize-space(.)='']":
+
+        def eval_empty_a(context: Node, root: Node) -> list[Node]:
+            if not isinstance(root, Element):
+                return []
+            out = []
+            for a in root.iter("a"):
+                if not any(isinstance(c, Element) for c in a.children) and a.text_content.strip() == "":
+                    out.append(a)
+            return out
+
+        return eval_empty_a
+
+    return None
+
+
+@lru_cache(maxsize=4096)
+def _fast_or_ast(expr: str):
+    fast = _compile_fast(expr)
+    if fast is not None:
+        return ("fast", fast)
+    return ("ast", compile_xpath(expr))
+
+
 def evaluate(expr: str, context: Node, root: Node | None = None):
     """Evaluate like PHP ``DOMXPath::evaluate``: node-set list, string, float
     or bool depending on the expression type.  Raises XPathError on
     unsupported syntax (callers treat that as 'bad pattern' and skip, matching
     the reference's ``false === $elems`` branches)."""
-    ast = compile_xpath(expr)
+    kind, impl = _fast_or_ast(expr)
     if root is None:
         root = context.root()
-    return _eval(ast, _Context(context, 1, 1, root))
+    if kind == "fast":
+        return impl(context, root)
+    return _eval(impl, _Context(context, 1, 1, root))
 
 
 def query(expr: str, context: Node, root: Node | None = None) -> list[Node]:
