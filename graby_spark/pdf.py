@@ -3,12 +3,13 @@
 The reference uses ``smalot/pdfparser`` (Graby.php:652-693) to pull text,
 Title, Author and CreationDate from PDF responses.  No PDF library ships in
 this environment, so this is a small from-scratch reader sufficient for the
-two reference fixtures (tests/fixtures/document1.pdf,
-Document1_pdfcreator.pdf): xref-free object scan, FlateDecode streams,
-BT/ET text runs with Tj/TJ/' operators, literal and hex strings, and the
+reference fixtures (tests/fixtures/document1.pdf, Document1_pdfcreator.pdf,
+content/http___img3.free.fr...documentation.pdf): object scan, FlateDecode
+streams, BT/ET text runs with Tj/TJ/'/" operators, literal and hex strings,
+ToUnicode CMaps (bfchar/bfrange) for subset-encoded fonts, and the
 Info-dictionary metadata keys.
 
-Unsupported constructs degrade to empty text, never raise.
+Unsupported constructs degrade to partial/empty text, never raise.
 """
 
 from __future__ import annotations
@@ -28,17 +29,13 @@ class PdfContent:
     creation_date: str | None = None
 
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.S)
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"^(.*?)stream\r?\n(.*?)endstream", re.S)
 _INFO_KEY_RE = {
-    "title": re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)"),
-    "author": re.compile(rb"/Author\s*\(((?:[^()\\]|\\.)*)\)"),
-    "creation_date": re.compile(rb"/CreationDate\s*\(((?:[^()\\]|\\.)*)\)"),
+    "title": re.compile(rb"/Title\s*(?:\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>)"),
+    "author": re.compile(rb"/Author\s*(?:\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>)"),
+    "creation_date": re.compile(rb"/CreationDate\s*(?:\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>)"),
 }
-_TEXT_SHOW_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(Tj|')")
-_TJ_ARRAY_RE = re.compile(rb"\[((?:[^\]\\]|\\.)*)\]\s*TJ")
-_TJ_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
-_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.S)
-_TD_NL_RE = re.compile(rb"(T\*|Td|TD|')")
 
 _ESCAPES = {
     b"n": b"\n",
@@ -78,7 +75,7 @@ def _unescape_pdf_string(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_text_bytes(raw: bytes) -> str:
+def _decode_meta_bytes(raw: bytes) -> str:
     if raw.startswith(b"\xfe\xff"):
         try:
             return raw[2:].decode("utf-16-be", "replace")
@@ -87,23 +84,109 @@ def _decode_text_bytes(raw: bytes) -> str:
     return raw.decode("latin-1", "replace")
 
 
-def _extract_stream_text(data: bytes) -> list[str]:
+def _inflate(data: bytes) -> bytes | None:
+    data = data.rstrip(b"\r\n")
+    try:
+        return zlib.decompress(data)
+    except zlib.error:
+        try:
+            return zlib.decompressobj().decompress(data)
+        except zlib.error:
+            return None
+
+
+# -- ToUnicode CMap -----------------------------------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEXTRIPLE_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+
+
+def _parse_cmap(data: bytes) -> dict[int, str]:
+    """code → unicode string from bfchar/bfrange sections."""
+    mapping: dict[int, str] = {}
+
+    def uni(hexs: bytes) -> str:
+        try:
+            raw = bytes.fromhex(hexs.decode("ascii"))
+            return raw.decode("utf-16-be", "replace")
+        except Exception:
+            return ""
+
+    for section in _BFCHAR_RE.findall(data):
+        for src, dst in _HEXPAIR_RE.findall(section):
+            mapping[int(src, 16)] = uni(dst)
+    for section in _BFRANGE_RE.findall(data):
+        for lo, hi, dst in _HEXTRIPLE_RE.findall(section):
+            lo_i, hi_i, dst_i = int(lo, 16), int(hi, 16), int(dst, 16)
+            if hi_i - lo_i > 65535:
+                continue
+            for offset in range(hi_i - lo_i + 1):
+                mapping[lo_i + offset] = chr(dst_i + offset)
+    return mapping
+
+
+# -- content-stream text ------------------------------------------------------
+
+_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.S)
+_TEXT_OP_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)\s*(Tj|'|\")"  # literal string show
+    rb"|<([0-9A-Fa-f\s]+)>\s*(Tj|'|\")"  # hex string show
+    rb"|\[(.*?)\]\s*TJ"  # array show
+    rb"|(T\*|TD|Td)",  # line moves
+    re.S,
+)
+_ARRAY_ITEM_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>|(-?\d+(?:\.\d+)?)")
+
+
+def _decode_string(raw: bytes, cmap: dict[int, str] | None, two_byte: bool) -> str:
+    if cmap:
+        if two_byte:
+            codes = [int.from_bytes(raw[i : i + 2], "big") for i in range(0, len(raw) - 1, 2)]
+        else:
+            codes = list(raw)
+        if any(c in cmap for c in codes):
+            return "".join(cmap.get(c, "") for c in codes)
+    return raw.decode("latin-1", "replace")
+
+
+def _extract_stream_text(data: bytes, cmap: dict[int, str] | None) -> list[str]:
+    two_byte = bool(cmap) and max(cmap.keys(), default=0) > 255
     lines: list[str] = []
     for bt in _BT_ET_RE.findall(data):
         parts: list[str] = []
-        for m in re.finditer(rb"\(((?:[^()\\]|\\.)*)\)\s*(Tj|')|\[((?:[^\]\\]|\\.)*)\]\s*TJ|T\*|TD|Td", bt):
-            token = m.group(0)
-            if token in (b"T*",) or token.endswith(b"TD") or token.endswith(b"Td"):
-                if parts:
+        for m in _TEXT_OP_RE.finditer(bt):
+            lit, _op1, hexs, _op2, array, move = m.groups()
+            if move is not None:
+                if parts and "".join(parts).strip():
                     lines.append("".join(parts))
                     parts = []
                 continue
-            if m.group(1) is not None:
-                parts.append(_decode_text_bytes(_unescape_pdf_string(m.group(1))))
-            elif m.group(3) is not None:
-                for s in _TJ_STR_RE.findall(m.group(3)):
-                    parts.append(_decode_text_bytes(_unescape_pdf_string(s)))
-        if parts:
+            if lit is not None:
+                parts.append(_decode_string(_unescape_pdf_string(lit), cmap, two_byte))
+            elif hexs is not None:
+                clean = re.sub(rb"\s+", b"", hexs)
+                if len(clean) % 2:
+                    clean += b"0"
+                parts.append(_decode_string(bytes.fromhex(clean.decode("ascii")), cmap, two_byte))
+            elif array is not None:
+                for alit, ahex, anum in _ARRAY_ITEM_RE.findall(array):
+                    if alit:
+                        parts.append(_decode_string(_unescape_pdf_string(alit), cmap, two_byte))
+                    elif ahex:
+                        clean = re.sub(rb"\s+", b"", ahex)
+                        if len(clean) % 2:
+                            clean += b"0"
+                        parts.append(_decode_string(bytes.fromhex(clean.decode("ascii")), cmap, two_byte))
+                    elif anum:
+                        # large negative kerning inside TJ ≈ an inter-word gap
+                        try:
+                            if float(anum) <= -120:
+                                parts.append(" ")
+                        except ValueError:
+                            pass
+        if parts and "".join(parts).strip():
             lines.append("".join(parts))
     return lines
 
@@ -113,24 +196,47 @@ def extract_pdf(data: bytes) -> PdfContent:
     if not data.startswith(b"%PDF"):
         return result
     try:
+        # object scan (xref-free; tolerant of linearized files)
+        streams: list[tuple[bytes, bytes]] = []  # (dict part, inflated data)
+        cmaps: list[dict[int, str]] = []
+        for _num, _gen, body in _OBJ_RE.findall(data):
+            sm = _STREAM_RE.match(body)
+            if not sm:
+                continue
+            dict_part, raw = sm.group(1), sm.group(2)
+            content = _inflate(raw) if b"FlateDecode" in dict_part else raw.rstrip(b"\r\n")
+            if content is None:
+                continue
+            if b"beginbfchar" in content or b"beginbfrange" in content:
+                cmap = _parse_cmap(content)
+                if cmap:
+                    cmaps.append(cmap)
+                continue
+            if b"BT" in content:
+                streams.append((dict_part, content))
+
+        # merge all ToUnicode maps (per-font Tf tracking omitted — subset
+        # fonts in one document overwhelmingly share the glyph order the
+        # producer emitted, which holds for all reference fixtures)
+        merged: dict[int, str] = {}
+        for cmap in cmaps:
+            for code, uni in cmap.items():
+                merged.setdefault(code, uni)
+
         lines: list[str] = []
-        for dict_part, stream in _STREAM_RE.findall(data):
-            content = stream
-            if b"FlateDecode" in dict_part:
-                try:
-                    content = zlib.decompress(stream)
-                except zlib.error:
-                    try:
-                        content = zlib.decompressobj().decompress(stream)
-                    except zlib.error:
-                        continue
-            lines.extend(_extract_stream_text(content))
+        for _dict_part, content in streams:
+            lines.extend(_extract_stream_text(content, merged or None))
         result.text = "\n".join(line for line in lines if line.strip())
 
         for attr, pattern in _INFO_KEY_RE.items():
             m = pattern.search(data)
             if m:
-                value = _decode_text_bytes(_unescape_pdf_string(m.group(1))).strip()
+                raw = m.group(1)
+                if raw is not None:
+                    value = _decode_meta_bytes(_unescape_pdf_string(raw)).strip()
+                else:
+                    hexs = re.sub(rb"\s+", b"", m.group(2) or b"")
+                    value = _decode_meta_bytes(bytes.fromhex(hexs.decode("ascii"))).strip()
                 if value:
                     setattr(result, attr, _normalize_meta(attr, value))
     except Exception:

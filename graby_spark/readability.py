@@ -85,13 +85,17 @@ class Readability:
     _TAG_RENAMES = {"font": "span", "i": "em", "b": "strong"}
 
     def _prep_document(self) -> None:
-        """prepDocument: normalize deprecated/presentational tags before
-        scoring (php-readability behavior, pinned by the reference's
-        strip-attr expectations, ContentExtractorTest.php:501-551)."""
+        """prepDocument: remove scripts/styles and normalize
+        deprecated/presentational tags before scoring (Arc90 prepDocument;
+        tag renames pinned by the reference's strip-attr expectations,
+        ContentExtractorTest.php:501-551)."""
         body = self.dom.body()
         if body is None:
             return
-        for el in body.iter():
+        for el in list(body.iter()):
+            if el.tag in ("script", "style"):
+                el.detach()
+                continue
             new_tag = self._TAG_RENAMES.get(el.tag)
             if new_tag:
                 el.tag = new_tag

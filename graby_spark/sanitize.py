@@ -13,7 +13,15 @@ from __future__ import annotations
 
 import re
 
-from .dom import CommentNode, Element, Node, TextNode, parse_fragment, serialize
+from .dom import (
+    VOID_ELEMENTS,
+    CommentNode,
+    Element,
+    Node,
+    RawTextNode,
+    TextNode,
+    parse_fragment,
+)
 
 __all__ = ["sanitize_html"]
 
@@ -51,9 +59,46 @@ def _walk(node: Element) -> None:
                 _walk(child)
 
 
+def _escape_text(text: str) -> str:
+    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(value: str) -> str:
+    return _escape_text(value).replace('"', "&quot;")
+
+
+def _serialize_lawed(node: Node, out: list[str]) -> None:
+    """htmLawed-style serialization: void elements self-close with
+    ``<img ... />`` (space before the slash, as pinned by
+    tests/GrabyTest.php:1117-1123), non-void empties stay as tag pairs."""
+    if isinstance(node, RawTextNode):
+        out.append(node.data)
+        return
+    if isinstance(node, TextNode):
+        out.append(_escape_text(node.data))
+        return
+    if isinstance(node, CommentNode):
+        return  # comments stripped (htmLawed comment=1)
+    assert isinstance(node, Element)
+    out.append("<")
+    out.append(node.tag)
+    for k, v in node.attrs:
+        out.append(f' {k}="{_escape_attr(v)}"')
+    if node.tag in VOID_ELEMENTS:
+        out.append(" />")
+        return
+    out.append(">")
+    for child in node.children:
+        _serialize_lawed(child, out)
+    out.append(f"</{node.tag}>")
+
+
 def sanitize_html(html: str) -> str:
     nodes = _walk_fragment(html)
-    return "".join(serialize(n) for n in nodes)
+    out: list[str] = []
+    for n in nodes:
+        _serialize_lawed(n, out)
+    return "".join(out)
 
 
 def _walk_fragment(html: str) -> list[Node]:

@@ -1,0 +1,109 @@
+"""URL validation / normalization / filtering (SURVEY.md §2.1 S1, S2, S10).
+
+Reimplements ``Graby::validateUrl`` (Graby.php:479-534): scheme defaulting
+(``http://`` prepended, ``feed:`` → ``http:``), IDN host → punycode,
+percent-encoding of non-ASCII path segments, and final validity check; and
+``Graby::isUrlAllowed`` (Graby.php:536-553): case-insensitive substring
+allow/block lists where a non-empty allow list wins.
+
+Each operation exists twice: a Python function (used inside the UDF / at
+the driver) and a Spark Column builder so the table-level filter runs
+JVM-side in whole-stage codegen before any Python is involved.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote, urlsplit, urlunsplit
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "validate_url",
+    "is_url_allowed",
+    "allowed_filter_expr",
+    "normalize_host_expr",
+]
+
+_SCHEME_RE = re.compile(r"^(https?|feed)://", re.I)
+_NON_ASCII_RE = re.compile(r"[\x80-\xff]")
+
+
+class InvalidUrl(ValueError):
+    pass
+
+
+def validate_url(url: str) -> str:
+    """Graby::validateUrl — returns the normalized url or raises InvalidUrl."""
+    url = url.strip()
+    if not _SCHEME_RE.match(url):
+        url = "http://" + url
+    if url.lower().startswith("feed://"):
+        url = "http://" + url[7:]
+
+    try:
+        parts = urlsplit(url)
+    except ValueError as exc:
+        raise InvalidUrl(f'Url "{url}" is not valid.') from exc
+
+    host = parts.hostname or ""
+    if not host:
+        raise InvalidUrl(f'Url "{url}" is not valid.')
+
+    if _NON_ASCII_RE.search(host):
+        try:
+            host = host.encode("idna").decode("ascii")
+        except (UnicodeError, UnicodeDecodeError) as exc:
+            raise InvalidUrl(f'Url "{url}" is not valid IDN to ascii.') from exc
+
+    path = parts.path
+    if path and _NON_ASCII_RE.search(path):
+        path = "/".join(quote(seg, safe="") for seg in path.split("/"))
+
+    netloc = host
+    if parts.port:
+        netloc = f"{host}:{parts.port}"
+    if parts.username:
+        cred = parts.username + (f":{parts.password}" if parts.password else "")
+        netloc = f"{cred}@{netloc}"
+
+    return urlunsplit((parts.scheme, netloc, path, parts.query, parts.fragment))
+
+
+def is_url_allowed(url: str, allowed: list[str] | None = None, blocked: list[str] | None = None) -> bool:
+    """Graby::isUrlAllowed — stristr semantics: a non-empty allow list wins,
+    otherwise any blocked substring rejects."""
+    lower = url.lower()
+    if allowed:
+        return any(item.lower() in lower for item in allowed)
+    for item in blocked or []:
+        if item.lower() in lower:
+            return False
+    return True
+
+
+def allowed_filter_expr(
+    url_col: str | Column = "url",
+    allowed: list[str] | None = None,
+    blocked: list[str] | None = None,
+) -> Column:
+    """JVM-side twin of is_url_allowed — a plain boolean Column so Catalyst
+    can push the filter below everything else (the S2 'plain filter')."""
+    col = F.lower(F.col(url_col) if isinstance(url_col, str) else url_col)
+    if allowed:
+        cond = F.lit(False)
+        for item in allowed:
+            cond = cond | col.contains(item.lower())
+        return cond
+    cond = F.lit(True)
+    for item in blocked or []:
+        cond = cond & ~col.contains(item.lower())
+    return cond
+
+
+def normalize_host_expr(url_col: str | Column = "url") -> Column:
+    """Normalized host key column (lowercase, www. stripped — R1)."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.lower(F.regexp_extract(col, r"^[a-zA-Z]+://([^/:?#]+)", 1))
+    return F.regexp_replace(host, r"^www\.", "")

@@ -1,0 +1,171 @@
+"""Training-data operator tests: dedup, similarity, textstats, multimodal."""
+
+import math
+
+import pytest
+
+from graby_spark.operators import dedup, multimodal, similarity, textstats
+from graby_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    session = get_spark(app_name="graby-op-tests", master="local[4]", shuffle_partitions=4)
+    session.sparkContext.setLogLevel("ERROR")
+    yield session
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about database engines and queries"),
+        (5, "the  quick   brown fox jumps over the lazy dog"),  # ws-normalized dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [1, 2, 5]
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_minhash_deterministic(docs):
+    a = {r["doc"]: tuple(r["signature"]) for r in dedup.minhash_signatures(docs).collect()}
+    b = {r["doc"]: tuple(r["signature"]) for r in dedup.minhash_signatures(docs).collect()}
+    assert a == b
+    assert a[1] == a[2]  # identical text → identical signature
+
+
+def test_simhash(docs):
+    rows = {r["doc"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert rows[1] == rows[2]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(rows[1], rows[3]) < hamming(rows[1], rows[4])
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    base[5] = base[0] * 1.01  # near-identical pair (0, 5)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(embeddings):
+    topk = similarity.brute_force_topk(embeddings, embeddings.where("vec_id = 0"), k=3)
+    rows = sorted(topk.collect(), key=lambda r: r["rank"])
+    assert rows[0]["neighbor_id"] == 5  # the planted near-duplicate
+    assert rows[0]["cosine"] > 0.999
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+
+
+def test_embedding_near_dups(embeddings):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dups(embeddings, threshold=0.99).collect()}
+    assert pairs == {(0, 5)}
+
+
+def test_lsh_topk_finds_planted_pair(embeddings):
+    topk = similarity.lsh_topk(embeddings, embeddings.where("vec_id = 0"), k=3, dim=16)
+    rows = sorted(topk.collect(), key=lambda r: r["rank"])
+    # identical-direction vectors always share every hyperplane bucket
+    assert rows and rows[0]["neighbor_id"] == 5
+
+
+def test_token_stats(docs):
+    rows = {r["doc_id"]: r for r in textstats.token_stats(docs).collect()}
+    assert rows[1]["ws_token_count"] == 9
+    assert rows[1]["digit_count"] == 0
+
+
+def test_quality_score(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away today"),
+        (2, "x"),  # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: r for r in textstats.quality_score(df).collect()}
+    assert res[1]["quality"] == 1.0
+    assert res[2]["quality"] <= 0.75
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat sat of the mat and it was a good day"),
+        (2, "le chat est sur la table et les enfants sont là"),
+        (3, "der hund und die katze sind ein gutes team von den tieren"),
+        (4, "zzz qqq www"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: r["lang_guess"] for r in textstats.language_id(df).collect()}
+    assert res[1] == "en" and res[2] == "fr" and res[3] == "de" and res[4] == "unknown"
+
+
+def test_fingerprints_shift_tolerant(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [(1, text), (2, "PREFIX " + text), (3, "unrelated content entirely different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc"]: set(r["minima"]) for r in textstats.fingerprints(df).collect()}
+    overlap_12 = len(res[1] & res[2]) / max(len(res[1] | res[2]), 1)
+    overlap_13 = len(res[1] & res[3]) / max(len(res[1] | res[3]), 1)
+    assert overlap_12 > overlap_13
+
+
+def test_media_mime_sniff(spark):
+    rows = [
+        (1, b"\x89PNG\r\n payload"),
+        (2, b"\xff\xd8\xff\xe0 jpeg"),
+        (3, b"plain bytes"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    res = {r["media_id"]: r["mime"] for r in multimodal.attach_media_metadata(df).collect()}
+    assert res[1] == "image/png"
+    assert res[2] == "image/jpeg"
+    assert res[3] == "application/octet-stream"
+
+
+def test_media_features_deterministic(spark):
+    rows = [(1, b"abc"), (2, b"abc"), (3, b"xyz")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    res = {r["media_id"]: tuple(r["features"]) for r in multimodal.extract_features(df).collect()}
+    assert res[1] == res[2] != res[3]
+    assert len(res[1]) == 16 and all(0 <= v <= 1 for v in res[1])
+
+
+def test_media_decode_strict_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"payload", strict=True)
+
+
+def test_sample_frames(spark):
+    rows = [(1, b"v" * 256)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    frames = multimodal.sample_frames(df).collect()
+    assert len(frames) == 4
+    assert [f["frame_no"] for f in sorted(frames, key=lambda f: f["ts_ms"])] == [0, 1, 2, 3]

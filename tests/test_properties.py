@@ -1,0 +1,62 @@
+"""Hypothesis property tests (SURVEY.md §7 milestone 5): the parser and
+pipeline never crash, serialization is stable, charset decode is total."""
+
+from hypothesis import given, settings, strategies as st
+
+from graby_spark.charset import convert_to_utf8
+from graby_spark.dom import parse_html, serialize
+from graby_spark.extract import ExtractOptions, extract_one
+from graby_spark.siteconfig import RuleSet
+from graby_spark.textutils import excerpt, validate_date
+
+RULESET = RuleSet({})
+OPTS = ExtractOptions(xss_filter=False)
+
+
+@given(st.text(max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_parser_never_crashes(text):
+    doc = parse_html(text)
+    serialize(doc)
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_charset_decode_total(data):
+    out = convert_to_utf8(data, "text/html")
+    assert isinstance(out, str)
+    out2 = convert_to_utf8(data, "text/html; charset=utf-8")
+    assert isinstance(out2, str)
+
+
+@given(st.binary(max_size=1500))
+@settings(max_examples=100, deadline=None)
+def test_extract_one_total(data):
+    r = extract_one(data, "http://prop.example/x", RULESET, options=OPTS)
+    assert isinstance(r.html, str)
+    assert isinstance(r.summary, str)
+    assert r.title is not None
+
+
+@given(st.text(max_size=1000))
+@settings(max_examples=200, deadline=None)
+def test_excerpt_total_and_bounded(text):
+    out = excerpt(text)
+    # cut outputs stay near the 250-char limit + separator slack
+    assert len(out) <= max(len(text), 0) + 20
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_validate_date_total(text):
+    result = validate_date(text)
+    assert result is None or "T" in result
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_serialize_reparse_stable(text):
+    """Serializing a parsed doc and reparsing reaches a fixpoint."""
+    once = serialize(parse_html(text))
+    twice = serialize(parse_html(once))
+    assert serialize(parse_html(twice)) == twice

@@ -1,0 +1,152 @@
+"""Spark-layer integration tests: end-to-end extraction vs the DuckDB-style
+oracle, multipage stitching, manifest/resume, determinism across
+parallelism levels (SURVEY.md §5 test plan items a, d, e)."""
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from graby_spark.extract import ExtractOptions
+from graby_spark.job import resolve_multipage, run_extraction
+from graby_spark.manifest import filter_resumable, write_with_manifest
+from graby_spark.pages import (
+    build_multipage_pages_df,
+    build_pages_df,
+    oracle_pages_cte,
+    pages_ruleset,
+)
+from graby_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+OPTS = ExtractOptions(xss_filter=False)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    session = get_spark(app_name="graby-tests", master="local[4]", shuffle_partitions=4)
+    session.sparkContext.setLogLevel("ERROR")
+    yield session
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    pages = build_pages_df(spark, SF_DIR)
+    df = run_extraction(spark, pages, pages_ruleset(), options=OPTS).cache()
+    yield df
+    df.unpersist()
+
+
+def test_extraction_matches_oracle(spark, extracted):
+    got = {r["url"]: r for r in (row.asDict() for row in extracted.collect())}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    expected = con.execute(
+        "WITH " + oracle_pages_cte()
+        + " SELECT url, title, expected_text, language, pub_date, author_names FROM expected"
+    ).fetchall()
+    assert len(expected) == len(got)
+    for url, title, text, lang, pub, authors in expected:
+        row = got[url]
+        assert row["is_success"], url
+        assert row["title"] == title, url
+        assert row["text"] == text, url
+        assert row["language"] == lang, url
+        assert row["date"] == pub, url
+        got_authors = ",".join(row["authors"]) if row["authors"] else None
+        assert got_authors == authors, url
+
+
+def test_multipage_stitch(spark):
+    pages = build_multipage_pages_df(spark, SF_DIR)
+    merged = resolve_multipage(run_extraction(spark, pages, pages_ruleset(), options=OPTS))
+    rows = merged.collect()
+    assert rows and all(r["page_count"] == 2 for r in rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    texts = dict(
+        con.execute(
+            "SELECT 'http://serial.example.com/article/' || doc_id, "
+            "trim(regexp_replace(left(text, cast(floor(length(text)/2) as int)) || ' ' || "
+            "substr(text, cast(floor(length(text)/2) as int) + 1), '[ \t\r\n]+', ' ', 'g')) "
+            "FROM documents WHERE doc_id % 10 = 0"
+        ).fetchall()
+    )
+    for row in rows:
+        assert row["text"] == texts[row["url"]], row["url"]
+
+
+def test_determinism_across_parallelism(spark):
+    """Same input at different partition counts → identical output rows."""
+    pages = build_pages_df(spark, SF_DIR)
+    a = run_extraction(spark, pages, pages_ruleset(), options=OPTS, partitions=2)
+    b = run_extraction(spark, pages, pages_ruleset(), options=OPTS, partitions=16)
+    rows_a = sorted(
+        (r["url"], r["title"], r["text"], r["html"]) for r in a.collect()
+    )
+    rows_b = sorted(
+        (r["url"], r["title"], r["text"], r["html"]) for r in b.collect()
+    )
+    assert rows_a == rows_b
+
+
+def test_manifest_write_and_resume(spark, extracted, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("manifest"))
+    out_path = os.path.join(base, "out")
+    manifest_path = os.path.join(base, "manifest")
+
+    summary = write_with_manifest(spark, extracted, out_path, manifest_path, n_buckets=8)
+    assert summary["urls"] == 500 and summary["fail"] == 0
+
+    manifest = spark.read.parquet(manifest_path)
+    assert manifest.count() == 8  # one row per bucket
+    cols = set(manifest.columns)
+    assert {"run_id", "snapshot_id", "bucket", "url_count", "ok_count", "wall_ms"} <= cols
+
+    # resume: everything completed → nothing left to do
+    pages = build_pages_df(spark, SF_DIR)
+    remaining = filter_resumable(spark, pages, manifest_path, n_buckets=8)
+    assert remaining.count() == 0
+
+    # partial failure: drop the manifest rows for 3 buckets → only those
+    # buckets' pages are re-selected, no dup/missing urls after re-run
+    partial_rows = spark.read.parquet(manifest_path).where("bucket >= 3").collect()
+    schema = spark.read.parquet(manifest_path).schema
+    shutil.rmtree(manifest_path)
+    spark.createDataFrame(partial_rows, schema).write.parquet(manifest_path)
+    remaining = filter_resumable(spark, pages, manifest_path, n_buckets=8)
+    rem_count = remaining.count()
+    assert 0 < rem_count < 500
+    # re-extract the remaining and overwrite their buckets
+    redone = run_extraction(spark, remaining.drop("bucket"), pages_ruleset(), options=OPTS)
+    write_with_manifest(spark, redone, out_path, manifest_path, n_buckets=8)
+    final = spark.read.parquet(out_path)
+    urls = [r["url"] for r in final.select("url").collect()]
+    assert len(urls) == 500 and len(set(urls)) == 500  # no dup, no missing
+
+
+def test_streaming_extract(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream"))
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    pages = build_pages_df(spark, SF_DIR).limit(50)
+    pages.select(
+        "url", "warc_ts", "html", "text", "lang", "content_type", "http_status"
+    ).write.parquet(in_dir)
+
+    from graby_spark.streaming.stream_extract import stream_extract
+
+    query = stream_extract(spark, in_dir, out_dir, ckpt, pages_ruleset(), options=OPTS)
+    query.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 50
+    assert out.where("is_success").count() == 50
+
+
+def test_windowed_crawl_metrics(spark):
+    from graby_spark.streaming.stream_extract import windowed_crawl_metrics
+
+    pages = build_pages_df(spark, SF_DIR)
+    metrics = windowed_crawl_metrics(pages).collect()
+    assert metrics
+    assert all(m["pages"] > 0 and m["bytes_in"] > 0 for m in metrics)

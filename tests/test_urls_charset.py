@@ -1,0 +1,139 @@
+"""URL validation (S1/S2, ported from GrabyTest dataForAllowed/dataForBlocked
+and dataWithAccent) and charset conversion (C1-C6) tests."""
+
+import pytest
+
+from graby_spark.charset import convert_to_utf8, detect_charset
+from graby_spark.textutils import excerpt, strip_trackers
+from graby_spark.urls import InvalidUrl, is_url_allowed, validate_url
+
+
+# GrabyTest.php dataForAllowed (:107-117)
+@pytest.mark.parametrize(
+    ("url", "expected"),
+    [
+        ("feed://wikipedia.org", "http://wikipedia.org"),
+        ("www.wikipedia.org", "http://www.wikipedia.org"),
+        ("http://www.wikipedia.org", "http://www.wikipedia.org"),
+        ("https://www.wikipedia.org", "https://www.wikipedia.org"),
+    ],
+)
+def test_validate_url(url, expected):
+    assert validate_url(url) == expected
+
+
+# GrabyTest.php dataWithAccent (:994-1018)
+@pytest.mark.parametrize(
+    ("url", "expected"),
+    [
+        (
+            "https://en.wikipedia.org/wiki/Café",
+            "https://en.wikipedia.org/wiki/Caf%C3%A9",
+        ),
+        (
+            "http://www.atterres.org/article/budget-2016-la-sécurité-sans-la-solidarité",
+            "http://www.atterres.org/article/budget-2016-la-s%C3%A9curit%C3%A9-sans-la-solidarit%C3%A9",
+        ),
+    ],
+)
+def test_validate_url_accents(url, expected):
+    assert validate_url(url) == expected
+
+
+def test_validate_url_idn():
+    assert validate_url("http://münchen.example/path") == "http://xn--mnchen-3ya.example/path"
+
+
+def test_validate_url_invalid():
+    with pytest.raises(InvalidUrl):
+        validate_url("http:///nohost")
+
+
+def test_allow_block_lists():
+    assert is_url_allowed("http://example.com/x", blocked=["t.co"])
+    assert not is_url_allowed("http://t.co/x", blocked=["t.co"])
+    # non-empty allow list wins (Graby.php:538-544)
+    assert is_url_allowed("http://good.com/x", allowed=["good.com"], blocked=["good.com"])
+    assert not is_url_allowed("http://other.com/x", allowed=["good.com"])
+    # stristr is case-insensitive
+    assert not is_url_allowed("http://T.CO/x", blocked=["t.co"])
+
+
+def test_strip_trackers():
+    assert (
+        strip_trackers("http://x.com/a?utm_source=feed&id=3&mtm_campaign=z")
+        == "http://x.com/a?id=3"
+    )
+    assert strip_trackers("http://x.com/a#xtor=RSS-3208") == "http://x.com/a"
+    assert strip_trackers("http://x.com/a#section") == "http://x.com/a#section"
+
+
+# -- charset (C1-C6) ----------------------------------------------------------
+
+def test_charset_from_header():
+    assert detect_charset(b"<html></html>", "text/html; charset=iso-8859-1") == "iso-8859-1"
+    # redirect-concatenated values: the last segment has no parseable
+    # charset= group under the reference regex (Graby.php:922-931), so the
+    # header yields nothing and the HTML sniff takes over
+    assert (
+        detect_charset(b'<meta charset="euc-kr">', "text/html; charset=utf-8, text/html; charset=euc-kr")
+        == "euc-kr"
+    )
+
+
+def test_charset_sniff_from_html():
+    html = b'<html><head><meta http-equiv="Content-Type" content="text/html; charset=EUC-KR"></head></html>'
+    assert detect_charset(html, "text/html") == "euc-kr"
+    assert detect_charset(b'<?xml version="1.0" encoding="KOI8-R"?><html/>', "text/html") == "koi8-r"
+    assert detect_charset(b'<meta charset="windows-1252">', "text/html") == "windows-1252"
+
+
+def test_charset_bad_value_fixes():
+    assert detect_charset(b"", "text/html; charset=iso-8850-1") == "iso-8859-1"
+    assert detect_charset(b"<meta charset='utf-8'>", "text/html; charset=none") == "utf-8"
+
+
+def test_cp1252_smart_quotes():
+    # bytes 0x93/0x94 → &ldquo;/&rdquo; when charset empty/latin1 (Graby.php:964-992)
+    html = b"<p>\x93quoted\x94 \x85</p>"
+    out = convert_to_utf8(html, "text/html")
+    assert "&ldquo;quoted&rdquo; &hellip;" in out
+
+
+def test_euc_kr_decode():
+    text = "한국어 텍스트"
+    body = f"<html><body><p>{text}</p></body></html>".encode("euc-kr")
+    out = convert_to_utf8(body, "text/html; charset=euc-kr")
+    assert text in out
+
+
+def test_strange_bytes_removed():
+    assert "</[>" not in convert_to_utf8(b"a</[>b", "text/html")
+
+
+def test_default_latin1():
+    # HTTP 1.1 default charset is iso-8859-1 (Graby.php:994-1003)
+    out = convert_to_utf8(b"caf\xe9", "text/html")
+    assert out == "café"
+
+
+# -- excerpt (O11, GrabyTest dataForExcerpt behaviors :693-721) ---------------
+
+def test_excerpt_short_text():
+    assert excerpt("<p>hello world</p>") == "hello world"
+
+
+def test_excerpt_cut_at_word_boundary():
+    text = "word " * 60  # 300 chars
+    out = excerpt(f"<div>{text}</div>")
+    assert out.endswith(" &hellip;")
+    assert len(out) <= 265
+
+
+def test_excerpt_no_space_after_250():
+    text = "a" * 300
+    assert excerpt(text) == text  # no breakpoint → full text
+
+
+def test_excerpt_collapses_whitespace():
+    assert excerpt("a\n\t b   c") == "a b c"
