@@ -21,11 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graby_spark.extract import ExtractOptions
-from graby_spark.job import run_extraction, resolve_multipage
+from graby_spark.job import run_extraction, resolve_multipage, resolve_single_page
 from graby_spark.operators import dedup, similarity, textstats, multimodal
 from graby_spark.pages import (
     build_multipage_pages_df,
     build_pages_df,
+    build_singlepage_pages_df,
     oracle_excerpt_sql,
     oracle_pages_cte,
     pages_ruleset,
@@ -109,6 +110,17 @@ def q_multipage_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title",
         F.col("text").alias("stitched_text"),
         "page_count",
+    )
+
+
+def q_singlepage_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: teaser pages replaced by their print-view extraction via the
+    equi self-join; only the original (non-print) urls are reported."""
+    pages = build_singlepage_pages_df(spark, sf_dir)
+    extracted = run_extraction(spark, pages, pages_ruleset(), options=_OPTS)
+    final = resolve_single_page(spark, pages, extracted, pages_ruleset(), options=_OPTS)
+    return final.where(~F.col("url").endswith("/print")).select(
+        "url", "title", F.col("text").alias("full_text")
     )
 
 
@@ -259,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics_by_domain": q_extract_metrics_by_domain,
         "mime_route": q_mime_route,
         "multipage_stitch": q_multipage_stitch,
+        "singlepage_replace": q_singlepage_replace,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -337,6 +350,12 @@ SELECT 'http://serial.example.com/article/' || doc_id AS url,
            '[ \t\r\n]+', ' ', 'g')) AS stitched_text,
        2 AS page_count
 FROM documents WHERE doc_id % 10 = 0
+""",
+        "singlepage_replace": """
+SELECT 'http://printable.example.com/article/' || doc_id AS url,
+       'Printable ' || doc_id AS title,
+       trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS full_text
+FROM documents WHERE doc_id % 10 = 5
 """,
         "dedup_exact": """
 WITH dup_corpus AS (SELECT doc_id, text FROM documents

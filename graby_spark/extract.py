@@ -100,6 +100,7 @@ class ExtractedContent:
     is_native_ad: bool = False
     is_success: bool = False
     next_page_url: str | None = None
+    single_page_url: str | None = None
     html: str = ""
     text: str = ""
     summary: str = ""
@@ -491,6 +492,12 @@ def process(
     # next page link (D4)
     next_page_url = _find_link_url(site_config.next_page_link, "next_page_link", site_config, dom)
 
+    # single page ("print view") link (G1, Graby.php:712-761) — detection
+    # only; the job-level self-join fetches/replaces (resolve_single_page)
+    single_page_url = _find_link_url(
+        site_config.single_page_link, "single_page_link", site_config, dom
+    )
+
     # OpenGraph / JSON-LD (D5-D6) — nothing has mutated `dom` yet, reuse it
     info = _extract_defined_information(html, site_config, doc=dom)
     title = info.get("title", title)
@@ -725,6 +732,7 @@ def process(
     result.is_native_ad = native_ad
     result.is_success = success
     result.next_page_url = next_page_url
+    result.single_page_url = single_page_url
     result.content = body
     result.readability = readability
     return result

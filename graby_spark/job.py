@@ -41,7 +41,7 @@ from pyspark.sql.types import (
 from .extract import ExtractOptions, extract_one
 from .siteconfig import RuleSet
 
-__all__ = ["EXTRACT_SCHEMA", "run_extraction", "resolve_multipage", "attach_salt"]
+__all__ = ["EXTRACT_SCHEMA", "run_extraction", "resolve_multipage", "resolve_single_page", "attach_salt"]
 
 EXTRACT_SCHEMA = StructType(
     [
@@ -56,6 +56,7 @@ EXTRACT_SCHEMA = StructType(
         StructField("is_native_ad", BooleanType()),
         StructField("is_success", BooleanType()),
         StructField("next_page_url", StringType()),
+        StructField("single_page_url", StringType()),
         StructField("html", StringType()),
         StructField("text", StringType()),
         StructField("summary", StringType()),
@@ -125,6 +126,7 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions):
                         "is_native_ad": res.is_native_ad,
                         "is_success": res.is_success,
                         "next_page_url": res.next_page_url,
+                        "single_page_url": res.single_page_url,
                         "html": res.html,
                         "text": res.text,
                         "summary": res.summary,
@@ -144,6 +146,7 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions):
                         "is_native_ad": False,
                         "is_success": False,
                         "next_page_url": None,
+                        "single_page_url": None,
                         "html": options.error_message,
                         "text": "",
                         "summary": "",
@@ -193,6 +196,72 @@ def run_extraction(
 
     extracted = pages.mapInPandas(_make_extract_batch(ruleset_bc, options), EXTRACT_SCHEMA)
     return extracted
+
+
+def resolve_single_page(
+    spark: SparkSession,
+    pages: DataFrame,
+    extracted: DataFrame,
+    ruleset: RuleSet,
+    options: ExtractOptions | None = None,
+) -> DataFrame:
+    """Single-page ("print view") replacement as an equi self-join (G1,
+    Graby.php:336-351, 712-793).
+
+    Rows whose extraction found a ``single_page_url`` that exists in the
+    pages table are REPLACED by the extraction of that target page (keeping
+    the original url as the row key, like the reference keeps the original
+    request while swapping the document).  The matched subset is tiny, so
+    the re-extraction pass is cheap; the join resolves relative links
+    JVM-side first.
+    """
+    options = options or ExtractOptions()
+
+    resolved = F.when(
+        F.col("single_page_url").rlike("^https?://"), F.col("single_page_url")
+    ).otherwise(
+        F.concat(
+            F.regexp_extract(F.col("url"), r"^([a-z]+://[^/]+)", 1),
+            F.col("single_page_url"),
+        )
+    )
+    with_target = extracted.withColumn(
+        "single_abs",
+        F.when(F.col("single_page_url").isNull(), F.lit(None)).otherwise(resolved),
+    )
+    # it must not be the page itself (Graby.php:773)
+    candidates = with_target.where(
+        F.col("single_abs").isNotNull() & (F.col("single_abs") != F.col("url"))
+    ).select(F.col("url").alias("orig_url"), "single_abs")
+
+    target_pages = candidates.join(
+        pages.select(
+            F.col("url").alias("single_abs"),
+            "warc_ts",
+            "html",
+            "text",
+            "lang",
+            *(c for c in ("content_type", "http_status") if c in pages.columns),
+        ),
+        "single_abs",
+        "inner",
+    )
+    # re-extract the print-view pages under the ORIGINAL url identity
+    reextract_input = target_pages.select(
+        F.col("orig_url").alias("url"),
+        "warc_ts",
+        "html",
+        "text",
+        "lang",
+        *(c for c in ("content_type", "http_status") if c in target_pages.columns),
+    )
+    replacements = run_extraction(
+        spark, reextract_input, ruleset, options=options, repartition=False
+    )
+    kept = extracted.join(
+        replacements.select(F.col("url").alias("u2")), extracted.url == F.col("u2"), "left_anti"
+    )
+    return kept.unionByName(replacements)
 
 
 def resolve_multipage(extracted: DataFrame, max_hops: int = 8) -> DataFrame:

@@ -48,6 +48,12 @@ PAGES_SITE_CONFIGS = {
         "next_page_link: //a[@class='next']",
         "prune: no",
     ],
+    "printable.example.com": [
+        "title: //h1",
+        "body: //div[@class='article-body']",
+        "single_page_link: //a[@class='print']",
+        "prune: no",
+    ],
 }
 
 def pages_ruleset():
@@ -199,6 +205,41 @@ def build_multipage_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return page1.unionByName(page2)
+
+
+def build_singlepage_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Teaser + print-view page pairs on printable.example.com for every
+    10th doc (doc_id % 10 = 5): the article page holds only the first 40
+    chars plus a 'print view' link; the print page holds the full text
+    (G1 replacement-join fixture, singlepage*.com.txt semantics)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 10 = 5")
+    base = "concat('http://printable.example.com/article/', cast(doc_id as string))"
+    teaser_html = (
+        "concat('<html lang=\"', lang, '\"><head><title>head</title></head><body>',"
+        "'<h1>Printable ', cast(doc_id as string), '</h1>',"
+        "'<div class=\"article-body\"><p>', left(text, 40), '</p></div>',"
+        "'<a class=\"print\" href=\"/article/', cast(doc_id as string), '/print\">print view</a>',"
+        "'</body></html>')"
+    )
+    print_html = (
+        "concat('<html lang=\"', lang, '\"><head><title>head</title></head><body>',"
+        "'<h1>Printable ', cast(doc_id as string), '</h1>',"
+        "'<div class=\"article-body\"><p>', text, '</p></div>',"
+        "'</body></html>')"
+    )
+    common = [
+        "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id) as warc_ts",
+        "text",
+        "lang",
+        "'text/html; charset=utf-8' as content_type",
+        "200 as http_status",
+        "doc_id",
+    ]
+    teaser = docs.selectExpr(f"{base} as url", f"encode({teaser_html}, 'UTF-8') as html", *common)
+    printv = docs.selectExpr(
+        f"concat({base}, '/print') as url", f"encode({print_html}, 'UTF-8') as html", *common
+    )
+    return teaser.unionByName(printv)
 
 
 # ---------------------------------------------------------------------------
