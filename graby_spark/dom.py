@@ -267,28 +267,40 @@ class Element(Node):
         return "".join(parts)
 
     def clone(self) -> "Element":
+        # iterative deep copy — immune to pathological nesting depth
         new = Element(self.tag, list(self.attrs))
-        for child in self.children:
-            c = child.clone()
-            c.parent = new
-            new.children.append(c)
+        stack: list[tuple[Element, Element]] = [(self, new)]
+        while stack:
+            src, dst = stack.pop()
+            for child in src.children:
+                if isinstance(child, Element):
+                    c = Element(child.tag, list(child.attrs))
+                    stack.append((child, c))
+                else:
+                    c = child.clone()
+                c.parent = dst
+                dst.children.append(c)
         return new
 
     def normalize(self) -> None:
-        """Merge adjacent text nodes, drop empty ones (DOM ``normalize()``)."""
-        merged: list[Node] = []
-        for child in self.children:
-            if isinstance(child, TextNode):
-                if child.data == "":
-                    continue
-                if merged and isinstance(merged[-1], TextNode):
-                    merged[-1].data += child.data
-                    continue
-            merged.append(child)
-        self.children = merged
-        for child in self.children:
-            if isinstance(child, Element):
-                child.normalize()
+        """Merge adjacent text nodes, drop empty ones (DOM ``normalize()``);
+        iterative to survive pathological depth."""
+        stack: list[Element] = [self]
+        while stack:
+            el = stack.pop()
+            merged: list[Node] = []
+            for child in el.children:
+                if isinstance(child, TextNode):
+                    if child.data == "":
+                        continue
+                    if merged and isinstance(merged[-1], TextNode) and type(merged[-1]) is type(child):
+                        merged[-1].data += child.data
+                        continue
+                merged.append(child)
+            el.children = merged
+            for child in el.children:
+                if isinstance(child, Element):
+                    stack.append(child)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"<Element {self.tag} attrs={self.attrs!r} children={len(self.children)}>"
@@ -532,41 +544,43 @@ def _escape_attr(value: str) -> str:
 # text nodes after parse); match that.
 
 def serialize(node: Node) -> str:
-    """Outer serialization of a node, saveXML-style."""
+    """Outer serialization of a node, saveXML-style (iterative — immune to
+    pathological nesting depth)."""
     out: list[str] = []
     _serialize_into(node, out)
     return "".join(out)
 
 
 def _serialize_into(node: Node, out: list[str]) -> None:
-    if isinstance(node, RawTextNode):
-        out.append(node.data)
-        return
-    if isinstance(node, TextNode):
-        out.append(_escape_text(node.data))
-        return
-    if isinstance(node, CommentNode):
-        out.append(f"<!--{node.data}-->")
-        return
-    if isinstance(node, AttrNode):
-        out.append(node.value)
-        return
-    assert isinstance(node, Element)
-    if node.tag == "#document":
-        for child in node.children:
-            _serialize_into(child, out)
-        return
-    out.append("<")
-    out.append(node.tag)
-    for k, v in node.attrs:
-        out.append(f' {k}="{_escape_attr(v)}"')
-    if not node.children:
-        out.append("/>")
-        return
-    out.append(">")
-    for child in node.children:
-        _serialize_into(child, out)
-    out.append(f"</{node.tag}>")
+    # explicit stack of (node | closing-string) — no recursion
+    stack: list[object] = [node]
+    while stack:
+        item = stack.pop()
+        if isinstance(item, str):
+            out.append(item)
+            continue
+        if isinstance(item, RawTextNode):
+            out.append(item.data)
+        elif isinstance(item, TextNode):
+            out.append(_escape_text(item.data))
+        elif isinstance(item, CommentNode):
+            out.append(f"<!--{item.data}-->")
+        elif isinstance(item, AttrNode):
+            out.append(item.value)
+        elif isinstance(item, Element):
+            if item.tag == "#document":
+                stack.extend(reversed(item.children))
+                continue
+            out.append("<")
+            out.append(item.tag)
+            for k, v in item.attrs:
+                out.append(f' {k}="{_escape_attr(v)}"')
+            if not item.children:
+                out.append("/>")
+                continue
+            out.append(">")
+            stack.append(f"</{item.tag}>")
+            stack.extend(reversed(item.children))
 
 
 def inner_html(node: Element) -> str:

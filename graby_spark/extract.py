@@ -878,7 +878,9 @@ def cleanup_html(
     if options.rewrite_relative_urls:
         _make_absolute(url, content)  # O2
 
-    # O3 footnotes omitted for content_links=preserve default; 'remove' is O4
+    # O3 footnotes (skipped for wikipedia, Graby.php:226-228)
+    if options.content_links == "footnotes" and "wikipedia.org" not in host_of_url(url):
+        readability.add_footnotes(content)
 
     content.normalize()
     for child in list(content.children):  # O5

@@ -79,15 +79,27 @@ def write_with_manifest(
     snapshot_id = int(time.time() * 1000)
     started = time.time()
 
-    with_bucket = extracted.withColumn("bucket", bucket_of(F.col("url"), n_buckets))
+    with_bucket = extracted.withColumn("bucket", bucket_of(F.col("url"), n_buckets)).cache()
+    if with_bucket.isEmpty():
+        # fully resumed: nothing to write, nothing to record
+        with_bucket.unpersist()
+        return {
+            "run_id": run_id,
+            "snapshot_id": snapshot_id,
+            "urls": 0,
+            "ok": 0,
+            "fail": 0,
+            "wall_ms": 0,
+        }
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     with_bucket.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
 
     wall_ms = int((time.time() - started) * 1000)
+    # lineage rows for THIS run's buckets only (never re-read the whole
+    # output dir — prior runs' buckets are already recorded)
     stats = (
-        spark.read.parquet(output_path)
-        .groupBy("bucket")
+        with_bucket.groupBy("bucket")
         .agg(
             F.count("*").alias("url_count"),
             F.sum(F.col("is_success").cast("int")).alias("ok_count"),
@@ -110,12 +122,14 @@ def write_with_manifest(
             "completed_at",
         )
     )
+    stats = stats.cache()
     stats.write.mode("append").parquet(manifest_path)
     agg = stats.agg(
         F.sum("url_count").alias("urls"),
         F.sum("ok_count").alias("ok"),
         F.sum("fail_count").alias("fail"),
     ).collect()[0]
+    with_bucket.unpersist()
     return {
         "run_id": run_id,
         "snapshot_id": snapshot_id,

@@ -373,3 +373,62 @@ class Readability:
         """Public ``clean`` used by Graby::cleanupHtml for <select>
         (Graby.php:219)."""
         self._clean(el, tag)
+
+    _SKIP_FOOTNOTE_RE = re.compile(
+        r"^\s*(\[?[a-z0-9]{1,2}\]?|continue|more|read|skip)\s*$", re.I
+    )
+
+    def add_footnotes(self, content: Element) -> None:
+        """content_links=footnotes (O3, Graby.php:226-228): every in-content
+        link gets a numbered superscript reference and an entry in an
+        appended references list — the public php-readability addFootnotes
+        behavior."""
+        from urllib.parse import urlsplit
+
+        footnote_list = Element("ol")
+        footnote_list.set_attr("id", "readability-footnotes-list")
+        count = 0
+        for link in list(content.iter("a")):
+            if "readability-DoNotFootnote" in (link.get("class") or ""):
+                continue
+            text = link.text_content.strip()
+            if self._SKIP_FOOTNOTE_RE.match(text or ""):
+                continue
+            href = link.get("href") or ""
+            if not href or href.startswith("#"):
+                continue
+            count += 1
+            link.set_attr("id", f"readabilityLink-{count}")
+            ref = Element("a")
+            ref.set_attr("href", f"#readabilityFootnoteLink-{count}")
+            ref.set_attr("class", "readability-DoNotFootnote")
+            small = Element("small")
+            sup = Element("sup")
+            sup.append(TextNode(f"[{count}]"))
+            small.append(sup)
+            ref.append(small)
+            parent = link.parent
+            if parent is not None:
+                pos = parent.children.index(link)
+                parent.insert(pos + 1, ref)
+            li = Element("li")
+            foot_link = Element("a")
+            foot_link.set_attr("id", f"readabilityFootnoteLink-{count}")
+            foot_link.set_attr("href", href)
+            try:
+                domain = urlsplit(href).hostname or ""
+            except ValueError:
+                domain = ""
+            foot_link.append(TextNode(text or href))
+            li.append(foot_link)
+            if domain:
+                li.append(TextNode(f" ({domain})"))
+            footnote_list.append(li)
+        if count:
+            wrapper = Element("div")
+            wrapper.set_attr("id", "readability-footnotes")
+            h3 = Element("h3")
+            h3.append(TextNode("References"))
+            wrapper.append(h3)
+            wrapper.append(footnote_list)
+            content.append(wrapper)

@@ -151,3 +151,29 @@ def test_malformed_utf8_textplain():
 
     assert json.dumps(r.html)
     assert r.html.startswith("<pre>")
+
+
+def test_footnotes_mode():
+    """content_links=footnotes (O3): links gain numbered references and an
+    appended references list; wikipedia is skipped (Graby.php:226-228)."""
+    body = b'<html><body><div itemprop="articleBody"><p>Read <a href="http://ext.example/ref">the source</a> for all of the details about this topic.</p></div></body></html>'
+    from graby_spark.extract import extract_one
+
+    r = extract_one(body, "http://a.com/x", NO_CONFIGS,
+                    options=ExtractOptions(xss_filter=False, content_links="footnotes"))
+    assert '<sup>[1]</sup>' in r.html
+    assert 'id="readability-footnotes"' in r.html
+    assert 'href="#readabilityFootnoteLink-1"' in r.html
+
+    r2 = extract_one(body, "http://en.wikipedia.org/x", NO_CONFIGS,
+                     options=ExtractOptions(xss_filter=False, content_links="footnotes"))
+    assert "readability-footnotes" not in r2.html
+
+
+def test_content_links_remove_mode():
+    body = b'<html><body><div itemprop="articleBody"><p>Read <a href="http://e/r">the source</a> for all the details about this topic today.</p></div></body></html>'
+    from graby_spark.extract import extract_one
+
+    r = extract_one(body, "http://a.com/x", NO_CONFIGS,
+                    options=ExtractOptions(xss_filter=False, content_links="remove"))
+    assert "<a " not in r.html and "the source" in r.html
