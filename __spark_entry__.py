@@ -84,6 +84,16 @@ def q_extract_metrics_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_then_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: extraction output piped into the quality-score operator
+    (the shape of a real training-data pipeline stage chain)."""
+    out = _extracted(spark, sf_dir).select(
+        F.regexp_extract("url", r"/article/(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("text"),
+    )
+    return textstats.quality_score(out).select("doc_id", "n_tokens", "quality")
+
+
 def q_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M6 routing: image/zip/text-plain payloads bypass the DOM path."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -269,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "extract_summary": q_extract_summary,
         "extract_metrics_by_domain": q_extract_metrics_by_domain,
+        "extract_then_quality": q_extract_then_quality,
         "mime_route": q_mime_route,
         "multipage_stitch": q_multipage_stitch,
         "singlepage_replace": q_singlepage_replace,
@@ -418,6 +429,32 @@ SELECT doc_id, n_tokens,
 FROM s
 """,
         "text_langid": _langid_oracle(),
+        "extract_then_quality": """
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS text
+  FROM documents
+), tt AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM t
+), s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains([{STOP_EN}], x))) AS stop_hits,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+  FROM tt
+)
+SELECT doc_id, n_tokens,
+       round(
+         (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN punct * 1.0 / greatest(n_chars, 1) <= 0.2 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN stop_hits * 1.0 / greatest(n_tokens, 1) >= 0.05 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+       , 2) AS quality
+FROM s
+""".replace("{STOP_EN}", ",".join(f"'{w}'" for w in __import__("graby_spark.operators.textstats", fromlist=["STOPWORDS"]).STOPWORDS["en"])),
         "media_mime_sniff": """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
