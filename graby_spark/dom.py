@@ -62,6 +62,21 @@ _SCOPE_BARRIERS = frozenset(
     "html body table template caption applet object marquee".split()
 )
 
+# HTML 4.01 element vocabulary (libxml2's htmlElemDesc table).  libxml's
+# recovering parser drops whitespace-only text that directly follows an
+# element it has no description for (html5 tags like figure/figcaption/
+# article) or a void element, and leading blanks — behavior pinned by the
+# reference golden fixtures (lemonde figure internals vs kept <p> separators).
+_HTML4_TAGS = frozenset(
+    "a abbr acronym address applet area b base basefont bdo big blockquote "
+    "body br button caption center cite code col colgroup dd del dfn dir div "
+    "dl dt em embed fieldset font form frame frameset h1 h2 h3 h4 h5 h6 head "
+    "hr html i iframe img input ins isindex kbd label legend li link map menu "
+    "meta noframes noscript object ol optgroup option p param pre q s samp "
+    "script select small span strike strong style sub sup table tbody td "
+    "textarea tfoot th thead title tr tt u ul var".split()
+)
+
 
 class Node:
     """Base DOM node."""
@@ -492,10 +507,31 @@ class _TreeBuilder(HTMLParser):
             self.stack = []
             self._ensure_body()
         cur = self._current()
+        if data.strip() == "" and self._drops_blank(cur):
+            return
         if cur.children and isinstance(cur.children[-1], TextNode):
             cur.children[-1].data += data
         else:
             cur.append(TextNode(data))
+
+    @staticmethod
+    def _drops_blank(cur: Element) -> bool:
+        """libxml areBlanks()-style rule: a whitespace-only run between tags
+        is dropped when it is leading in its element or directly follows an
+        element with no content (void elements, emptied wrappers)."""
+        if cur.tag in ("head", "html"):
+            return True
+        if not cur.children:
+            return True  # leading blanks
+        last = cur.children[-1]
+        if isinstance(last, TextNode):
+            return False
+        if isinstance(last, Element):
+            if last.tag in VOID_ELEMENTS:
+                return True
+            if not last.children:
+                return True
+        return False
 
     def handle_comment(self, data: str) -> None:
         if not self.stack:

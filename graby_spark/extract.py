@@ -883,9 +883,15 @@ def cleanup_html(
         readability.add_footnotes(content)
 
     content.normalize()
-    for child in list(content.children):  # O5
+    # O5 (Graby.php:233-237): PHP's foreach over a live childNodes list
+    # iterates via nextSibling — removing the current node nulls its
+    # nextSibling and ENDS the loop, so exactly the first whitespace-only
+    # text child is removed.  Pinned by the lemonde golden (the separator
+    # after <figure> is gone, the later <p> separators survive).
+    for child in list(content.children):
         if isinstance(child, TextNode) and child.data.strip() == "":
             content.remove_child(child)
+            break
 
     # nesting unwrap (O6)
     while len(content.children) == 1 and isinstance(content.children[0], Element):

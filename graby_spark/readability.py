@@ -56,10 +56,60 @@ def _inner_text(el: Element) -> str:
 class Readability:
     """Holds the parsed document and scoring state for one page."""
 
+    # Arc90 prepDocument string pre-filter: doubled-up <br>s become
+    # paragraph breaks before parsing (the recovery parser rebalances the
+    # stray </p>/<p> pair) — pinned by the blogger golden fixture where
+    # <BR /><BR /> runs serialize as paragraph boundaries.
+    _DOUBLE_BR_RE = re.compile(r"(?:<br[^>]*>[ \r\n\t]*){2,}", re.I)
+
+    # tidy moves leading/trailing whitespace out of inline elements
+    # ("<strong>, </strong><a>" → "<strong>,</strong> <a>") — pinned by the
+    # lemonde golden fixture; the reference runs ext-tidy inside
+    # php-readability's loadHtml (ContentExtractor.php:662 comment).
+    _INLINE_TAGS = frozenset(
+        "a abbr acronym b bdo big cite code dfn em font i kbd label q s samp "
+        "small span strike strong sub sup tt u var".split()
+    )
+
     def __init__(self, html: str, url: str = "") -> None:
         self.original_html = html
         self.url = url
+        html = self._DOUBLE_BR_RE.sub("</p><p>", html)
         self.dom: Document = parse_html(html)
+        self._move_inline_edge_space(self.dom)
+
+    def _move_inline_edge_space(self, root: Element) -> None:
+        for el in list(root.iter()):
+            if el.tag not in self._INLINE_TAGS or el.parent is None:
+                continue
+            last = el.children[-1] if el.children else None
+            if isinstance(last, TextNode) and last.data != last.data.rstrip():
+                stripped = last.data.rstrip()
+                if stripped:
+                    last.data = stripped
+                else:
+                    el.remove_child(last)
+                parent = el.parent
+                pos = parent.children.index(el)
+                nxt = parent.children[pos + 1] if pos + 1 < len(parent.children) else None
+                if isinstance(nxt, TextNode):
+                    nxt.data = " " + nxt.data
+                else:
+                    parent.insert(pos + 1, TextNode(" "))
+            first = el.children[0] if el.children else None
+            if isinstance(first, TextNode) and first.data != first.data.lstrip():
+                stripped = first.data.lstrip()
+                if stripped:
+                    first.data = stripped
+                else:
+                    el.remove_child(first)
+                parent = el.parent
+                pos = parent.children.index(el)
+                prev = parent.children[pos - 1] if pos > 0 else None
+                if isinstance(prev, TextNode):
+                    prev.data = prev.data + " "
+                else:
+                    parent.insert(pos, TextNode(" "))
         self.success: bool | None = None
         self._scores: dict[int, float] = {}
         self._article: Element | None = None
@@ -268,15 +318,9 @@ class Readability:
         self._clean_headers(article)
         for tag in ("table", "ul", "div"):
             self._clean_conditionally(article, tag)
-        # remove empty paragraphs (no text, no img/embed/object)
-        for p in list(article.iter("p")):
-            if p.parent is None:
-                continue
-            has_media = any(True for _ in p.iter("img")) or any(True for _ in p.iter("embed")) or any(
-                True for _ in p.iter("object")
-            )
-            if not has_media and _inner_text(p) == "":
-                p.detach()
+        # NOTE: no empty-paragraph removal here — the reference keeps empty
+        # <p/> nodes produced by the double-br conversion (blogger golden);
+        # the string-level O9 regex only removes serialized <p></p> pairs.
 
     @staticmethod
     def _count(el: Element, tag: str) -> int:
