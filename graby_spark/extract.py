@@ -84,6 +84,11 @@ class ExtractOptions:
     # Applied only on the Graby-level path (extract_one/cleanup), never in
     # process() whose unit-level contract keeps classes.
     strip_classes: bool = True
+    # per-row input-size cutoff (bytes): giant documents inside an Arrow
+    # batch are the worker-OOM vector at crawl scale (SURVEY.md §7 hard
+    # part 7 — reference analog is the PREG_JIT fallback, Graby.php:326-330).
+    # Oversized rows short-circuit to the error result instead of parsing.
+    max_input_bytes: int = 10 * 1024 * 1024
 
 
 @dataclass
@@ -994,6 +999,12 @@ def extract_one(
     result.mime = mime_info.get("mime", "")
     if "action" in mime_info:
         return _handle_mime_action(mime_info, html_bytes, effective_url, content_type, result, options)
+
+    if options.max_input_bytes and len(html_bytes) > options.max_input_bytes:
+        result.html = options.error_message
+        result.title = options.error_message_title
+        result.summary = textutils.excerpt(result.html)
+        return result
 
     html = convert_to_utf8(html_bytes, content_type)
 

@@ -177,3 +177,53 @@ def test_content_links_remove_mode():
     r = extract_one(body, "http://a.com/x", NO_CONFIGS,
                     options=ExtractOptions(xss_filter=False, content_links="remove"))
     assert "<a " not in r.html and "the source" in r.html
+
+
+@pytest.mark.parametrize(
+    ("filename", "url", "content_type"),
+    [
+        # if_page_contains-gated next_page_link (GrabyTest:1300-1320)
+        ("rollingstone.html", "https://www.rollingstone.com/?redirurl=/politics/news/greed-and-debt-20120829", "text/html"),
+        # if_page_contains-gated single_page_link (GrabyTest:1278-1297)
+        ("timothysykes-keepol.html", "https://www.timothysykes.com/blog/10-things-know-short-selling/", "text/html"),
+        # saveXML unknown-encoding page (GrabyFunctionalTest:235)
+        ("https___www.motherjones.com_politics_2012_02_mac-mcclelland-free-online-shipping-warehouses-labor_.html",
+         "https://www.motherjones.com/politics/2012/02/mac-mcclelland-free-online-shipping-warehouses-labor/", "text/html; charset=UTF-8"),
+        # empty replace_string in site config (GrabyFunctionalTest:253)
+        ("https___www.presseportal.de_pm_103258_2930232.html", "https://www.presseportal.de/pm/103258/2930232", "text/html; charset=utf-8"),
+        # multipage page-1 content (GrabyFunctionalTest:194)
+        ("https___www.clubic.com_carte-graphique_carte-graphique-amd_article-478936-1-radeon-hd-7750-7770.html",
+         "https://www.clubic.com/carte-graphique/carte-graphique-amd/article-478936-1-radeon-hd-7750-7770.html", "text/html; charset=UTF-8"),
+    ],
+)
+def test_fixture_pages_extract_successfully(filename, url, content_type):
+    r = fetch(filename, url, ruleset=FIXTURE_CONFIGS, content_type=content_type)
+    assert r.summary is not None
+    assert r.is_success
+    assert r.title and r.title != "No title found"
+
+
+def test_xataka_jsonld_utf8():
+    """JSON-LD must be processed as UTF-8 (GrabyFunctionalTest:272-292,
+    graby issue #359)."""
+    r = fetch(
+        "https___www.xataka.com_movilidad_coches-vendidos-2023-2024-espana.html",
+        "https://www.xataka.com/movilidad/coches-vendidos-2023-2024-espana",
+        ruleset=FIXTURE_CONFIGS,
+        content_type="text/html; charset=UTF-8",
+    )
+    assert "automóvil" in r.html
+
+
+def test_clubic_content():
+    """GrabyFunctionalTest::testMultipage asserts the 2560x1600 benchmark
+    table reached the output (the modern capture carries all pages' content
+    on page 1 — no 'Page suivante' anchors remain in this recording)."""
+    r = fetch(
+        "https___www.clubic.com_carte-graphique_carte-graphique-amd_article-478936-1-radeon-hd-7750-7770.html",
+        "https://www.clubic.com/carte-graphique/carte-graphique-amd/article-478936-1-radeon-hd-7750-7770.html",
+        ruleset=FIXTURE_CONFIGS,
+        content_type="text/html; charset=UTF-8",
+    )
+    assert "Radeon HD 7750/7770" in (r.title or "")
+    assert "2560x1600" in r.html

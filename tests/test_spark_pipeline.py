@@ -150,3 +150,63 @@ def test_windowed_crawl_metrics(spark):
     metrics = windowed_crawl_metrics(pages).collect()
     assert metrics
     assert all(m["pages"] > 0 and m["bytes_in"] > 0 for m in metrics)
+
+
+def test_skewed_domains_balanced_by_salt(spark):
+    """Zipf-style host skew: 60% of pages on one domain still spread across
+    partitions via the salted repartition (SURVEY.md §4)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    skewed = docs.selectExpr(
+        "CASE WHEN doc_id % 10 < 6 THEN concat('http://megasite.example.com/a/', doc_id) "
+        "ELSE concat('http://tail-', doc_id % 37, '.example.net/a/', doc_id) END as url",
+        "timestamp'2024-01-01' as warc_ts",
+        "encode(concat('<html><body><div itemprop=\"articleBody\"><p>', text, '</p></div></body></html>'), 'UTF-8') as html",
+        "text",
+        "lang",
+    )
+    from graby_spark.job import attach_salt
+
+    parts = (
+        attach_salt(skewed, salt=16, partitions=8)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in parts]
+    assert len(counts) >= 8, "hot domain must spread over many partitions"
+    assert max(counts) < 2 * (sum(counts) / len(counts)), f"unbalanced: {counts}"
+
+
+def test_oversized_row_short_circuits(spark):
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    import datetime
+
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("html", BinaryType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("content_type", StringType()),
+            StructField("http_status", IntegerType()),
+        ]
+    )
+    big = b"<div>" + b"x" * (11 * 1024 * 1024)
+    rows = [("http://big.example/x", datetime.datetime(2024, 1, 1), big, "", "en",
+             "text/html", 200)]
+    out = run_extraction(spark, spark.createDataFrame(rows, schema), pages_ruleset(), options=OPTS)
+    r = out.collect()[0]
+    assert not r["is_success"]
+    assert r["html"] == "[unable to retrieve full-text content]"
+    assert r["bytes_in"] > 10 * 1024 * 1024
