@@ -18,6 +18,7 @@ observed in the reference golden fixtures
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 from html import unescape
 
@@ -546,12 +547,165 @@ class _TreeBuilder(HTMLParser):
             self.handle_data(data[6:])
 
 
-def parse_html(html: str) -> Document:
-    """Parse an HTML string into a Document, never raising on bad markup."""
+# ---------------------------------------------------------------------------
+# Fast tokenizer
+# ---------------------------------------------------------------------------
+# html.parser.HTMLParser spends most of its time in bookkeeping
+# (updatepos/goahead); this scanner drives the same _TreeBuilder hooks with
+# one pass and a couple of compiled regexes.  Semantics are kept identical
+# (lowercased names, first-duplicate-attr wins, charrefs resolved in text and
+# attribute values, script/style as raw text) and a differential fuzz test
+# pins it against HTMLParser (tests/test_properties.py).
+
+_TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
+_ATTR_RE = re.compile(
+    r"""\s*([^\s/>=]+)(\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]*))?"""
+)
+# raw-text elements: match html.parser's CDATA_CONTENT_ELEMENTS exactly
+# (script/style only) so both engines build identical trees
+_RAWTEXT_CLOSE = {
+    tag: re.compile(rf"</{tag}(?=[\s/>])|</{tag}$", re.I) for tag in ("script", "style")
+}
+
+
+def _emit_tail(html: str, pos: int, builder: "_TreeBuilder") -> None:
+    """Incomplete construct at EOF: html.parser flushes it as text."""
+    tail = html[pos:]
+    if tail:
+        builder.handle_data(unescape(tail) if "&" in tail else tail)
+
+
+def _scan(html: str, builder: "_TreeBuilder") -> None:
+    pos = 0
+    n = len(html)
+    find = html.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            text = html[pos:]
+            if text:
+                builder.handle_data(unescape(text) if "&" in text else text)
+            break
+        if lt > pos:
+            text = html[pos:lt]
+            builder.handle_data(unescape(text) if "&" in text else text)
+        # dispatch on what follows '<'
+        nxt = html[lt + 1 : lt + 2]
+        if nxt == "!":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                if end < 0:
+                    # unterminated comment at EOF flushes as text (stdlib)
+                    _emit_tail(html, lt, builder)
+                    break
+                builder.handle_comment(html[lt + 4 : end])
+                pos = end + 3
+                continue
+            if html.startswith("<![CDATA[", lt):
+                end = find("]]>", lt + 9)
+                if end < 0:
+                    builder.unknown_decl("CDATA[" + html[lt + 9 :])
+                    break
+                builder.unknown_decl("CDATA[" + html[lt + 9 : end])
+                pos = end + 3
+                continue
+            end = find(">", lt)  # doctype / bogus decl
+            if end < 0:
+                _emit_tail(html, lt, builder)
+                break
+            pos = end + 1
+            continue
+        if nxt == "?":
+            end = find(">", lt)  # processing instruction
+            if end < 0:
+                _emit_tail(html, lt, builder)
+                break
+            pos = end + 1
+            continue
+        if nxt == "/":
+            m = _TAGNAME_RE.match(html, lt + 2)
+            end = find(">", lt)
+            if end < 0:
+                _emit_tail(html, lt, builder)
+                break
+            if m:
+                builder.handle_endtag(m.group(0).lower())
+            pos = end + 1
+            continue
+        m = _TAGNAME_RE.match(html, lt + 1)
+        if m is None:
+            if lt + 1 >= n or nxt in ("!", "?", "/"):
+                _emit_tail(html, lt, builder)
+                break
+            # literal '<' in text
+            builder.handle_data("<")
+            pos = lt + 1
+            continue
+        tag = m.group(0).lower()
+        i = m.end()
+        attrs: list[tuple[str, str | None]] = []
+        self_closing = False
+        while i < n:
+            ch = html[i]
+            if ch == ">":
+                i += 1
+                break
+            if ch == "/" and html[i + 1 : i + 2] == ">":
+                self_closing = True
+                i += 2
+                break
+            am = _ATTR_RE.match(html, i)
+            if am is None or am.end() == i:
+                i += 1
+                continue
+            name = am.group(1).lower()
+            if am.group(2) is None:
+                value: str | None = None
+            else:
+                raw = am.group(4) if am.group(4) is not None else (
+                    am.group(5) if am.group(5) is not None else am.group(3)
+                )
+                value = unescape(raw) if raw and "&" in raw else raw
+            attrs.append((name, value))
+            i = am.end()
+        else:
+            # unterminated start tag at EOF: HTMLParser emits it as text
+            _emit_tail(html, lt, builder)
+            break
+        if self_closing:
+            builder.handle_startendtag(tag, attrs)
+        else:
+            builder.handle_starttag(tag, attrs)
+            closer = _RAWTEXT_CLOSE.get(tag)
+            if closer is not None:
+                cm = closer.search(html, i)
+                if cm is None:
+                    if i < n:
+                        builder.handle_data(html[i:])
+                    builder.handle_endtag(tag)
+                    break
+                raw_text = html[i : cm.start()]
+                if raw_text:
+                    builder.handle_data(raw_text)
+                builder.handle_endtag(tag)
+                gt = find(">", cm.start())
+                i = (gt + 1) if gt >= 0 else n
+        pos = i
+
+
+def parse_html(html: str, engine: str = "fast") -> Document:
+    """Parse an HTML string into a Document, never raising on bad markup.
+
+    ``engine='fast'`` uses the one-pass scanner above; ``'stdlib'`` drives
+    the same tree builder through html.parser.HTMLParser (kept for
+    differential testing and as a fallback)."""
     builder = _TreeBuilder()
     try:
-        builder.feed(html)
-        builder.close()
+        if engine == "fast":
+            _scan(html, builder)
+        else:
+            builder.feed(html)
+            builder.close()
     except Exception:
         # total recovery: return whatever tree was built so far
         pass

@@ -60,3 +60,34 @@ def test_serialize_reparse_stable(text):
     once = serialize(parse_html(text))
     twice = serialize(parse_html(once))
     assert serialize(parse_html(twice)) == twice
+
+
+@given(st.text(max_size=3000))
+@settings(max_examples=300, deadline=None)
+def test_fast_parser_matches_stdlib(text):
+    """The fast tokenizer and html.parser build identical trees."""
+    fast = serialize(parse_html(text, engine="fast"))
+    std = serialize(parse_html(text, engine="stdlib"))
+    assert fast == std
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "<div>", "</div>", "<p class='a'>", "</p>", "text & more",
+                "<img src=x>", "<br/>", "<script>var a = '<div>';</script>",
+                "<!-- comment -->", "<a href=\"x?a=1&b=2\">", "</a>",
+                "&amp; &lt; &#65; &unknown;", "<I>", "</I>", "<td>", "<ul><li>one<li>two",
+                "<span style='x'>", "</span>", "<input value='\"quoted\"'>",
+            ]
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_fast_parser_matches_stdlib_structured(parts):
+    html = "".join(parts)
+    assert serialize(parse_html(html, engine="fast")) == serialize(
+        parse_html(html, engine="stdlib")
+    )
