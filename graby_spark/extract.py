@@ -89,6 +89,12 @@ class ExtractOptions:
     # part 7 — reference analog is the PREG_JIT fallback, Graby.php:326-330).
     # Oversized rows short-circuit to the error result instead of parsing.
     max_input_bytes: int = 10 * 1024 * 1024
+    # D3: user-configurable regex pre/post filters around the parse
+    # (ContentExtractorConfig.php:78-81, 102-116): pattern -> replacement
+    pre_filters: dict[str, str] = field(default_factory=dict)
+    post_filters: dict[str, str] = field(default_factory=dict)
+    # O7: set referrerpolicy=no-referrer on content imgs (Graby.php:250-255)
+    img_no_referrer: bool = False
 
 
 @dataclass
@@ -465,12 +471,25 @@ def process(
     ruleset: RuleSet,
     site_config: SiteConfig | None = None,
     options: ExtractOptions | None = None,
+    smart_tidy: bool = True,
 ) -> ExtractedContent:
-    """ContentExtractor::process (ContentExtractor.php:113-700)."""
+    """ContentExtractor::process (ContentExtractor.php:113-700).
+
+    ``smart_tidy`` mirrors the reference's D2 retry: when the tidy-style
+    normalizations are active and extraction fails, the whole pass re-runs
+    once on the original html with them disabled
+    (ContentExtractor.php:674-683)."""
     options = options or ExtractOptions()
     host = host_of_url(url)
     if site_config is None:
         site_config = ruleset.for_page(host, html)
+
+    # D3: user regex pre-filters on the raw html
+    for pattern, replacement in options.pre_filters.items():
+        try:
+            html = re.sub(pattern, replacement, html)
+        except re.error:
+            continue
 
     # lazy-load attr list extended by siteconfig (ContentExtractor.php:762-764)
     lazy_attrs = list(SRC_LAZY_LOAD_ATTRIBUTES)
@@ -482,7 +501,8 @@ def process(
         for find, replace in zip(site_config.find_string, site_config.replace_string):
             html = html.replace(find, replace)
 
-    readability = Readability(html, url)
+    use_tidy = site_config.tidy_enabled() and smart_tidy
+    readability = Readability(html, url, tidy=use_tidy, post_filters=options.post_filters)
     dom = readability.dom
 
     result = ExtractedContent(url=url, effective_url=url)
@@ -729,6 +749,19 @@ def process(
         _body_fixups(body, title, lazy_attrs, site_config, dom)
         success = True
 
+    # D2 smart-tidy retry (ContentExtractor.php:674-683): failed with the
+    # tidy normalizations active → one more pass on the original html
+    # without them
+    if not success and readability.tidied and smart_tidy:
+        return process(
+            readability.original_html,
+            url,
+            ruleset,
+            site_config=site_config,
+            options=options,
+            smart_tidy=False,
+        )
+
     result.title = title
     result.language = language
     result.date = date
@@ -903,6 +936,11 @@ def cleanup_html(
         if content.tag not in _UNWRAP_TAGS:
             break
         content = content.children[0]
+
+    # O7: img referrerpolicy toggle (Graby.php:250-255)
+    if options.img_no_referrer:
+        for img in content.iter("img"):
+            img.set_attr("referrerpolicy", "no-referrer")
 
     # serialize (O8)
     if content.tag in _CONTAINER_TAGS:

@@ -71,12 +71,26 @@ class Readability:
         "small span strike strong sub sup tt u var".split()
     )
 
-    def __init__(self, html: str, url: str = "") -> None:
+    def __init__(
+        self,
+        html: str,
+        url: str = "",
+        tidy: bool = True,
+        post_filters: dict[str, str] | None = None,
+    ) -> None:
         self.original_html = html
         self.url = url
-        html = self._DOUBLE_BR_RE.sub("</p><p>", html)
+        self.tidied = tidy
+        if tidy:
+            html = self._DOUBLE_BR_RE.sub("</p><p>", html)
+        for pattern, replacement in (post_filters or {}).items():
+            try:
+                html = re.sub(pattern, replacement, html)
+            except re.error:
+                continue
         self.dom: Document = parse_html(html)
-        self._move_inline_edge_space(self.dom)
+        if tidy:
+            self._move_inline_edge_space(self.dom)
 
     def _move_inline_edge_space(self, root: Element) -> None:
         for el in list(root.iter()):

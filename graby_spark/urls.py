@@ -102,6 +102,46 @@ def allowed_filter_expr(
     return cond
 
 
+# HttpClientConfig.php:51-56 — per-host URL rewrite map (S4)
+DEFAULT_REWRITE_URL: dict[str, dict[str, str]] = {
+    "docs.google.com": {"/Doc?": "/View?"},
+    "tnr.com": {"tnr.com/article/": "tnr.com/print/article/"},
+    ".m.wikipedia.org": {".m.wikipedia.org/": ".wikipedia.org/"},
+    "m.vanityfair.com": {"m.vanityfair.com/": "www.vanityfair.com/"},
+}
+
+
+def rewrite_url(url: str, rewrite_map: dict[str, dict[str, str]] | None = None) -> str:
+    """Per-host substring rewrites (HttpClient.php:250-281, S4) plus the
+    AJAX ``#!`` → ``_escaped_fragment_`` canonicalization
+    (HttpClient.php:262-279, S5)."""
+    for host_match, pairs in (rewrite_map or DEFAULT_REWRITE_URL).items():
+        if host_match in url:
+            for find, replace in pairs.items():
+                url = url.replace(find, replace)
+    if "#!" in url:
+        base, _, fragment = url.partition("#!")
+        sep = "&" if "?" in base else "?"
+        url = f"{base}{sep}_escaped_fragment_={fragment}"
+    return url
+
+
+def rewrite_url_expr(url_col: str | Column = "url") -> Column:
+    """JVM twin of rewrite_url for table-level canonicalization."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    for host_match, pairs in DEFAULT_REWRITE_URL.items():
+        for find, replace in pairs.items():
+            col = F.when(
+                col.contains(host_match), F.regexp_replace(col, re.escape(find), replace.replace("$", "\\$"))
+            ).otherwise(col)
+    # '#!' AJAX canonicalization
+    has_bang = col.contains("#!")
+    base = F.substring_index(col, "#!", 1)
+    fragment = F.substring_index(col, "#!", -1)
+    sep = F.when(base.contains("?"), F.lit("&")).otherwise(F.lit("?"))
+    return F.when(has_bang, F.concat(base, sep, F.lit("_escaped_fragment_="), fragment)).otherwise(col)
+
+
 def normalize_host_expr(url_col: str | Column = "url") -> Column:
     """Normalized host key column (lowercase, www. stripped — R1)."""
     col = F.col(url_col) if isinstance(url_col, str) else url_col

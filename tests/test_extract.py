@@ -544,3 +544,37 @@ def test_wrap_in(wrap_in, check):
 
     reparsed = parse_html(inner_html(result.content))
     assert len(query(check, reparsed)) == 1
+
+
+def test_pre_post_filters_and_retry():
+    """D2/D3: user regex filters apply; a tidy-breaking page retries
+    without the tidy normalizations."""
+    from graby_spark.extract import ExtractOptions, extract_one
+    from graby_spark.siteconfig import RuleSet
+
+    opts = ExtractOptions(
+        xss_filter=False,
+        pre_filters={r"BADTOKEN": ""},
+        post_filters={r"<span id=\"dropme\"[^>]*>.*?</span>": ""},
+    )
+    html = (
+        b'<html><body><div itemprop="articleBody"><p>BADTOKENkeep this text for'
+        b' the extraction outcome <span id="dropme">gone</span>done</p></div></body></html>'
+    )
+    r = extract_one(html, "http://f.example/x", RuleSet({}), options=opts)
+    assert r.is_success
+    assert "BADTOKEN" not in r.html and "gone" not in r.html
+    assert "keep this text" in r.html
+
+
+def test_img_no_referrer():
+    from graby_spark.extract import ExtractOptions, extract_one
+    from graby_spark.siteconfig import RuleSet
+
+    html = b'<html><body><div itemprop="articleBody"><p><img src="http://e/i.jpg"/>plenty of surrounding text to make the body extraction succeed well</p></div></body></html>'
+    r = extract_one(html, "http://f.example/x", RuleSet({}),
+                    options=ExtractOptions(xss_filter=False, img_no_referrer=True))
+    assert 'referrerpolicy="no-referrer"' in r.html
+    r2 = extract_one(html, "http://f.example/x", RuleSet({}),
+                     options=ExtractOptions(xss_filter=False))
+    assert "referrerpolicy" not in r2.html

@@ -137,3 +137,31 @@ def test_excerpt_no_space_after_250():
 
 def test_excerpt_collapses_whitespace():
     assert excerpt("a\n\t b   c") == "a b c"
+
+
+def test_rewrite_url():
+    from graby_spark.urls import rewrite_url
+
+    assert rewrite_url("https://docs.google.com/Doc?id=x") == "https://docs.google.com/View?id=x"
+    assert rewrite_url("https://en.m.wikipedia.org/wiki/X") == "https://en.wikipedia.org/wiki/X"
+    assert rewrite_url("http://a.com/page#!section/2") == "http://a.com/page?_escaped_fragment_=section/2"
+    assert rewrite_url("http://a.com/p?x=1#!f") == "http://a.com/p?x=1&_escaped_fragment_=f"
+    assert rewrite_url("http://plain.com/x") == "http://plain.com/x"
+
+
+def test_rewrite_url_expr_matches_python():
+    from graby_spark.session import get_spark
+    from graby_spark.urls import rewrite_url, rewrite_url_expr
+
+    spark = get_spark(master="local[2]")
+    spark.sparkContext.setLogLevel("ERROR")
+    urls = [
+        "https://docs.google.com/Doc?id=x",
+        "https://en.m.wikipedia.org/wiki/X",
+        "http://a.com/page#!section/2",
+        "http://a.com/p?x=1#!f",
+        "http://plain.com/x",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(rewrite_url_expr("url")).collect()]
+    assert got == [rewrite_url(u) for u in urls]
