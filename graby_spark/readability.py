@@ -50,7 +50,19 @@ def _class_and_id(el: Element) -> str:
 
 
 def _inner_text(el: Element) -> str:
-    return el.text_content.strip()
+    """Visible text: excludes script/style contents (php-readability's
+    innerText metric — pinned by the adspot-div removal in the lifehacker
+    golden vs the script-text survival in GrabyTest's cleanupHtml toy)."""
+    parts: list[str] = []
+    stack = [el]
+    while stack:
+        node = stack.pop()
+        for child in reversed(node.children):
+            if isinstance(child, TextNode):
+                parts.append(child.data)
+            elif isinstance(child, Element) and child.tag not in ("script", "style"):
+                stack.append(child)
+    return "".join(reversed(parts)).strip()
 
 
 class Readability:
@@ -90,7 +102,34 @@ class Readability:
                 continue
         self.dom: Document = parse_html(html)
         if tidy:
-            self._move_inline_edge_space(self.dom)
+            self._tidy_pass(self.dom)
+        self.success: bool | None = None
+        self._scores: dict[int, float] = {}
+        self._article: Element | None = None
+        self._title: str | None = None
+
+    def _tidy_pass(self, root: Element) -> None:
+        """ext-tidy emulation (php-readability runs tidy in loadHtml):
+        comments stripped (hide-comments), whitespace-only text reflowed to
+        a single newline, xml:lang mirrored from lang (output-xhtml), and
+        inline-element edge whitespace moved out — each pinned by the
+        golden fixtures."""
+        from .dom import CommentNode
+
+        for el in [root] + list(root.iter()):
+            for child in list(el.children):
+                if isinstance(child, CommentNode):
+                    el.remove_child(child)
+                elif (
+                    isinstance(child, TextNode)
+                    and child.data.strip() == ""
+                    and child.data != "\n"
+                ):
+                    child.data = "\n"
+            lang = el.get("lang") if hasattr(el, "get") else None
+            if lang and not el.has_attr("xml:lang"):
+                el.set_attr("xml:lang", lang)
+        self._move_inline_edge_space(root)
 
     def _move_inline_edge_space(self, root: Element) -> None:
         for el in list(root.iter()):
@@ -124,10 +163,6 @@ class Readability:
                     prev.data = prev.data + " "
                 else:
                     parent.insert(pos, TextNode(" "))
-        self.success: bool | None = None
-        self._scores: dict[int, float] = {}
-        self._article: Element | None = None
-        self._title: str | None = None
 
     # -- public API mirroring the reference wrapper ----------------------
 
@@ -157,9 +192,6 @@ class Readability:
         if body is None:
             return
         for el in list(body.iter()):
-            if el.tag in ("script", "style"):
-                el.detach()
-                continue
             new_tag = self._TAG_RENAMES.get(el.tag)
             if new_tag:
                 el.tag = new_tag
@@ -398,7 +430,7 @@ class Readability:
                 target.detach()
                 continue
             text = _inner_text(target)
-            if text.count(",") + text.count("，") < 10:
+            if text.count(",") + text.count("\uff0c") < 10:
                 p_count = self._count(target, "p")
                 img_count = self._count(target, "img")
                 li_count = self._count(target, "li") - 100
@@ -411,7 +443,9 @@ class Readability:
                 density = self._link_density(target)
                 length = len(text)
                 remove = (
-                    (img_count > p_count)
+                    # single-image containers survive (lifehacker golden
+                    # keeps its <div><a><img/></a></div> figures)
+                    (img_count > p_count and img_count > 1)
                     or (li_count > p_count and tag not in ("ul", "ol"))
                     or (input_count > p_count // 3)
                     # short-content removal spares containers that still hold
