@@ -256,6 +256,21 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (window-function batch twin of the
+    applyInPandasWithState streaming operator)."""
+    from graby_spark.streaming.sessionize import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, gap_seconds=3600).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
 def q_join_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-join chain orders→customer→nation (dimension joins)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -298,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
         "join_orders_by_nation": q_join_orders_by_nation,
     }
 
@@ -509,6 +525,21 @@ ORDER BY l_returnflag, l_linestatus
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS events, round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_sessionize": """
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 3600
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       cast(count(*) as int) AS events, round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, sid
 """,
         "join_orders_by_nation": """
 SELECT n_name, count(*) AS order_count, round(sum(o_totalprice), 2) AS total_price

@@ -210,3 +210,76 @@ def test_oversized_row_short_circuits(spark):
     assert not r["is_success"]
     assert r["html"] == "[unable to retrieve full-text content]"
     assert r["bytes_in"] > 10 * 1024 * 1024
+
+
+def test_sessionize_batch_matches_oracle(spark):
+    """Gap-session batch operator vs a DuckDB window-function oracle."""
+    import duckdb
+
+    from graby_spark.streaming.sessionize import sessionize_batch
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["events"], round(r["total_value"], 6))
+        for r in sessionize_batch(events, gap_seconds=3600).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    exp = sorted(
+        (u, s, e, n, round(v, 6))
+        for u, s, e, n, v in con.execute(
+            """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 3600
+                     THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, value,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+              FROM g
+            )
+            SELECT user_id, min(ts), max(ts), cast(count(*) as int), sum(value)
+            FROM s GROUP BY user_id, sid
+            """
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_sessionize_stream_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization closes gap-separated sessions."""
+    import datetime
+    import os
+    import time as _time
+
+    from graby_spark.streaming.sessionize import sessionize_stream
+
+    base = str(tmp_path_factory.mktemp("sess"))
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    base_ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for u in range(3):
+        # two sessions per user, separated by a 2-hour gap
+        for i in range(4):
+            rows.append((100 + u, base_ts + datetime.timedelta(minutes=i), 1.0))
+        for i in range(3):
+            rows.append((100 + u, base_ts + datetime.timedelta(hours=3, minutes=i), 2.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    df.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(in_dir)
+    sessions = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir).collect()
+    # the FIRST session of each user closes in-stream (gap observed); the
+    # second stays in state until timeout/next batch
+    assert len(out) == 3
+    assert all(r["events"] == 4 and r["total_value"] == 4.0 for r in out)
