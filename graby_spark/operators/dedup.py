@@ -292,6 +292,79 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path for cosine near-dups: hyperplane-LSH bucket join for
+    candidates (O(n·tables) shuffle keyed by bucket), exact cosine rerank of
+    candidates only.  Same output contract as embedding_near_dups; recall
+    < 1 by construction (near-identical vectors share every bucket, so
+    recall at dedup-grade thresholds is effectively 1)."""
+    from .similarity import lsh_signatures
+
+    sigs = lsh_signatures(df, id_col, vec_col, dim)
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["table", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    norm = _with_norm(df, id_col, vec_col)
+    a = norm.select(F.col("id").alias("id_a"), F.col("unit").alias("unit_a"))
+    b = norm.select(F.col("id").alias("id_b"), F.col("unit").alias("unit_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with("unit_a", "unit_b", lambda x, y: x * y),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates share at least one 16-bit
+    band (pigeonhole: any pair within hamming distance 3 of a 64-bit hash
+    must agree on one of 4 bands), verified by exact hamming distance."""
+    hashes = simhash(df, id_col, text_col).cache()
+    bands = hashes.selectExpr(
+        "doc", "simhash", "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) as (band, bucket)"
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.simhash").alias("h_a"),
+            F.col("y.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     vec_d = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     norm = F.sqrt(

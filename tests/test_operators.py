@@ -169,3 +169,16 @@ def test_sample_frames(spark):
     frames = multimodal.sample_frames(df).collect()
     assert len(frames) == 4
     assert [f["frame_no"] for f in sorted(frames, key=lambda f: f["ts_ms"])] == [0, 1, 2, 3]
+
+
+def test_embedding_near_dups_lsh_matches_bruteforce(spark, embeddings):
+    brute = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dups(embeddings, threshold=0.99).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dups_lsh(embeddings, threshold=0.99, dim=16).collect()}
+    assert brute == lsh == {(0, 5)}
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0  # identical docs
+    assert (1, 5) in pairs     # whitespace variant: tiny distance
+    assert (1, 4) not in pairs  # unrelated doc
