@@ -178,7 +178,7 @@ class AttrNode(Node):
 
 
 class Element(Node):
-    __slots__ = ("tag", "attrs", "children")
+    __slots__ = ("tag", "attrs", "children", "src_start", "src_end")
 
     def __init__(self, tag: str, attrs: list[tuple[str, str]] | None = None) -> None:
         super().__init__()
@@ -186,6 +186,11 @@ class Element(Node):
         # ordered (name, value) pairs; duplicate names keep first (libxml rule)
         self.attrs: list[tuple[str, str]] = list(attrs or [])
         self.children: list[Node] = []
+        # source character offsets (set by the fast scanner; None when the
+        # element was synthesized or parsed via the stdlib engine) — the
+        # basis of the output `spans` column
+        self.src_start: int | None = None
+        self.src_end: int | None = None
 
     # -- attribute API ---------------------------------------------------
     def get(self, name: str, default: str | None = None) -> str | None:
@@ -285,12 +290,14 @@ class Element(Node):
     def clone(self) -> "Element":
         # iterative deep copy — immune to pathological nesting depth
         new = Element(self.tag, list(self.attrs))
+        new.src_start, new.src_end = self.src_start, self.src_end
         stack: list[tuple[Element, Element]] = [(self, new)]
         while stack:
             src, dst = stack.pop()
             for child in src.children:
                 if isinstance(child, Element):
                     c = Element(child.tag, list(child.attrs))
+                    c.src_start, c.src_end = child.src_start, child.src_end
                     stack.append((child, c))
                 else:
                     c = child.clone()
@@ -362,6 +369,8 @@ class _TreeBuilder(HTMLParser):
         self.stack: list[Element] = []
         self._saw_html = False
         self._saw_body = False
+        self._src_pos: int | None = None  # open-tag offset (fast scanner)
+        self._src_end: int | None = None  # close-tag end offset
 
     # stack helpers
     def _current(self) -> Element:
@@ -474,6 +483,9 @@ class _TreeBuilder(HTMLParser):
 
         self._implied_close(tag)
         el = Element(tag, clean_attrs)
+        el.src_start = self._src_pos
+        if tag in VOID_ELEMENTS:
+            el.src_end = self._src_end
         self._current().append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
@@ -494,6 +506,8 @@ class _TreeBuilder(HTMLParser):
             return
         for i in range(len(self.stack) - 1, -1, -1):
             if self.stack[i].tag == tag:
+                if self._src_end is not None:
+                    self.stack[i].src_end = self._src_end
                 del self.stack[i:]
                 if not self.stack:
                     if tag not in ("html", "body", "head"):
@@ -629,7 +643,9 @@ def _scan(html: str, builder: "_TreeBuilder") -> None:
                 _emit_tail(html, lt, builder)
                 break
             if m:
+                builder._src_end = end + 1
                 builder.handle_endtag(m.group(0).lower())
+                builder._src_end = None
             pos = end + 1
             continue
         m = _TAGNAME_RE.match(html, lt + 1)
@@ -643,6 +659,7 @@ def _scan(html: str, builder: "_TreeBuilder") -> None:
             continue
         tag = m.group(0).lower()
         i = m.end()
+        builder._src_pos = lt
         attrs: list[tuple[str, str | None]] = []
         self_closing = False
         while i < n:
@@ -672,6 +689,7 @@ def _scan(html: str, builder: "_TreeBuilder") -> None:
             # unterminated start tag at EOF: HTMLParser emits it as text
             _emit_tail(html, lt, builder)
             break
+        builder._src_end = i
         if self_closing:
             builder.handle_startendtag(tag, attrs)
         else:

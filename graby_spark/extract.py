@@ -112,6 +112,7 @@ class ExtractedContent:
     is_success: bool = False
     next_page_url: str | None = None
     single_page_url: str | None = None
+    spans: list[tuple[int, int]] = field(default_factory=list)
     html: str = ""
     text: str = ""
     summary: str = ""
@@ -1079,6 +1080,7 @@ def extract_one(
         extracted.text = ""
         return extracted
 
+    extracted.spans = content_spans(extracted.content)
     html_out = cleanup_html(extracted.content, extracted.readability, effective_url, options)
     extracted.html = html_out
     extracted.title = extracted.title or options.error_message_title
@@ -1099,6 +1101,31 @@ AJAX_TRIGGERS = (
 def _has_ajax_trigger(html: str) -> bool:
     lower = html.lower()
     return any(trigger in lower for trigger in AJAX_TRIGGERS)
+
+
+def content_spans(content: Element) -> list[tuple[int, int]]:
+    """Source-character spans of the extracted content (north_star output
+    column ``spans``): offsets into the decoded page where the chosen
+    blocks came from.  Synthesized wrappers (no offsets) fall through to
+    their children; overlapping/adjacent spans merge."""
+    raw: list[tuple[int, int]] = []
+    stack: list[Element] = [content]
+    while stack:
+        el = stack.pop()
+        if el.src_start is not None and el.src_end is not None:
+            raw.append((el.src_start, el.src_end))
+            continue
+        for child in el.children:
+            if isinstance(child, Element):
+                stack.append(child)
+    raw.sort()
+    merged: list[tuple[int, int]] = []
+    for start, end in raw:
+        if merged and start <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], end))
+        else:
+            merged.append((start, end))
+    return merged
 
 
 _TAG_STRIP_RE = re.compile(r"<[^>]+>")

@@ -57,6 +57,14 @@ EXTRACT_SCHEMA = StructType(
         StructField("is_success", BooleanType()),
         StructField("next_page_url", StringType()),
         StructField("single_page_url", StringType()),
+        StructField(
+            "spans",
+            ArrayType(
+                StructType(
+                    [StructField("start", LongType()), StructField("end", LongType())]
+                )
+            ),
+        ),
         StructField("html", StringType()),
         StructField("text", StringType()),
         StructField("summary", StringType()),
@@ -127,6 +135,7 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions):
                         "is_success": res.is_success,
                         "next_page_url": res.next_page_url,
                         "single_page_url": res.single_page_url,
+                        "spans": [{"start": s, "end": e} for s, e in res.spans],
                         "html": res.html,
                         "text": res.text,
                         "summary": res.summary,
@@ -147,6 +156,7 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions):
                         "is_success": False,
                         "next_page_url": None,
                         "single_page_url": None,
+                        "spans": [],
                         "html": options.error_message,
                         "text": "",
                         "summary": "",

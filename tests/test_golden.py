@@ -94,3 +94,17 @@ def test_lifehacker_html_byte_exact(results):
 def test_effective_url(results, name):
     case, r = results[name]
     assert r.effective_url == case.url_effective
+
+
+def test_spans_point_into_source(results):
+    """north_star output contract: `spans` gives source-character offsets
+    of the extracted content blocks."""
+    from graby_spark.charset import convert_to_utf8
+    from graby_spark.textutils import pre_clean
+
+    case, r = results["lemonde"]
+    assert r.spans, "lemonde extraction must carry source spans"
+    html = pre_clean(convert_to_utf8(case.raw_content, case.header))
+    start, end = r.spans[0]
+    assert html[start:end].startswith('<div id="articleBody"')
+    assert html[start:end].endswith("</div>")
