@@ -129,6 +129,22 @@ class Readability:
             lang = el.get("lang") if hasattr(el, "get") else None
             if lang and not el.has_attr("xml:lang"):
                 el.set_attr("xml:lang", lang)
+            # tidy reflows indentation around text content: a first/last
+            # text child loses its newline-bearing edge whitespace
+            # (separator-only text nodes were already normalized above)
+            if el.children:
+                first = el.children[0]
+                if isinstance(first, TextNode) and first.data.strip():
+                    head = first.data[: len(first.data) - len(first.data.lstrip())]
+                    # indentation (newline + spaces/tabs) is formatting;
+                    # a bare newline is content whitespace and stays
+                    if "\n" in head and (" " in head or "\t" in head):
+                        first.data = first.data.lstrip()
+                last = el.children[-1]
+                if isinstance(last, TextNode) and last.data.strip():
+                    tail = last.data[len(last.data.rstrip()):]
+                    if "\n" in tail and (" " in tail or "\t" in tail):
+                        last.data = last.data.rstrip()
         self._move_inline_edge_space(root)
 
     def _move_inline_edge_space(self, root: Element) -> None:
@@ -426,9 +442,10 @@ class Readability:
             if self._has_video_embed(target):
                 continue
             weight = self._class_weight(target) + self._scores.get(id(target), 0.0)
-            if weight < 0:
-                target.detach()
-                continue
+            # NOTE: classic Arc90 removes weight<0 containers outright; the
+            # reference keeps them (lifehacker golden keeps its negative-
+            # class media_wrap image figures) — weight only gates the
+            # density thresholds below
             text = _inner_text(target)
             if text.count(",") + text.count("\uff0c") < 10:
                 p_count = self._count(target, "p")
