@@ -35,7 +35,17 @@ from graby_spark.pages import (
 _OPTS = ExtractOptions(xss_filter=False)  # golden-fixture parity mode
 
 
+def _ship(spark: SparkSession) -> None:
+    """Executors must be able to import graby_spark no matter where the
+    driver process was launched from (the driver harness may not run with
+    the repo as cwd) — idempotent addPyFile of the package."""
+    from graby_spark.session import ship_package
+
+    ship_package(spark)
+
+
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship(spark)
     pages = build_pages_df(spark, sf_dir)
     return run_extraction(spark, pages, pages_ruleset(), options=_OPTS)
 
@@ -96,6 +106,7 @@ def q_extract_then_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M6 routing: image/zip/text-plain payloads bypass the DOM path."""
+    _ship(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = docs.selectExpr(
         "concat('http://files.example.com/item/', cast(doc_id as string)) as url",
@@ -112,6 +123,7 @@ def q_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multipage_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship(spark)
     pages = build_multipage_pages_df(spark, sf_dir)
     extracted = run_extraction(spark, pages, pages_ruleset(), options=_OPTS)
     merged = resolve_multipage(extracted)
@@ -126,6 +138,7 @@ def q_multipage_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_singlepage_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: teaser pages replaced by their print-view extraction via the
     equi self-join; only the original (non-print) urls are reported."""
+    _ship(spark)
     pages = build_singlepage_pages_df(spark, sf_dir)
     extracted = run_extraction(spark, pages, pages_ruleset(), options=_OPTS)
     final = resolve_single_page(spark, pages, extracted, pages_ruleset(), options=_OPTS)
@@ -155,11 +168,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship(spark)
     pairs = dedup.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), threshold=0.9)
     return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash(docs).select("doc", "simhash")
 
@@ -178,6 +193,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where("vec_id < 10")
     topk = similarity.lsh_topk(emb, queries_df, k=5)
@@ -202,6 +218,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return textstats.fingerprints(docs).select("doc", "fingerprint")
 
@@ -220,6 +237,7 @@ def q_media_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
     media = docs.selectExpr("doc_id as media_id", "encode(text, 'UTF-8') as payload")
     feats = multimodal.extract_features(media)

@@ -182,6 +182,9 @@ def run_extraction(
 ) -> DataFrame:
     """pages → extracted rows (one per page; multipage merge is a separate
     operator, see resolve_multipage)."""
+    from .session import ship_package
+
+    ship_package(spark)  # executors import graby_spark from any launch cwd
     options = options or ExtractOptions()
     ruleset_bc = spark.sparkContext.broadcast(ruleset)
 

@@ -53,3 +53,38 @@ def get_spark(
 def tune_for_extraction(spark: SparkSession) -> None:
     """Settings that only matter for the heavy extraction stage."""
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``graby_spark`` importable on executors regardless of the
+    driver's cwd (idempotent).
+
+    cloudpickle serializes the mapInPandas functions by module reference,
+    so Python workers must import the package themselves.  When the driver
+    process happens to run from the repo root the workers inherit it via
+    cwd; any other launch layout (different cwd, spark-submit without
+    --py-files) needs the package shipped explicitly — this zips the
+    package once per session and ``addPyFile``s it."""
+    sc = spark.sparkContext
+    if getattr(sc, "_graby_spark_shipped", False):
+        return
+    import graby_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(graby_spark.__file__))
+    import tempfile
+    import zipfile
+
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="graby-spark-"), "graby_spark.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for name in filenames:
+                if name.endswith(".py"):
+                    full = os.path.join(dirpath, name)
+                    rel = os.path.join(
+                        "graby_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._graby_spark_shipped = True

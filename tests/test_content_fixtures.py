@@ -227,3 +227,22 @@ def test_clubic_content():
     )
     assert "Radeon HD 7750/7770" in (r.title or "")
     assert "2560x1600" in r.html
+
+
+@pytest.mark.parametrize("filename", sorted(os.listdir(CONTENT)))
+def test_every_recorded_page_extracts_without_error(filename):
+    """Robustness sweep: every recorded body (html, pdf, jpg, txt) runs the
+    full pipeline without raising and yields a coherent result row."""
+    if filename == "README":
+        return
+    ct = "text/html"
+    if filename.endswith(".pdf"):
+        ct = "application/pdf"
+    elif filename.endswith(".jpg"):
+        ct = "image/jpeg"
+    elif filename.endswith(".txt"):
+        ct = "text/plain"
+    r = fetch(filename, f"https://sweep.example/{filename}", ruleset=FIXTURE_CONFIGS, content_type=ct)
+    assert isinstance(r.html, str)
+    assert isinstance(r.summary, str)
+    assert r.title is not None
