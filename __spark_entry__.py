@@ -69,7 +69,7 @@ def q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "language",
         F.col("date").alias("pub_date"),
         F.concat_ws(",", "authors").alias("author_names"),
-        F.col("is_success").cast("int").alias("ok"),
+        F.col("is_success").cast("long").alias("ok"),
     )
 
 
@@ -101,7 +101,9 @@ def q_extract_then_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", r"/article/(\d+)", 1).cast("long").alias("doc_id"),
         F.col("text"),
     )
-    return textstats.quality_score(out).select("doc_id", "n_tokens", "quality")
+    return textstats.quality_score(out).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality"
+    )
 
 
 def q_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,7 +133,7 @@ def q_multipage_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         "title",
         F.col("text").alias("stitched_text"),
-        "page_count",
+        F.col("page_count").cast("long").alias("page_count"),
     )
 
 
@@ -189,7 +191,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where("vec_id < 10")
     topk = similarity.brute_force_topk(emb, queries_df, k=5)
-    return topk.select("query_id", "neighbor_id", "rank")
+    return topk.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,24 +199,37 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where("vec_id < 10")
     topk = similarity.lsh_topk(emb, queries_df, k=5)
-    return topk.select("query_id", "neighbor_id", "rank")
+    return topk.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textstats.token_stats(docs).select(
-        "doc_id", "char_count", "ws_token_count", "punct_count", "digit_count"
+    stats = textstats.token_stats(docs)
+    # bigint like DuckDB's length()/len() so dtypes match the oracle
+    return stats.select(
+        "doc_id",
+        F.col("char_count").cast("long").alias("char_count"),
+        F.col("ws_token_count").cast("long").alias("ws_token_count"),
+        F.col("punct_count").cast("long").alias("punct_count"),
+        F.col("digit_count").cast("long").alias("digit_count"),
     )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textstats.quality_score(docs).select("doc_id", "n_tokens", "stop_ratio", "quality")
+    return textstats.quality_score(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "stop_ratio", "quality"
+    )
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textstats.language_id(docs).select("doc_id", "en_hits", "fr_hits", "lang_guess")
+    return textstats.language_id(docs).select(
+        "doc_id",
+        F.col("en_hits").cast("long").alias("en_hits"),
+        F.col("fr_hits").cast("long").alias("fr_hits"),
+        "lang_guess",
+    )
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,7 +248,9 @@ def q_media_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE encode(text, 'UTF-8') END as payload",
     )
     out = multimodal.attach_media_metadata(media)
-    return out.select("media_id", "mime", "payload_bytes")
+    return out.select(
+        "media_id", "mime", F.col("payload_bytes").cast("long").alias("payload_bytes")
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,7 +258,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
     media = docs.selectExpr("doc_id as media_id", "encode(text, 'UTF-8') as payload")
     feats = multimodal.extract_features(media)
-    return feats.select("media_id", F.size("features").alias("dim"))
+    return feats.select("media_id", F.size("features").cast("long").alias("dim"))
 
 
 def q_agg_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,7 +377,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_meta": f"""
 WITH {expected}
-SELECT url, title, language, pub_date, coalesce(author_names, '') AS author_names, 1 AS ok
+SELECT url, title, language, pub_date, coalesce(author_names, '') AS author_names, cast(1 as bigint) AS ok
 FROM expected
 """,
         "extract_text": f"""
@@ -393,7 +410,7 @@ SELECT 'http://serial.example.com/article/' || doc_id AS url,
            left(text, cast(floor(length(text)/2) as int)) || ' ' ||
            substr(text, cast(floor(length(text)/2) as int) + 1),
            '[ \t\r\n]+', ' ', 'g')) AS stitched_text,
-       2 AS page_count
+       cast(2 as bigint) AS page_count
 FROM documents WHERE doc_id % 10 = 0
 """,
         "singlepage_replace": """
@@ -499,7 +516,7 @@ SELECT doc_id AS media_id,
 FROM documents
 """,
         "media_features": """
-SELECT doc_id AS media_id, 16 AS dim FROM documents WHERE doc_id < 200
+SELECT doc_id AS media_id, cast(16 as bigint) AS dim FROM documents WHERE doc_id < 200
 """,
         "embedding_near_dups": """
 WITH unitv AS (
