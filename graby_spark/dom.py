@@ -572,9 +572,11 @@ class _TreeBuilder(HTMLParser):
 # pins it against HTMLParser (tests/test_properties.py).
 
 _TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
-_ATTR_RE = re.compile(
-    r"""\s*([^\s/>=]+)(\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]*))?"""
-)
+# html.parser's own tolerant attribute regex — keeps the two engines
+# byte-identical on malformed attribute syntax (e.g. quoted bare names)
+from html import parser as _html_parser_mod
+
+_ATTR_RE = _html_parser_mod.attrfind_tolerant
 # raw-text elements: match html.parser's CDATA_CONTENT_ELEMENTS exactly
 # (script/style only) so both engines build identical trees
 _RAWTEXT_CLOSE = {
@@ -676,13 +678,13 @@ def _scan(html: str, builder: "_TreeBuilder") -> None:
                 i += 1
                 continue
             name = am.group(1).lower()
-            if am.group(2) is None:
+            raw = am.group(3)
+            if raw is None:
                 value: str | None = None
             else:
-                raw = am.group(4) if am.group(4) is not None else (
-                    am.group(5) if am.group(5) is not None else am.group(3)
-                )
-                value = unescape(raw) if raw and "&" in raw else raw
+                if raw[:1] == "'" == raw[-1:] or raw[:1] == '"' == raw[-1:]:
+                    raw = raw[1:-1]
+                value = unescape(raw) if "&" in raw else raw
             attrs.append((name, value))
             i = am.end()
         else:

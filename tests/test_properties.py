@@ -91,3 +91,22 @@ def test_fast_parser_matches_stdlib_structured(parts):
     assert serialize(parse_html(html, engine="fast")) == serialize(
         parse_html(html, engine="stdlib")
     )
+
+
+def test_fast_parser_matches_stdlib_on_all_recorded_pages():
+    """Engine equivalence over every recorded real-world page (not just
+    the three goldens): identical serialized trees."""
+    import os
+
+    content = os.path.join(os.path.dirname(__file__), "..", "fixtures", "content")
+    checked = 0
+    for name in sorted(os.listdir(content)):
+        if not name.endswith((".html", ".txt")) or name == "README":
+            continue
+        with open(os.path.join(content, name), "rb") as fh:
+            html = fh.read().decode("utf-8", "replace")
+        fast = serialize(parse_html(html, engine="fast"))
+        std = serialize(parse_html(html, engine="stdlib"))
+        assert fast == std, name
+        checked += 1
+    assert checked >= 15
