@@ -660,6 +660,10 @@ _ATTR_EQ_RE = re.compile(
     r"(?:/@(?P<out>[\w-]+))?$"
 )
 _PLAIN_TAG_RE = re.compile(r"^(?P<rel>\.?)//(?P<tag>[a-zA-Z][\w-]*)$")
+_ATTR_PRESENT_RE = re.compile(
+    r"^(?P<rel>\.?)//(?P<tag>\*|[a-zA-Z][\w-]*)\[@(?P<a1>[\w-]+)(?:\s+or\s+@(?P<a2>[\w-]+))?\]"
+    r"(?:/@(?P<out>[\w-]+))?$"
+)
 
 
 def _norm_tokens(value: str) -> str:
@@ -720,6 +724,26 @@ def _compile_fast(expr: str):
             return list(base.iter(tag))
 
         return eval_plain
+
+    m = _ATTR_PRESENT_RE.match(expr)
+    if m:
+        tag = None if m.group("tag") == "*" else m.group("tag")
+        a1, a2, out_attr = m.group("a1"), m.group("a2"), m.group("out")
+
+        def eval_attr_present(context: Node, root: Node) -> list[Node]:
+            base = context if m.group("rel") else root
+            if not isinstance(base, Element):
+                return []
+            result: list[Node] = []
+            for el in base.iter(tag):
+                if el.has_attr(a1) or (a2 is not None and el.has_attr(a2)):
+                    if out_attr is None:
+                        result.append(el)
+                    elif el.has_attr(out_attr):
+                        result.append(AttrNode(el, out_attr))
+            return result
+
+        return eval_attr_present
 
     if expr == "//*[contains(@style,'display:none') or contains(@style,'visibility:hidden')]":
 
