@@ -372,7 +372,10 @@ class Readability:
         self._kill_breaks(article)
         self._clean(article, "form")
         self._clean(article, "object")
-        self._clean(article, "iframe", allow_known_video=True)
+        # NOTE: iframes survive prune — the reference keeps non-video
+        # embeds (GrabyTest::testCleanupHtmlRemovesDeniedXssAttributes
+        # expects the example.com iframe in the output) and the lemonde
+        # golden keeps its video iframe
         if self._count(article, "h1") == 1:
             self._clean(article, "h1")
         if self._count(article, "h2") == 1:
@@ -468,7 +471,10 @@ class Readability:
                     # short-content removal spares containers that still hold
                     # paragraphs (pinned by the reference wrap_in test,
                     # ContentExtractorTest.php:1204-1254, prune default on)
-                    or (length < 25 and p_count == 0 and (img_count == 0 or img_count > 2))
+                    # only EMPTY containers die on the no-content rule: the
+                    # reference keeps short-text divs (overlay div in the
+                    # XSS pin) while dropping script-only ad slots
+                    or (length == 0 and p_count == 0 and (img_count == 0 or img_count > 2))
                     or (weight < 25 and density > 0.2)
                     or (weight >= 25 and density > 0.5)
                     or ((embed_count == 1 and length < 75) or embed_count > 1)

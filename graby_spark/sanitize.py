@@ -45,6 +45,9 @@ def _clean_element(el: Element) -> None:
             continue
         kept_attrs.append((name, value))
     el.attrs = kept_attrs
+    # htmLawed fills required attributes with defaults (img alt="image")
+    if el.tag == "img" and not el.has_attr("alt"):
+        el.set_attr("alt", "image")
 
 
 def _walk(node: Element) -> None:

@@ -246,3 +246,35 @@ def test_every_recorded_page_extracts_without_error(filename):
     assert isinstance(r.html, str)
     assert isinstance(r.summary, str)
     assert r.title is not None
+
+
+def test_gist_xss_scripts_removed():
+    """GrabyTest::testContentWithXSS — no <script> survives the XSS filter."""
+    r = fetch(
+        "gist-xss.html",
+        "https://gist.githubusercontent.com/nicosomb/94d1e08c42baff9184c313d638de1195/raw/x/gistfile1.txt",
+        xss_filter=True,
+    )
+    assert "<script>" not in r.html
+
+
+def test_xss_denied_attributes():
+    """GrabyTest::testCleanupHtmlRemovesDeniedXssAttributes pins."""
+    from graby_spark.extract import extract_one
+
+    html = (
+        b"<article>"
+        b'<div style="position:fixed;inset:0;z-index:2147483647;background:#fff">overlay</div>'
+        b'<iframe src="https://example.com/embed" srcdoc="&lt;script&gt;alert(document.domain)&lt;/script&gt;"></iframe>'
+        b'<img src="x" onerror="alert(1)" />'
+        b"</article>"
+    )
+    r = extract_one(html, "http://0.0.0.0/", NO_CONFIGS, options=ExtractOptions(xss_filter=True))
+    assert "<div>overlay</div>" in r.html
+    assert 'style=' not in r.html
+    assert 'srcdoc=' not in r.html
+    assert 'onerror=' not in r.html
+    # deviations from the reference pin, both deliberate: we absolutize the
+    # img src (O2 applies uniformly) and D27 marks the childless iframe
+    assert '<img src="http://0.0.0.0/x" alt="image" />' in r.html
+    assert '<iframe src="https://example.com/embed">' in r.html
