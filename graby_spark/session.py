@@ -70,21 +70,41 @@ def ship_package(spark: SparkSession) -> None:
         return
     import graby_spark
 
-    pkg_dir = os.path.dirname(os.path.abspath(graby_spark.__file__))
+    pkg_file = os.path.abspath(graby_spark.__file__)
+    if ".zip" in pkg_file:
+        # already running from a shipped archive (spark-submit --py-files):
+        # workers got the same archive; re-shipping would collide on name
+        sc._graby_spark_shipped = True
+        return
+    pkg_dir = os.path.dirname(pkg_file)
+    import hashlib
     import tempfile
     import zipfile
 
-    zip_path = os.path.join(tempfile.mkdtemp(prefix="graby-spark-"), "graby_spark.zip")
-    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
-            if "__pycache__" in dirpath:
-                continue
-            for name in filenames:
-                if name.endswith(".py"):
-                    full = os.path.join(dirpath, name)
-                    rel = os.path.join(
-                        "graby_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
+    payload: list[tuple[str, bytes]] = []
+    digest = hashlib.sha256()
+    for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+        if "__pycache__" in dirpath:
+            continue
+        for name in sorted(filenames):
+            if name.endswith(".py"):
+                full = os.path.join(dirpath, name)
+                rel = os.path.join("graby_spark", os.path.relpath(full, pkg_dir))
+                with open(full, "rb") as fh:
+                    data = fh.read()
+                payload.append((rel, data))
+                digest.update(rel.encode())
+                digest.update(data)
+    # content-addressed name: a second session shipping identical code is a
+    # no-op instead of a 'does not match contents' collision
+    zip_name = f"graby_spark-{digest.hexdigest()[:12]}.zip"
+    zip_path = os.path.join(tempfile.gettempdir(), zip_name)
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for rel, data in payload:
+                info = zipfile.ZipInfo(rel)  # fixed date → deterministic bytes
+                zf.writestr(info, data)
+        os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     sc._graby_spark_shipped = True
