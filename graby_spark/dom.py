@@ -270,6 +270,24 @@ class Element(Node):
                     yield node
                 stack.extend(reversed(node.children))
 
+    def iter_list(self, tag: str | None = None) -> list["Element"]:
+        """List-returning twin of ``iter`` — measurably faster for the
+        whole-tree scans the XPath fast paths do (no generator resume per
+        element)."""
+        out: list[Element] = []
+        append = out.append
+        stack = list(reversed(self.children))
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            node = pop()
+            if node.__class__ is Element:
+                if tag is None or node.tag == tag:
+                    append(node)
+                if node.children:
+                    extend(reversed(node.children))
+        return out
+
     def iter_with_self(self, tag: str | None = None):
         if tag is None or self.tag == tag:
             yield self

@@ -683,7 +683,7 @@ def _compile_fast(expr: str):
             if not isinstance(base, Element):
                 return []
             out = []
-            for el in base.iter(tag):
+            for el in base.iter_list(tag):
                 for attr, needle in checks:
                     value = el.get(attr)
                     if value is not None and needle in _norm_tokens(value):
@@ -703,7 +703,7 @@ def _compile_fast(expr: str):
             if not isinstance(base, Element):
                 return []
             result: list[Node] = []
-            for el in base.iter(tag):
+            for el in base.iter_list(tag):
                 if el.get(attr) == val:
                     if out_attr is None:
                         result.append(el)
@@ -721,7 +721,7 @@ def _compile_fast(expr: str):
             base = context if m.group("rel") else root
             if not isinstance(base, Element):
                 return []
-            return list(base.iter(tag))
+            return base.iter_list(tag)
 
         return eval_plain
 
@@ -735,7 +735,7 @@ def _compile_fast(expr: str):
             if not isinstance(base, Element):
                 return []
             result: list[Node] = []
-            for el in base.iter(tag):
+            for el in base.iter_list(tag):
                 if el.has_attr(a1) or (a2 is not None and el.has_attr(a2)):
                     if out_attr is None:
                         result.append(el)
@@ -751,7 +751,7 @@ def _compile_fast(expr: str):
             if not isinstance(root, Element):
                 return []
             out = []
-            for el in root.iter():
+            for el in root.iter_list():
                 style = el.get("style")
                 if style and ("display:none" in style or "visibility:hidden" in style):
                     out.append(el)
@@ -765,7 +765,7 @@ def _compile_fast(expr: str):
             if not isinstance(root, Element):
                 return []
             out = []
-            for a in root.iter("a"):
+            for a in root.iter_list("a"):
                 if not any(isinstance(c, Element) for c in a.children) and a.text_content.strip() == "":
                     out.append(a)
             return out
