@@ -175,6 +175,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span arithmetic verified end-to-end: by construction the content
+    block's source width is a pure SQL function of the document."""
+    out = _extracted(spark, sf_dir)
+    return out.select(
+        F.regexp_extract("url", r"/article/(\d+)", 1).cast("long").alias("doc_id"),
+        F.size("spans").cast("long").alias("n_spans"),
+        (F.element_at("spans", 1)["end"] - F.element_at("spans", 1)["start"]).alias("span_len"),
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.simhash_pairs(_dup_corpus(spark, sf_dir), max_hamming=3)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _ship(spark)
+    pairs = dedup.embedding_near_dups_lsh(emb, threshold=0.4)
+    return pairs.select("id_a", "id_b")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -337,6 +360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "extract_spans": q_extract_spans,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -418,6 +444,13 @@ SELECT 'http://printable.example.com/article/' || doc_id AS url,
        'Printable ' || doc_id AS title,
        trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS full_text
 FROM documents WHERE doc_id % 10 = 5
+""",
+        "extract_spans": """
+SELECT doc_id,
+       cast(1 as bigint) AS n_spans,
+       cast(CASE doc_id % 4 WHEN 0 THEN 39 WHEN 1 THEN 41 WHEN 2 THEN 40 ELSE 41 END
+            + length(text) as bigint) AS span_len
+FROM documents
 """,
         "dedup_exact": """
 WITH dup_corpus AS (SELECT doc_id, text FROM documents
