@@ -1063,6 +1063,20 @@ def extract_one(
     extracted.url = url
     extracted.effective_url = effective_url
 
+    # G1/G2: next/single-page links resolve RFC 3986 against the effective
+    # url (Graby.php:389 / :766 via UriResolver::resolve) so the job-level
+    # equi-joins key on the true absolute url ('../p2', 'page2.html', ...).
+    # An unresolvable link stays raw — resolve_multipage treats a surviving
+    # non-absolute link as the reference's makeAbsoluteStr-failure abort.
+    for _attr in ("next_page_url", "single_page_url"):
+        _link = getattr(extracted, _attr)
+        if _link:
+            setattr(
+                extracted,
+                _attr,
+                textutils.make_absolute(effective_url, _link) or _link,
+            )
+
     # image absolutize (O13)
     if extracted.image:
         absolute = textutils.make_absolute(effective_url, extracted.image)
@@ -1186,7 +1200,19 @@ def _handle_mime_action(
 
     if mime_info.get("mime") == "text/plain":
         text = convert_to_utf8(body, content_type)
+        if options.xss_filter:
+            # Graby.php:698 runs the converted body through cleanupXss
+            # before wrapping it in <pre>
+            from .sanitize import sanitize_html
+
+            text = sanitize_html(text)
         result.html = "<pre>" + text + "</pre>"
+
+    if options.xss_filter:
+        # Graby.php:704: ALL handleMimeAction html passes through cleanupXss
+        from .sanitize import sanitize_html
+
+        result.html = sanitize_html(result.html)
 
     result.summary = textutils.excerpt(result.html)
     result.text = _plain_text(result.html)

@@ -230,17 +230,13 @@ def resolve_single_page(
     """
     options = options or ExtractOptions()
 
-    resolved = F.when(
-        F.col("single_page_url").rlike("^https?://"), F.col("single_page_url")
-    ).otherwise(
-        F.concat(
-            F.regexp_extract(F.col("url"), r"^([a-z]+://[^/]+)", 1),
-            F.col("single_page_url"),
-        )
-    )
+    # the extraction UDF already emitted an RFC 3986-absolute
+    # single_page_url (extract_one resolves via textutils.make_absolute);
+    # a surviving non-absolute value means the link was unresolvable —
+    # the reference falls back to the original content then (Graby.php:773)
     with_target = extracted.withColumn(
         "single_abs",
-        F.when(F.col("single_page_url").isNull(), F.lit(None)).otherwise(resolved),
+        F.when(F.col("single_page_url").rlike("^https?://"), F.col("single_page_url")),
     )
     # it must not be the page itself (Graby.php:773)
     candidates = with_target.where(
@@ -277,77 +273,193 @@ def resolve_single_page(
     return kept.unionByName(replacements)
 
 
+#: appended to the root content when a multipage chain aborts
+#: (Graby.php:436-441)
+MULTIPAGE_ABORT_HTML = (
+    "<p><em>This article appears to continue on subsequent pages "
+    "which we could not extract</em></p>"
+)
+MULTIPAGE_ABORT_TEXT = (
+    "This article appears to continue on subsequent pages "
+    "which we could not extract"
+)
+
+
+def _mime_has_action() -> F.Column:
+    """JVM twin of mime_action_info()['action'] presence (Graby.php:411-415):
+    continuation pages whose mime routes to a link/image action abort the
+    multipage merge."""
+    from .extract import CONTENT_TYPE_EXC
+
+    full = [m for m in CONTENT_TYPE_EXC if "/" in m]
+    types = [m for m in CONTENT_TYPE_EXC if "/" not in m]
+    return F.col("mime").isin(full) | F.split(F.col("mime"), "/").getItem(0).isin(types)
+
+
 def resolve_multipage(extracted: DataFrame, max_hops: int = 8) -> DataFrame:
     """Multipage stitch (G1-G3, Graby.php:375-447) as iterative self-joins.
 
-    Chain model: each extracted row may carry ``next_page_url``.  Roots are
-    pages that are not the target of any next-link.  We iteratively join
-    the frontier's next_page_url against page urls (bounded by ``max_hops``
-    like the reference's visited-set guard), then groupBy root and merge
-    bodies with an ordered collect_list — aggregation after chain
-    resolution, exactly the Spark shape SURVEY.md §2.7 calls for.
-    Returns one row per root with stitched html/text.
+    Chain model: each extracted row may carry an (already absolute)
+    ``next_page_url``.  Like the reference (which processes every url as
+    its own request), EVERY page starts a chain; pages consumed as the
+    continuation of another page's SUCCESSFUL chain are dropped from the
+    output, so cycle members and orphaned continuations still get their own
+    row instead of silently vanishing.  Per hop, the frontier's next url
+    joins against page urls; the per-hop step result is
+    ``localCheckpoint``-ed so plan depth stays constant across hops and the
+    per-hop count action reads materialized data.  Reference abort
+    semantics (Graby.php:386-441): a chain whose continuation is
+    unresolvable, missing from the table, already visited (cycle),
+    mime-routed to a non-HTML action, or failed extraction drops ALL
+    continuation content and appends the ``<em>This article appears to
+    continue…`` placeholder to the root content instead.  Merge is a
+    groupBy(root) with an ordered collect_list.
     """
-    pages = extracted.select(
-        "url", "next_page_url", "html", "text", "title", "language", "is_success"
-    ).cache()
-
-    # resolve relative next links against the page url (JVM-side)
-    with_next = pages.withColumn(
-        "next_abs",
-        F.when(F.col("next_page_url").isNull(), F.lit(None)).otherwise(
-            F.when(
-                F.col("next_page_url").rlike("^https?://"), F.col("next_page_url")
-            ).otherwise(
-                F.concat(
-                    F.regexp_extract(F.col("url"), r"^([a-z]+://[^/]+)", 1),
-                    F.col("next_page_url"),
-                )
-            )
-        ),
+    base = (
+        extracted.select(
+            "url",
+            "effective_url",
+            "next_page_url",
+            "html",
+            "text",
+            "title",
+            "language",
+            "is_success",
+            "mime",
+        )
+        .withColumn(
+            # the UDF emits absolute links; a non-absolute survivor is the
+            # makeAbsoluteStr-failure case (Graby.php:390-395) -> abort
+            "next_abs",
+            F.when(F.col("next_page_url").rlike("^https?://"), F.col("next_page_url")),
+        )
+        .withColumn("bad_page", _mime_has_action() | ~F.col("is_success"))
+        .cache()
     )
 
-    # roots: pages nobody links to (left_anti join on the link targets)
-    targets = with_next.select(F.col("next_abs").alias("url")).where(F.col("url").isNotNull())
-    roots = with_next.join(targets, "url", "left_anti")
-
-    chain = roots.select(
+    # multipage applies only to successful roots with a next link
+    # (Graby.php:376: $isMultiPage requires isSuccess && nextPageUrl)
+    is_mp = F.col("is_success") & F.col("next_page_url").isNotNull()
+    root_rows = base.select(
         F.col("url").alias("root_url"),
-        F.col("url").alias("page_url"),
-        F.lit(0).alias("page_no"),
-        F.col("next_abs"),
+        F.col("effective_url").alias("root_eff"),
         F.col("html").alias("page_html"),
         F.col("text").alias("page_text"),
-        F.col("title"),
-        F.col("language"),
-        F.col("is_success"),
+        "title",
+        "language",
+        "is_success",
+        "next_abs",
+        is_mp.alias("is_mp"),
     )
-    frontier = chain.where(F.col("next_abs").isNotNull())
-    all_pages = chain
+
+    # unresolvable next link on a multipage root -> immediate abort
+    abort_roots = [
+        root_rows.where(F.col("is_mp") & F.col("next_abs").isNull()).select("root_url")
+    ]
+    walk = root_rows.where(F.col("is_mp") & F.col("next_abs").isNotNull())
+
+    # visited set per chain (reference seeds it with the effective root url,
+    # Graby.php:380-382; we include both identities of the root)
+    visited = (
+        walk.select("root_url", F.col("root_url").alias("page_url"))
+        .unionByName(walk.select("root_url", F.col("root_eff").alias("page_url")))
+        .distinct()
+    )
+    frontier = walk.select("root_url", F.col("next_abs").alias("page_url"))
+    lookup = base.withColumnRenamed("url", "page_url").select(
+        "page_url",
+        F.lit(True).alias("found"),
+        F.col("html").alias("page_html"),
+        F.col("text").alias("page_text"),
+        "next_abs",
+        "bad_page",
+    )
+
+    collected: list[DataFrame] = []
     hop = 0
     while hop < max_hops:
         hop += 1
-        if frontier.isEmpty():
-            break
-        nxt = (
-            frontier.select("root_url", F.col("next_abs").alias("page_url"), "page_no")
-            .join(with_next.withColumnRenamed("url", "page_url"), "page_url", "inner")
-            .select(
-                "root_url",
-                "page_url",
-                (F.col("page_no") + 1).alias("page_no"),
-                "next_abs",
-                F.col("html").alias("page_html"),
-                F.col("text").alias("page_text"),
-                F.col("title"),
-                F.col("language"),
-                F.col("is_success"),
+        step = (
+            frontier.join(visited, ["root_url", "page_url"], "left_semi")
+            .withColumn("cycle", F.lit(True))
+            .unionByName(
+                frontier.join(visited, ["root_url", "page_url"], "left_anti").withColumn(
+                    "cycle", F.lit(False)
+                )
+            )
+            .join(lookup, "page_url", "left")
+            .localCheckpoint(eager=True)  # constant plan depth per hop
+        )
+        # aborts this hop: cycle, missing page, mime action / failed extract
+        abort_roots.append(
+            step.where(
+                F.col("cycle") | F.col("found").isNull() | F.col("bad_page")
+            ).select("root_url")
+        )
+        good = step.where(~F.col("cycle") & F.col("found").isNotNull() & ~F.col("bad_page"))
+        collected.append(
+            good.select(
+                "root_url", "page_url", F.lit(hop).alias("page_no"), "page_html", "page_text"
             )
         )
-        # cycle guard: stop chains that would revisit the root
-        nxt = nxt.where(F.col("page_url") != F.col("root_url"))
-        all_pages = all_pages.unionByName(nxt)
-        frontier = nxt.where(F.col("next_abs").isNotNull())
+        visited = visited.unionByName(good.select("root_url", "page_url"))
+        frontier = good.where(F.col("next_abs").isNotNull()).select(
+            "root_url", F.col("next_abs").alias("page_url")
+        )
+        if frontier.count() == 0:
+            break
+    else:
+        # chains longer than max_hops: treat as not-fully-extracted (abort)
+        abort_roots.append(frontier.select("root_url"))
+
+    aborted = abort_roots[0]
+    for df in abort_roots[1:]:
+        aborted = aborted.unionByName(df)
+    aborted = aborted.distinct()
+
+    cont_pages = collected[0] if collected else None
+    for df in (collected[1:] if collected else []):
+        cont_pages = cont_pages.unionByName(df)
+    consumed = None
+    if cont_pages is not None:
+        # continuation content of aborted chains is dropped entirely
+        cont_pages = cont_pages.join(aborted, "root_url", "left_anti")
+        # pages merged into another page's successful chain do not also
+        # appear as their own row (the table-mode dedup of the reference's
+        # per-url processing)
+        consumed = cont_pages.select(F.col("page_url").alias("url")).distinct()
+        cont_pages = cont_pages.drop("page_url")
+
+    root_pages = root_rows.select(
+        "root_url",
+        F.lit(0).alias("page_no"),
+        "page_html",
+        "page_text",
+        "title",
+        "language",
+        "is_success",
+    )
+    placeholder = (
+        root_rows.join(aborted, "root_url", "left_semi")
+        .select(
+            "root_url",
+            F.lit(1000000).alias("page_no"),  # always sorts last
+            F.lit(MULTIPAGE_ABORT_HTML).alias("page_html"),
+            F.lit(MULTIPAGE_ABORT_TEXT).alias("page_text"),
+        )
+    )
+    extra = placeholder if cont_pages is None else cont_pages.unionByName(placeholder)
+    all_pages = root_pages.unionByName(
+        extra.select(
+            "root_url",
+            "page_no",
+            "page_html",
+            "page_text",
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("language"),
+            F.lit(True).alias("is_success"),
+        )
+    )
 
     merged = (
         all_pages.groupBy("root_url")
@@ -366,7 +478,11 @@ def resolve_multipage(extracted: DataFrame, max_hops: int = 8) -> DataFrame:
             "is_success",
             F.concat_ws("\n", F.transform("pages", lambda p: p.page_html)).alias("html"),
             F.concat_ws(" ", F.transform("pages", lambda p: p.page_text)).alias("text"),
-            F.size("pages").alias("page_count"),
+            F.size(
+                F.filter("pages", lambda p: p.page_no < F.lit(1000000))
+            ).alias("page_count"),
         )
     )
+    if consumed is not None:
+        merged = merged.join(consumed, "url", "left_anti")
     return merged

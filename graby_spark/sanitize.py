@@ -12,6 +12,7 @@ tests/GrabyTest.php:69).
 from __future__ import annotations
 
 import re
+from html import unescape as html_unescape
 
 from .dom import (
     VOID_ELEMENTS,
@@ -32,6 +33,10 @@ _DENY_TAGS = frozenset(
 _DENY_ATTRS = frozenset(["style", "srcdoc"])
 _EVENT_ATTR_RE = re.compile(r"^on", re.I)
 _BAD_SCHEME_RE = re.compile(r"^\s*(javascript|vbscript|data\s*:(?!image/))", re.I)
+# browsers strip ASCII control chars / whitespace inside URLs before
+# resolving the scheme ("jav\tascript:"), so the scheme check must run on
+# the control-stripped value (htmLawed safe=1 does the same)
+_CTRL_IN_URL_RE = re.compile(r"[\x00-\x20]+")
 _URL_ATTRS = frozenset(["href", "src", "action", "formaction", "poster", "background"])
 
 
@@ -41,7 +46,9 @@ def _clean_element(el: Element) -> None:
         lname = name.lower()
         if lname in _DENY_ATTRS or _EVENT_ATTR_RE.match(lname):
             continue
-        if lname in _URL_ATTRS and _BAD_SCHEME_RE.match(value or ""):
+        if lname in _URL_ATTRS and _BAD_SCHEME_RE.match(
+            _CTRL_IN_URL_RE.sub("", html_unescape(value or ""))
+        ):
             continue
         kept_attrs.append((name, value))
     el.attrs = kept_attrs

@@ -600,45 +600,53 @@ def _matches_test(test: str, node: Node) -> bool:
 
 
 def _eval_step(step: _Step, nodes: list[Node], root: Node) -> list[Node]:
-    out: list[Node] = []
-    seen = set()
+    # XPath 1.0: predicates (position(), last(), ...) apply WITHIN the
+    # candidate list of EACH context node, not over the merged step result
+    # (//div/p[1] selects the first <p> of every div).  Candidates are
+    # therefore kept grouped per context node until all predicates ran;
+    # the merged result dedupes by node identity in context order.
+    groups: list[list[Node]] = []
     if step.axis == "attribute":
         for node in nodes:
             if not isinstance(node, Element):
                 continue
             if step.test == "*":
-                for k, _v in node.attrs:
-                    attr = AttrNode(node, k)
-                    key = _node_key(attr)
-                    if key not in seen:
-                        seen.add(key)
-                        out.append(attr)
+                groups.append([AttrNode(node, k) for k, _v in node.attrs])
+            elif node.has_attr(step.test):
+                groups.append([AttrNode(node, step.test)])
             else:
-                if node.has_attr(step.test):
-                    attr = AttrNode(node, step.test)
-                    key = _node_key(attr)
-                    if key not in seen:
-                        seen.add(key)
-                        out.append(attr)
+                groups.append([])
     else:
         for node in nodes:
-            for cand in _axis_candidates(step.axis, node):
-                if _matches_test(step.test, cand):
-                    key = _node_key(cand)
-                    if key not in seen:
-                        seen.add(key)
-                        out.append(cand)
+            groups.append(
+                [
+                    cand
+                    for cand in _axis_candidates(step.axis, node)
+                    if _matches_test(step.test, cand)
+                ]
+            )
     for pred in step.predicates:
-        filtered: list[Node] = []
-        size = len(out)
-        for i, node in enumerate(out, start=1):
-            value = _eval(pred, _Context(node, i, size, root))
-            if isinstance(value, float):
-                if float(i) == value:
+        next_groups: list[list[Node]] = []
+        for group in groups:
+            size = len(group)
+            filtered: list[Node] = []
+            for i, node in enumerate(group, start=1):
+                value = _eval(pred, _Context(node, i, size, root))
+                if isinstance(value, float):
+                    if float(i) == value:
+                        filtered.append(node)
+                elif _to_bool(value):
                     filtered.append(node)
-            elif _to_bool(value):
-                filtered.append(node)
-        out = filtered
+            next_groups.append(filtered)
+        groups = next_groups
+    out: list[Node] = []
+    seen = set()
+    for group in groups:
+        for node in group:
+            key = _node_key(node)
+            if key not in seen:
+                seen.add(key)
+                out.append(node)
     return out
 
 

@@ -283,3 +283,98 @@ def test_sessionize_stream_stateful(spark, tmp_path_factory):
     # second stays in state until timeout/next batch
     assert len(out) == 3
     assert all(r["events"] == 4 and r["total_value"] == 4.0 for r in out)
+
+
+def _mp_page(url, body_html, next_href=None):
+    import datetime
+
+    link = f'<a class="next" href="{next_href}">next</a>' if next_href else ""
+    html = (
+        '<html lang="en"><head><title>head</title></head><body><h1>T</h1>'
+        f'<div class="article-body"><p>{body_html}</p></div>{link}</body></html>'
+    ).encode()
+    return (url, datetime.datetime(2024, 1, 1), html, "", "en",
+            "text/html; charset=utf-8", 200)
+
+
+def test_multipage_relative_links_and_aborts(spark):
+    """G2 semantics vs Graby.php:375-447: RFC 3986 relative next links
+    ('../x', 'page2.html') resolve and stitch; chains hitting a missing
+    page, a cycle, a mime-action page, or a failed extraction drop ALL
+    continuation content and append the abort placeholder instead."""
+    import datetime
+
+    from graby_spark.job import MULTIPAGE_ABORT_TEXT
+
+    rows = [
+        # chain A: document-relative + dot-dot relative links, 3 pages
+        _mp_page("http://serial.example.com/a/p1", "alpha one", "p2.html"),
+        _mp_page("http://serial.example.com/a/p2.html", "alpha two", "../a/p3"),
+        _mp_page("http://serial.example.com/a/p3", "alpha three"),
+        # chain B: next link target missing from the table -> abort
+        _mp_page("http://serial.example.com/b/p1", "beta one", "/b/p2"),
+        # chain C: cycle (p2 links back to p1) -> abort, continuation dropped
+        _mp_page("http://serial.example.com/c/p1", "gamma one", "/c/p2"),
+        _mp_page("http://serial.example.com/c/p2", "gamma two", "/c/p1"),
+        # chain D: continuation is a mime-action page -> abort
+        _mp_page("http://serial.example.com/d/p1", "delta one", "/d/p2"),
+        # chain E: self-link -> cycle abort
+        _mp_page("http://serial.example.com/e/p1", "eps one", "/e/p1"),
+    ]
+    mime_row = (
+        "http://serial.example.com/d/p2",
+        datetime.datetime(2024, 1, 1),
+        b"\xff\xd8\xff jpeg bytes",
+        "",
+        "en",
+        "image/jpeg",
+        200,
+    )
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string, "
+        "content_type string, http_status int"
+    )
+    pages = spark.createDataFrame(rows + [mime_row], schema)
+    merged = resolve_multipage(
+        run_extraction(spark, pages, pages_ruleset(), options=OPTS)
+    )
+    got = {r["url"]: r for r in merged.collect()}
+
+    a = got["http://serial.example.com/a/p1"]
+    assert a["page_count"] == 3
+    assert a["text"] == "alpha one alpha two alpha three"
+
+    for root, first_word in [
+        ("http://serial.example.com/b/p1", "beta"),
+        ("http://serial.example.com/c/p1", "gamma"),
+        ("http://serial.example.com/d/p1", "delta"),
+        ("http://serial.example.com/e/p1", "eps"),
+    ]:
+        r = got[root]
+        assert r["page_count"] == 1, root
+        assert r["text"].startswith(f"{first_word} one"), root
+        assert MULTIPAGE_ABORT_TEXT in r["text"], root
+        assert "two" not in r["text"], root  # continuation content dropped
+    # non-root pages still appear as their own chains (they ARE link
+    # targets, so they are not roots; only c/p2 and d/p2 are targets here)
+    assert "http://serial.example.com/a/p2.html" not in got
+
+
+def test_multipage_frontier_plan_depth_constant(spark):
+    """The per-hop localCheckpoint keeps chain-resolution plans shallow:
+    a 6-hop chain must not produce a deeper final plan than a 2-hop one."""
+    rows = [_mp_page(f"http://serial.example.com/long/p{i}", f"w{i}",
+                     f"/long/p{i+1}" if i < 6 else None) for i in range(1, 7)]
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string, "
+        "content_type string, http_status int"
+    )
+    pages = spark.createDataFrame(rows, schema)
+    merged = resolve_multipage(run_extraction(spark, pages, pages_ruleset(), options=OPTS))
+    plan = merged._jdf.queryExecution().optimizedPlan().toString()
+    # every hop's step is checkpointed: the stitched plan scans materialized
+    # rdds, not a re-derived 6-deep join tree
+    assert plan.count("LogicalRDD") >= 5
+    row = merged.collect()[0]
+    assert row["page_count"] == 6
+    assert row["text"] == "w1 w2 w3 w4 w5 w6"
