@@ -170,9 +170,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banded candidates + exact-Jaccard verify.  The oracle is the
+    all-pairs exact Jaccard at the same threshold — a value match proves
+    LSH recall 1.0 on this corpus AND the verify math."""
     _ship(spark)
     pairs = dedup.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), threshold=0.9)
-    return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,15 +194,47 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
-def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: deterministic perturbation for planted embedding near-dups: cosine to
+#: the source vector ≈ 0.999 while the max natural pair cosine is ≤ 0.61 —
+#: integer arithmetic + one division, so Spark and DuckDB compute
+#: bit-identical vectors
+_PERTURB_SPARK = (
+    "transform(embedding, (v, i) -> cast(v as double) + "
+    "0.02 * (cast((vec_id * 37 + (i + 1) * 17) % 97 as double) / 97.0 - 0.5))"
+)
+_PERTURB_DUCK = (
+    "list_transform(range(len(embedding)), i -> embedding[i + 1]::DOUBLE + "
+    "0.02 * (((vec_id * 37 + (i + 1) * 17) % 97) / 97.0 - 0.5))"
+)
+_ND_CORPUS_DUCK = f"""nd_corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, {_PERTURB_DUCK} FROM embeddings WHERE vec_id % 25 = 0
+)"""
+
+
+def _nd_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings plus perturbed copies of every 25th vector (planted
+    near-duplicates at cosine ≈ 0.999, ids offset by 1e6)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.where("vec_id % 25 = 0").selectExpr(
+        "vec_id + 1000000 as vec_id", f"{_PERTURB_SPARK} as embedding"
+    )
+    return emb.selectExpr(
+        "vec_id", "transform(embedding, v -> cast(v as double)) as embedding"
+    ).unionByName(planted)
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs at a dedup-grade threshold over the
+    planted-near-dup corpus; oracle = exact all-pairs cosine at the same
+    threshold (recall 1.0 at cosine ≈ 0.999 by bucket-agreement margin)."""
     _ship(spark)
-    pairs = dedup.embedding_near_dups_lsh(emb, threshold=0.4)
+    pairs = dedup.embedding_near_dups_lsh(_nd_corpus(spark, sf_dir), threshold=0.9)
     return pairs.select("id_a", "id_b")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _ship(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash(docs).select("doc", "simhash")
 
@@ -218,10 +253,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN contract where approximate == exact is provable: each planted
+    query's true nearest neighbor is its source vector at cosine ≈ 0.999
+    (next-best natural neighbor ≤ 0.61), so the LSH bucket join + exact
+    rerank must return exactly the exact top-1 — which is the oracle."""
     _ship(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries_df = emb.where("vec_id < 10")
-    topk = similarity.lsh_topk(emb, queries_df, k=5)
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = _nd_corpus(spark, sf_dir).where("vec_id >= 1000000")
+    topk = similarity.lsh_topk(corpus, queries_df, k=1)
     return topk.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
@@ -400,6 +439,31 @@ def oracle_sql() -> dict[str, str]:
     from graby_spark.operators.textstats import STOPWORDS
     stop_en = ",".join(f"'{w}'" for w in STOPWORDS["en"])
 
+    # 60-bit md5 token-hash simhash, computable identically in DuckDB
+    def simhash_cte(src: str) -> str:
+        return f"""toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+  FROM {src}
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id, bits.i AS i,
+         sum(CASE WHEN (h >> bits.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) bits
+  GROUP BY doc_id, bits.i
+), sim AS (
+  SELECT doc_id, cast(sum(CASE WHEN vote > 0 THEN (1::BIGINT << i::INT) ELSE 0 END) as BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+), allsim AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+  FROM {src} d LEFT JOIN sim s USING (doc_id)
+)"""
+
+    unitize = (
+        "list_transform(embedding, x -> x / "
+        "sqrt(list_sum(list_transform(embedding, y -> y * y))))"
+    )
+
     return {
         "extract_meta": f"""
 WITH {expected}
@@ -479,6 +543,80 @@ FROM inter
 JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
 WHERE c * 1.0 / (sa.size + sb.size - c) >= 0.8
+""",
+        "dedup_minhash_lsh": f"""
+WITH {dup_corpus},
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(length(lower(text)) - 5 + 2, 2)),
+           i -> substr(lower(text), i::INT, 5))) AS s
+  FROM dup_corpus
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) * 1.0 /
+         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.9
+""",
+        "dedup_simhash": f"""
+WITH {simhash_cte('documents')}
+SELECT doc_id AS doc, simhash FROM allsim
+""",
+        "dedup_simhash_pairs": f"""
+WITH {dup_corpus},
+{simhash_cte('dup_corpus')}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as BIGINT) AS hamming
+FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        "text_fingerprint": """
+WITH n AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) < 16
+              THEN rpad(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 16, ' ')
+              ELSE regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') END AS p
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, length(p) - 16 + 2),
+                        i -> ('0x' || substr(md5(substr(p, i::INT, 16)), 1, 15))::BIGINT) AS hs
+  FROM n
+), m AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(floor(len(hs) / 16)::INT, 1)),
+                        j -> list_min(hs[(j*16+1)::INT:(j*16+16)::INT])) AS minima
+  FROM g
+)
+SELECT doc_id AS doc,
+       ('0x' || substr(md5(array_to_string(minima, ',')), 1, 15))::BIGINT AS fingerprint
+FROM m
+""",
+        "embedding_near_dups_lsh": f"""
+WITH {_ND_CORPUS_DUCK},
+unitv AS (SELECT vec_id, {unitize} AS u FROM nd_corpus)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(len(a.u)), i -> a.u[i+1] * b.u[i+1])) >= 0.9
+""",
+        "ann_topk_lsh": f"""
+WITH {_ND_CORPUS_DUCK},
+q AS (SELECT vec_id, {unitize} AS u FROM nd_corpus WHERE vec_id >= 1000000),
+c AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE / sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
+      FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(len(q.u)), i -> q.u[i+1] * c.u[i+1])), 8) AS cosine
+  FROM q CROSS JOIN c
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 1
 """,
         "text_token_stats": """
 SELECT doc_id,

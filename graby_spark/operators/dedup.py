@@ -41,6 +41,17 @@ __all__ = [
 _MERSENNE = (1 << 61) - 1
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small parquet inputs scan as a handful of tasks; CPU-heavy per-row
+    stages (signature generation, shingle hashing) inherit that and
+    serialize.  Round-robin repartition up to the cluster's parallelism —
+    a no-op on production inputs that already have enough splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (whitespace-normalized) texts.
 
@@ -117,9 +128,9 @@ def minhash_signatures(
     num_perm: int = 128,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(doc, signature:array<long>) minhash signatures (stable FNV shingle
-    hashes — deterministic across Python workers)."""
-    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    """(doc, signature:array<long>) minhash signatures (stable vectorized
+    shingle hashes — deterministic across Python workers)."""
+    src = _ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")))
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     schema = StructType(
@@ -128,35 +139,69 @@ def minhash_signatures(
     return src.mapInPandas(_minhash_batch_stable(num_perm, shingle_k), schema)
 
 
+# splitmix64 finalizer constants (public-domain mixing function)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
 def _stable_shingle_hashes(text: str, k: int) -> np.ndarray:
-    """FNV-1a over k-char shingles — deterministic across processes."""
-    n = max(len(text) - k + 1, 1)
-    out = np.empty(n, dtype=np.uint64)
+    """Distinct 64-bit hashes of the k-byte shingles of utf-8(text) —
+    fully vectorized: sliding_window_view over the byte array, one
+    polynomial matmul in wrapping uint64 arithmetic, then a splitmix64
+    finalizer for avalanche.  Deterministic across processes (no PYTHONHASHSEED
+    dependence), no per-character Python loop."""
     data = text.encode("utf-8", "replace")
-    # hash characterwise shingles on the unicode string for correctness
-    for i in range(n):
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in text[i : i + k].encode("utf-8", "replace"):
-            h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return (out >> np.uint64(1)).astype(np.int64)  # clear sign bit
+    if len(data) < k:
+        data = data.ljust(k, b" ")
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    # odd base => the polynomial map is a bijection mod 2^64 per position
+    powers = np.uint64(0x100000001B3) ** np.arange(k, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(arr, k)
+    h = (win * powers).sum(axis=1, dtype=np.uint64)
+    h ^= h >> np.uint64(30)
+    h *= _MIX1
+    h ^= h >> np.uint64(27)
+    h *= _MIX2
+    h ^= h >> np.uint64(31)
+    return np.unique(h)
 
 
 def _minhash_batch_stable(num_perm: int, shingle_k: int):
+    # (a*h + b) mod 2^64 mod Mersenne-61 scrambles: a*h deliberately WRAPS
+    # in uint64 (a truly order-preserving affine map would make every
+    # "permutation" pick the same argmin shingle and collapse signatures
+    # to a function of min(h) alone — the classic monotone-multiplier bug)
     rng = np.random.RandomState(42)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    m = np.uint64(_MERSENNE)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
             for doc_id, text in zip(batch["doc"], batch["text"]):
-                hv = np.unique(_stable_shingle_hashes((text or "").lower(), shingle_k))
-                sig = ((np.outer(a, hv) + b[:, None]) % _MERSENNE).min(axis=1)
-                out.append({"doc": doc_id, "signature": sig.tolist()})
+                hv = _stable_shingle_hashes((text or "").lower(), shingle_k)
+                sig = ((a[:, None] * hv[None, :] + b[:, None]) % m).min(axis=1)
+                out.append({"doc": doc_id, "signature": sig.astype(np.int64).tolist()})
             yield pd.DataFrame(out, columns=["doc", "signature"])
 
     return fn
+
+
+def _bands_for_threshold(threshold: float, num_perm: int) -> int:
+    """Threshold-matched banding: pick the band count whose S-curve
+    midpoint (1/b)^(1/r) sits just below the requested threshold, so the
+    candidate set does not explode with sub-threshold pairs (on templated
+    web corpora the mass of 0.3-0.6-jaccard pairs dwarfs the true dups).
+    Miss probability at j >= threshold stays < 1e-3 for all rows."""
+    best = num_perm  # fallback: 1 row per band (max recall, max candidates)
+    for rows in (16, 12, 8, 6, 4, 2, 1):
+        if num_perm % rows:
+            continue
+        b = num_perm // rows
+        if (1.0 / b) ** (1.0 / rows) <= threshold * 0.8:
+            return b
+    return best
 
 
 def minhash_lsh_pairs(
@@ -164,20 +209,31 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 128,
-    bands: int = 32,
+    bands: int | None = None,
     shingle_k: int = 5,
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
     signature → ``bands`` buckets (rows = num_perm/bands hashes hashed
-    together) → groupBy (band, bucket) join for candidates → exact
-    signature-agreement estimate as the verify step.  The candidate join
-    shuffles only (band_id, bucket_hash, doc) — at corpus scale this is the
-    only strategy whose cost does not grow quadratically.
+    together) → groupBy (band, bucket) join for candidates → EXACT
+    ``shingle_k``-char-shingle Jaccard of the candidate pairs as the
+    verify step (the standard candidate-generation + verification dedup
+    shape; the verify uses the SAME similarity space the signatures
+    estimate).  The candidate join shuffles only (band_id, bucket_hash,
+    doc) and the verify join ships shingle arrays for candidate pairs
+    only — at corpus scale this is the only strategy whose cost does not
+    grow quadratically.  Output (doc_a, doc_b, jaccard) equals the
+    all-pairs exact shingle-Jaccard join at the same threshold whenever
+    LSH recall is 1 (which the 32×4 banding gives with overwhelming
+    margin at dedup-grade thresholds ≥0.8) — that containment is what the
+    DuckDB oracle checks.
     """
+    if bands is None:
+        bands = _bands_for_threshold(threshold, num_perm)
     rows = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k).cache()
+    df = _ensure_parallelism(df)
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
     banded = sigs.select(
         "doc",
         F.posexplode(
@@ -194,72 +250,90 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
+    # shingle sets as 60-bit md5 hashes: the intersect joins compare longs,
+    # not 5-char strings (~5x cheaper per pair), and the values match any
+    # SQL engine's md5 bit-for-bit; computed once per DOC, not per pair
+    shingles = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length(lower({text_col})) - {shingle_k} + 1, 1)), "
+                f"i -> cast(conv(substring(md5(substring(lower({text_col}), i, {shingle_k})), 1, 15), 16, 10) as bigint))"
+            )
+        ).alias("sh"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     verified = (
-        cand.join(sigs.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a")), "doc_a")
-        .join(sigs.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda v: v))
-                / F.size("sig_a")
-            ).alias("est_jaccard"),
-        )
-        .where(F.col("est_jaccard") >= threshold)
+        cand.join(shingles.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(shingles.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+#: simhash geometry: 60-bit hash (15 hex chars of md5 — fits signed int64
+#: and is computable identically in ANSI SQL engines), 4 × 15-bit bands
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per document (token-level, FNV token hashes) plus the
-    four 16-bit band keys used for near-dup candidate bucketing."""
+    """60-bit SimHash per document plus the four 15-bit band keys used for
+    near-dup candidate bucketing.
+
+    Pure JVM whole-stage-codegen expressions — zero Python: token hash is
+    the top 60 bits of ``md5(token)`` (portable: any SQL engine with md5
+    computes the identical value, which is what the DuckDB oracle does),
+    the per-bit ±1 vote is one ``aggregate`` over the token array with a
+    60-slot accumulator, so each document is hashed in a single pass with
+    no shuffle at all.
+    """
     src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    schema = StructType(
-        [
-            StructField("doc", src.schema[0].dataType),
-            StructField("simhash", LongType()),
-            StructField("band0", LongType()),
-            StructField("band1", LongType()),
-            StructField("band2", LongType()),
-            StructField("band3", LongType()),
-        ]
+    tokens = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda t: t != "",
     )
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            out = []
-            for doc_id, text in zip(batch["doc"], batch["text"]):
-                tokens = (text or "").lower().split()
-                acc = np.zeros(64, dtype=np.int64)
-                shifts = np.arange(64, dtype=np.uint64)
-                for tok in tokens:
-                    h = 0xCBF29CE484222325
-                    for ch in tok.encode("utf-8", "replace"):
-                        h = (h ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF
-                    bits = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
-                    acc += np.where(bits == 1, 1, -1)
-                value = 0
-                for i in range(64):
-                    if acc[i] > 0:
-                        value |= 1 << i
-                value &= 0x7FFFFFFFFFFFFFFF  # keep in long range
-                out.append(
-                    {
-                        "doc": doc_id,
-                        "simhash": value,
-                        "band0": value & 0xFFFF,
-                        "band1": (value >> 16) & 0xFFFF,
-                        "band2": (value >> 32) & 0xFFFF,
-                        "band3": (value >> 48) & 0xFFFF,
-                    }
-                )
-            yield pd.DataFrame(out, columns=["doc", "simhash", "band0", "band1", "band2", "band3"])
-
-    return src.mapInPandas(fn, schema)
+    # hash every token ONCE (md5 is the expensive step), then vote
+    tok_hashes = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    bit_votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                powers,
+                lambda p: F.when(h.bitwiseAND(p) != 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(-1).cast("long")
+                ),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    value = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            powers,
+            lambda vote, p: F.when(vote > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    out = src.select("doc", value.alias("simhash"))
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    for b in range(SIMHASH_BANDS):
+        out = out.withColumn(
+            f"band{b}",
+            F.shiftright(F.col("simhash"), b * _SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask)),
+        )
+    return out
 
 
 def embedding_near_dups(
@@ -339,9 +413,11 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: candidates share at least one 16-bit
-    band (pigeonhole: any pair within hamming distance 3 of a 64-bit hash
-    must agree on one of 4 bands), verified by exact hamming distance."""
+    """SimHash near-duplicate pairs: candidates share at least one 15-bit
+    band (pigeonhole: any pair within hamming distance 3 of a 60-bit hash
+    must agree on one of 4 bands), verified by exact hamming distance.
+    The band join shuffles only (band, bucket, doc, simhash) — never text —
+    and candidate volume is O(n · bands) at corpus scale."""
     hashes = simhash(df, id_col, text_col).cache()
     bands = hashes.selectExpr(
         "doc", "simhash", "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) as (band, bucket)"

@@ -118,47 +118,56 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 16
 ) -> DataFrame:
-    """Winnowing-style document fingerprint: polynomial rolling hash over
-    the normalized text, minimum hash per window — a compact signature for
-    shift-tolerant duplicate detection.  Vectorized pandas UDF (numpy)."""
-    import numpy as np
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+    """Winnowing-style document fingerprint: hash every ``window``-char
+    gram of the whitespace-normalized text, keep the minimum hash per
+    non-overlapping window of grams — a compact signature for
+    shift-tolerant duplicate detection.
 
+    Pure JVM whole-stage-codegen expressions, zero Python: the gram hash
+    is the top 60 bits of md5 (portable — the DuckDB oracle computes the
+    identical value), grams/minima are array ``transform``s, and the
+    final fingerprint is md5 over the comma-joined minima.
+    """
     src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
-    schema = StructType(
-        [
-            StructField("doc", src.schema[0].dataType),
-            StructField("fingerprint", LongType()),
-            StructField("minima", ArrayType(LongType())),
-        ]
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " "
     )
-    base, mod = 257, (1 << 61) - 1
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            out = []
-            for doc_id, text in zip(batch["doc"], batch["text"]):
-                data = " ".join((text or "").lower().split()).encode("utf-8", "replace")
-                if len(data) < window:
-                    data = data + b" " * (window - len(data))
-                arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-                # rolling polynomial hash of each `window`-byte gram
-                h = 0
-                power = pow(base, window - 1, mod)
-                hashes = np.empty(len(arr) - window + 1, dtype=np.int64)
-                for i in range(window):
-                    h = (h * base + int(arr[i])) % mod
-                hashes[0] = h
-                for i in range(1, len(hashes)):
-                    h = ((h - int(arr[i - 1]) * power) * base + int(arr[i + window - 1])) % mod
-                    hashes[i] = h
-                # winnow: min per non-overlapping window of hashes
-                n_win = max(len(hashes) // window, 1)
-                minima = [int(hashes[i * window : (i + 1) * window].min()) for i in range(n_win)]
-                fp = 0
-                for m in minima:
-                    fp = (fp * 1099511628211 + m) % (1 << 61)
-                out.append({"doc": doc_id, "fingerprint": fp, "minima": minima})
-            yield pd.DataFrame(out, columns=["doc", "fingerprint", "minima"])
-
-    return src.mapInPandas(fn, schema)
+    # rpad TRUNCATES longer strings (Spark and DuckDB both) — pad only
+    # when the normalized text is shorter than one gram
+    padded = F.when(F.length(norm) < window, F.rpad(norm, window, " ")).otherwise(norm)
+    # position-dependent substring inside a lambda needs SQL-expression
+    # form (python F.substring takes plain-int pos only)
+    w = window
+    out = src.select(
+        "doc",
+        padded.alias("_padded"),
+    ).select(
+        "doc",
+        F.expr(
+            f"transform(sequence(1, length(_padded) - {w} + 1), "
+            f"i -> cast(conv(substring(md5(substring(_padded, i, {w})), 1, 15), 16, 10) as bigint))"
+        ).alias("_hashes"),
+    ).select(
+        "doc",
+        F.expr(
+            # floor(), not cast: DuckDB's double->int cast rounds while
+            # Spark's truncates — floor() is identical in both oracles
+            f"transform(sequence(0, greatest(cast(floor(size(_hashes) / {w}) as int) - 1, 0)), "
+            f"j -> array_min(slice(_hashes, j * {w} + 1, {w})))"
+        ).alias("minima"),
+    ).select(
+        "doc",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(",", F.transform("minima", lambda m: m.cast("string")))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("fingerprint"),
+        "minima",
+    )
+    return out.select("doc", "fingerprint", "minima")
