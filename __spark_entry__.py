@@ -159,8 +159,11 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = dedup.exact_duplicates(_dup_corpus(spark, sf_dir))
     return groups.select(
-        F.concat_ws(",", F.transform("doc_ids", lambda d: d.cast("string"))).alias("doc_ids"),
+        "canonical_id",
         "dup_count",
+        F.concat_ws(",", F.transform("sample_ids", lambda d: d.cast("string"))).alias(
+            "sample_ids"
+        ),
     )
 
 
@@ -300,18 +303,31 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(docs).select("doc", "fingerprint")
 
 
+#: real image headers (PNG IHDR 320x240, JPEG SOF0 128x64, GIF 300x200)
+#: prepended to text junk — dimensions come from actual header parsing
+_PNG_HDR = "89504E470D0A1A0A0000000D4948445200000140000000F00806000000"
+_JPEG_HDR = "FFD8FFC00011080040008003"
+_GIF_HDR = "4749463839612C01C800"
+
+
 def q_media_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = docs.selectExpr(
         "doc_id as media_id",
-        "CASE doc_id % 3 "
-        "WHEN 0 THEN concat(X'89504E47', encode(text, 'UTF-8')) "
-        "WHEN 1 THEN concat(X'FFD8FF', encode(text, 'UTF-8')) "
+        "CASE doc_id % 4 "
+        f"WHEN 0 THEN concat(X'{_PNG_HDR}', encode(text, 'UTF-8')) "
+        f"WHEN 1 THEN concat(X'{_JPEG_HDR}', encode(text, 'UTF-8')) "
+        f"WHEN 2 THEN concat(X'{_GIF_HDR}', encode(text, 'UTF-8')) "
         "ELSE encode(text, 'UTF-8') END as payload",
     )
     out = multimodal.attach_media_metadata(media)
     return out.select(
-        "media_id", "mime", F.col("payload_bytes").cast("long").alias("payload_bytes")
+        "media_id",
+        "mime",
+        F.col("payload_bytes").cast("long").alias("payload_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
     )
 
 
@@ -522,10 +538,11 @@ WITH dup_corpus AS (SELECT doc_id, text FROM documents
 grp AS (
   SELECT trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
          count(*) AS dup_count,
-         list_sort(list(doc_id)) AS ids
+         min(doc_id) AS canonical_id,
+         list_sort(list(doc_id))[1:10] AS ids
   FROM dup_corpus GROUP BY 1 HAVING count(*) > 1
 )
-SELECT array_to_string(ids, ',') AS doc_ids, dup_count FROM grp
+SELECT canonical_id, dup_count, array_to_string(ids, ',') AS sample_ids FROM grp
 """,
         "dedup_ngram_jaccard": f"""
 WITH {dup_corpus},
@@ -679,11 +696,14 @@ FROM s
 """.replace("{STOP_EN}", ",".join(f"'{w}'" for w in __import__("graby_spark.operators.textstats", fromlist=["STOPWORDS"]).STOPWORDS["en"])),
         "media_mime_sniff": """
 SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
-            ELSE 'application/octet-stream' END AS mime,
-       CASE doc_id % 3 WHEN 0 THEN octet_length(encode(text)) + 4
-            WHEN 1 THEN octet_length(encode(text)) + 3
-            ELSE octet_length(encode(text)) END AS payload_bytes
+       CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+            WHEN 2 THEN 'image/gif' ELSE 'application/octet-stream' END AS mime,
+       CASE doc_id % 4 WHEN 0 THEN octet_length(encode(text)) + 29
+            WHEN 1 THEN octet_length(encode(text)) + 12
+            WHEN 2 THEN octet_length(encode(text)) + 10
+            ELSE octet_length(encode(text)) END AS payload_bytes,
+       CASE doc_id % 4 WHEN 0 THEN 320 WHEN 1 THEN 128 WHEN 2 THEN 300 END AS width,
+       CASE doc_id % 4 WHEN 0 THEN 240 WHEN 1 THEN 64 WHEN 2 THEN 200 END AS height
 FROM documents
 """,
         "media_features": """

@@ -143,6 +143,16 @@ def main() -> None:
         ).count()
     )
     queries["dedup_exact"] = timed(lambda: dedup.exact_duplicates(docs).count())
+    # Zipf-token corpus: every doc shares a boilerplate tail -> the
+    # token-keyed self-join would blow up quadratically without the
+    # max_df hot-token cap (the skew lever under test)
+    zipf = docs.selectExpr(
+        "doc_id",
+        "concat(text, ' the of and to in is it that was a an on for as by at be this') as text",
+    )
+    queries["dedup_jaccard_zipf"] = timed(
+        lambda: dedup.ngram_jaccard_pairs(zipf, threshold=0.8, max_df=0.5).count()
+    )
     queries["dedup_minhash_lsh"] = timed(
         lambda: dedup.minhash_lsh_pairs(docs, threshold=0.9).count()
     )

@@ -52,22 +52,41 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_cap: int = 10,
+) -> DataFrame:
     """Groups of byte-identical (whitespace-normalized) texts.
 
-    Returns (group_hash, dup_count, doc_ids) for groups with >1 member.
-    One shuffle, map-side partial aggregation; at 100 TB the groupBy key is
-    the 64-bit hash, never the text itself.
+    Returns (group_hash, dup_count, canonical_id, sample_ids) for groups
+    with >1 member.  The groupBy key is the 64-bit hash — the text itself
+    never shuffles — and group payloads are BOUNDED: canonical_id is
+    min(id), sample_ids is the first ``sample_cap`` ids (row_number inside
+    the group), so a pathological mega-group (the empty page, a paywall
+    stub duplicated millions of times at corpus scale) aggregates to one
+    constant-size row instead of an OOM-sized collect_list.  The window
+    and the aggregation share the group_hash partitioning — one shuffle.
     """
+    from pyspark.sql import Window
+
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    return (
-        df.select(F.col(id_col), F.xxhash64(norm).alias("group_hash"))
+    hashed = df.select(F.col(id_col).alias("_id"), F.xxhash64(norm).alias("group_hash"))
+    counts = hashed.groupBy("group_hash").agg(
+        F.count("*").alias("dup_count"), F.min("_id").alias("canonical_id")
+    )
+    w = Window.partitionBy("group_hash").orderBy("_id")
+    samples = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= sample_cap)
         .groupBy("group_hash")
-        .agg(
-            F.count("*").alias("dup_count"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        )
+        .agg(F.sort_array(F.collect_list("_id")).alias("sample_ids"))
+    )
+    return (
+        counts.join(samples, "group_hash")
         .where(F.col("dup_count") > 1)
+        .select("group_hash", "dup_count", "canonical_id", "sample_ids")
     )
 
 
@@ -91,15 +110,35 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Jaccard-similar pairs via the inverted-index join.
 
-    |A∩B| from a token-keyed self-join (shuffle key = token, so hot tokens
-    are the skew concern — callers can pre-filter stopwords), sizes from a
+    |A∩B| from a token-keyed self-join (shuffle key = token), sizes from a
     per-doc count; jaccard = c / (|A|+|B|-c).  Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+
+    Skew lever: hot tokens ('the', boilerplate) each contribute O(df²)
+    join rows — the quadratic blowup that kills this plan on a Zipf
+    corpus.  ``max_df`` (a fraction of the corpus) drops tokens whose
+    document frequency exceeds the cap BEFORE the self-join via a
+    broadcast anti-join against the (tiny by construction) hot-token
+    list; jaccard is then computed over the capped token space for both
+    the intersection AND the sizes, so it stays a true Jaccard of the
+    reduced sets.  Near-identical documents agree on rare tokens anyway,
+    so dedup-grade results are unaffected while join volume drops from
+    Σ df² over stopwords to Σ df² over content tokens.
     """
     tokens = _tokens_df(df, id_col, text_col)
+    if max_df is not None:
+        n_docs = df.count()
+        hot = (
+            tokens.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df * n_docs)
+            .select("token")
+        )
+        tokens = tokens.join(F.broadcast(hot), "token", "left_anti")
     sizes = tokens.groupBy("doc").agg(F.count("*").alias("size"))
     a = tokens.select(F.col("doc").alias("doc_a"), "token")
     b = tokens.select(F.col("doc").alias("doc_b"), "token")
@@ -341,13 +380,19 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_exact_rows: int = 50_000,
 ) -> DataFrame:
     """Cosine-over-threshold pairs.  JVM-side dot products via
-    ``aggregate(zip_with(...))``; pair generation is a range-bucketed
-    self-join on the leading vector component (cheap blocking that stays
-    correct because cosine ≥ t ⇒ leading components are close only after
-    normalization — so for exactness we keep the full join at test scale
-    and expose the LSH path via minhash-style hyperplanes at real scale)."""
+    ``aggregate(zip_with(...))``.
+
+    Pair generation is an all-pairs theta join — exact, but O(n²): the
+    oracle/baseline path.  Above ``max_exact_rows`` input rows the call
+    auto-dispatches to :func:`embedding_near_dups_lsh` (hyperplane-bucket
+    candidates + exact rerank, O(n·tables) shuffle), because the exact
+    join is a scale-killer on a full corpus.  Pass ``max_exact_rows=None``
+    to force the exact join regardless of size."""
+    if max_exact_rows is not None and df.count() > max_exact_rows:
+        return embedding_near_dups_lsh(df, id_col, vec_col, threshold)
     norm = _with_norm(df, id_col, vec_col)
     a = norm.select(F.col("id").alias("id_a"), F.col("unit").alias("unit_a"))
     b = norm.select(F.col("id").alias("id_b"), F.col("unit").alias("unit_b"))
@@ -371,7 +416,7 @@ def embedding_near_dups_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for cosine near-dups: hyperplane-LSH bucket join for
     candidates (O(n·tables) shuffle keyed by bucket), exact cosine rerank of

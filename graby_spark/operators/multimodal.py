@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
+    "jpeg_dims",
     "extract_features",
     "sample_frames",
     "decode_image",
@@ -60,8 +61,36 @@ _MAGIC = [
 ]
 
 
+def jpeg_dims(data: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG SOFn segment — pure header walk, no
+    codec.  Returns None on truncated/invalid streams."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 <= len(data):
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length markers
+            i += 2
+            continue
+        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOFn
+            if i + 9 > len(data):
+                return None
+            h = int.from_bytes(data[i + 5 : i + 7], "big")
+            w = int.from_bytes(data[i + 7 : i + 9], "big")
+            return (w, h)
+        i += 2 + seg_len
+    return None
+
+
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Sniff mime from magic bytes — JVM-side (substring compare), no UDF."""
+    """Sniff mime from magic bytes and parse real image dimensions from
+    the headers — PNG (IHDR) and GIF (logical screen descriptor) are pure
+    JVM substring/conv expressions; JPEG needs a sequential marker walk,
+    done in an Arrow-batched pandas UDF applied ONLY to jpeg rows.
+    No codec is involved: these are header fields."""
     payload = F.col(payload_col)
     mime = F.lit("application/octet-stream")
     for magic, m in reversed(_MAGIC):
@@ -69,7 +98,41 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         mime = F.when(
             F.hex(F.substring(payload, 1, len(magic))) == F.lit(hexv.upper()), F.lit(m)
         ).otherwise(mime)
-    return df.withColumn("mime", mime).withColumn("payload_bytes", F.length(payload))
+
+    def be(pos: int, n: int) -> F.Column:  # big-endian uint from bytes
+        return F.conv(F.hex(F.substring(payload, pos, n)), 16, 10).cast("int")
+
+    png_ok = (F.length(payload) >= 24) & (
+        F.hex(F.substring(payload, 1, 8)) == "89504E470D0A1A0A"
+    ) & (F.hex(F.substring(payload, 13, 4)) == "49484452")
+    gif_ok = F.length(payload) >= 10
+    w_gif = be(8, 1) * 256 + be(7, 1)  # little-endian u16
+    h_gif = be(10, 1) * 256 + be(9, 1)
+
+    from pyspark.sql.types import ArrayType as _Arr
+
+    @F.pandas_udf(_Arr(IntegerType()))
+    def _jpeg_wh(payloads: pd.Series) -> pd.Series:
+        return payloads.map(
+            lambda p: list(jpeg_dims(bytes(p or b"")) or []) or None
+        )
+
+    out = df.withColumn("mime", mime).withColumn("payload_bytes", F.length(payload))
+    out = out.withColumn(
+        "_jwh",
+        F.when(F.col("mime") == "image/jpeg", _jpeg_wh(payload)),
+    )
+    width = (
+        F.when(png_ok & (F.col("mime") == "image/png"), be(17, 4))
+        .when(gif_ok & (F.col("mime") == "image/gif"), w_gif)
+        .when(F.col("mime") == "image/jpeg", F.element_at("_jwh", 1))
+    )
+    height = (
+        F.when(png_ok & (F.col("mime") == "image/png"), be(21, 4))
+        .when(gif_ok & (F.col("mime") == "image/gif"), h_gif)
+        .when(F.col("mime") == "image/jpeg", F.element_at("_jwh", 2))
+    )
+    return out.withColumn("width", width).withColumn("height", height).drop("_jwh")
 
 
 def decode_image(payload: bytes, strict: bool = False) -> np.ndarray:

@@ -79,12 +79,13 @@ def _hyperplanes(dim: int, n_planes: int = _N_PLANES, n_tables: int = _N_TABLES)
 
 
 def lsh_signatures(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", dim: int | None = None
 ) -> DataFrame:
     """(id, table, bucket) random-hyperplane signatures — ``_N_TABLES``
     independent hash tables of ``_N_PLANES`` planes each (multi-table LSH
-    trades bucket-join fanout for recall)."""
-    planes = _hyperplanes(dim)
+    trades bucket-join fanout for recall).  ``dim`` defaults to the actual
+    vector width (planes are a fixed seeded function of dim, so inference
+    is deterministic across executors and runs)."""
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -98,11 +99,14 @@ def lsh_signatures(
     weights = 1 << np.arange(_N_PLANES, dtype=np.int64)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None if dim is None else _hyperplanes(dim)
         for batch in batches:
             if len(batch) == 0:
                 yield pd.DataFrame({"id": [], "table": [], "bucket": []})
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
+            if planes is None:
+                planes = _hyperplanes(mat.shape[1])
             frames = []
             for t in range(_N_TABLES):
                 signs = (mat @ planes[t].T) > 0  # (n, planes)
@@ -123,7 +127,7 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: bucket join on hyperplane signature, exact rerank of
     candidates.  Recall < 1 by construction; rank semantics match

@@ -30,7 +30,32 @@ def docs(spark):
 def test_exact_duplicates(docs):
     groups = dedup.exact_duplicates(docs).collect()
     assert len(groups) == 1
-    assert sorted(groups[0]["doc_ids"]) == [1, 2, 5]
+    assert groups[0]["canonical_id"] == 1
+    assert groups[0]["dup_count"] == 3
+    assert sorted(groups[0]["sample_ids"]) == [1, 2, 5]
+
+
+def test_exact_duplicates_mega_group_bounded(spark):
+    """A pathological mega-group (one text duplicated 50k times) must emit
+    one constant-size row, not a 50k-element collect_list."""
+    df = spark.range(50_000).selectExpr("id as doc_id", "'same page text' as text")
+    rows = dedup.exact_duplicates(df, sample_cap=10).collect()
+    assert len(rows) == 1
+    assert rows[0]["dup_count"] == 50_000
+    assert rows[0]["canonical_id"] == 0
+    assert rows[0]["sample_ids"] == list(range(10))
+
+
+def test_embedding_near_dups_auto_dispatch(spark, embeddings):
+    """Above the cutoff the exact all-pairs join dispatches to the LSH
+    bucket-join plan (Python signature stage visible in the plan); below
+    it stays the pure-JVM theta join."""
+    exact = dedup.embedding_near_dups(embeddings, threshold=0.99)
+    assert "MapInPandas" not in exact._jdf.queryExecution().executedPlan().toString()
+    dispatched = dedup.embedding_near_dups(embeddings, threshold=0.99, max_exact_rows=1)
+    assert "MapInPandas" in dispatched._jdf.queryExecution().executedPlan().toString()
+    got = {(r["id_a"], r["id_b"]) for r in dispatched.collect()}
+    assert got == {(0, 5)}
 
 
 def test_ngram_jaccard(docs):
@@ -42,6 +67,33 @@ def test_ngram_jaccard(docs):
     assert pairs[(1, 5)] == 1.0
     assert 0.5 <= pairs[(1, 3)] < 1.0
     assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_max_df_skew_cap(spark):
+    """Zipf skew lever: universal boilerplate tokens are dropped before the
+    inverted-index self-join, so unrelated docs sharing only stopwords stop
+    qualifying while true near-dups survive."""
+    boiler = "the of and to in is it that was a"
+    rows = [
+        (1, f"alpha beta gamma delta {boiler}"),
+        (2, f"alpha beta gamma delta {boiler}"),       # true dup of 1
+        (3, f"epsilon zeta eta theta iota {boiler}"),  # only boilerplate shared
+        (4, f"kappa lambda mu nu xi {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.6).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.6, max_df=0.9).collect()
+    }
+    assert (1, 2) in uncapped and (1, 2) in capped
+    assert capped == {(1, 2)}  # boilerplate-only overlap gone
+    # the hot-token filter is a broadcast anti-join (no shuffle of tokens)
+    plan = dedup.ngram_jaccard_pairs(df, threshold=0.6, max_df=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
 def test_minhash_lsh(docs):
@@ -148,6 +200,24 @@ def test_media_mime_sniff(spark):
     assert res[1] == "image/png"
     assert res[2] == "image/jpeg"
     assert res[3] == "application/octet-stream"
+
+
+def test_media_image_dims_from_headers(spark):
+    """Real header parsing: PNG IHDR / GIF LSD / JPEG SOF dimensions;
+    truncated headers yield null dims, not garbage."""
+    png = bytes.fromhex("89504E470D0A1A0A0000000D4948445200000140000000F00806000000")
+    jpg = bytes.fromhex("FFD8FFC00011080040008003") + b"junk"
+    gif = bytes.fromhex("4749463839612C01C800")
+    rows = [(1, png + b"tail"), (2, jpg), (3, gif), (4, b"\x89PNG truncated")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    res = {r["media_id"]: (r["mime"], r["width"], r["height"])
+           for r in multimodal.attach_media_metadata(df).collect()}
+    assert res[1] == ("image/png", 320, 240)
+    assert res[2] == ("image/jpeg", 128, 64)
+    assert res[3] == ("image/gif", 300, 200)
+    assert res[4] == ("image/png", None, None)
+    assert multimodal.jpeg_dims(jpg) == (128, 64)
+    assert multimodal.jpeg_dims(b"\xff\xd8\xff") is None
 
 
 def test_media_features_deterministic(spark):
