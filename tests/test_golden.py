@@ -58,14 +58,6 @@ def test_extracted_text_byte_exact(results, name):
     assert plain_text(r.html) == plain_text(case.parsed_content)
 
 
-@pytest.mark.xfail(
-    reason="lifehacker's reference run takes the readability path because "
-    "libxml's recovery breaks the html5 tree before the site-config body "
-    "XPath can match; our parser recovers the tree correctly so the "
-    "site-config path wins. Byte parity here requires replicating libxml's "
-    "parse breakage — tracked for a later round.",
-    strict=True,
-)
 def test_lifehacker_text_byte_exact(results):
     case, r = results["lifehacker"]
     assert plain_text(r.html) == plain_text(case.parsed_content)
@@ -78,13 +70,6 @@ def test_html_byte_exact(results, name):
     assert r.html == case.parsed_content
 
 
-@pytest.mark.xfail(
-    reason="lifehacker full-html depends on the reference's libxml parse "
-    "breakage diverting it to the readability-grab path (see "
-    "test_lifehacker_text_byte_exact); title/summary/language/author are "
-    "byte-exact",
-    strict=True,
-)
 def test_lifehacker_html_byte_exact(results):
     case, r = results["lifehacker"]
     assert r.html == case.parsed_content
