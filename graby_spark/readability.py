@@ -18,6 +18,7 @@ from __future__ import annotations
 import re
 
 from .dom import Document, Element, Node, TextNode, parse_html
+from .dom import _HTML4_TAGS
 
 __all__ = ["Readability"]
 
@@ -137,7 +138,9 @@ class Readability:
         # of a block element's last text (lifehacker '...him. </p>' vs
         # '...height. <!--more--></p>' where the comment preserves it)
         _inline = _PHRASING_TAGS
-        for el in [root] + list(root.iter()):
+        # one traversal shared by all phases (tree walks dominate the cost)
+        nodes = [root] + list(root.iter())
+        for el in nodes:
             if el.tag in ("pre", "script", "style", "textarea"):
                 continue
             kids = el.children
@@ -148,8 +151,11 @@ class Readability:
                 head = data[: len(data) - len(data.lstrip())]
                 tail = data[len(data.rstrip()):]
                 core = data[len(head): len(data) - len(tail)]
-                core = _NL_RUN_RE.sub(" ", core)
-                core = _SP_RUN_RE.sub(" ", core)
+                # fast path: most text has no internal newlines/space runs
+                if "\n" in core or "\r" in core:
+                    core = _NL_RUN_RE.sub(" ", core)
+                if "  " in core or "\t" in core:
+                    core = _SP_RUN_RE.sub(" ", core)
                 if (
                     tail
                     and "\n" not in tail
@@ -157,14 +163,15 @@ class Readability:
                     and el.tag not in _inline
                 ):
                     tail = ""
-                child.data = head + core + tail
+                if head or tail or len(core) != len(data):
+                    child.data = head + core + tail
 
         # tidy drop-empty-paras: an attribute-less empty <p> immediately
         # followed by another <p> is a double-br artifact tidy removes
         # (lifehacker golden); before non-p content the reference keeps it
         # (blogger golden, untidied reference run)
-        for p in list(root.iter("p")):
-            if p.parent is None or p.children or p.attrs:
+        for p in nodes:
+            if p.tag != "p" or p.parent is None or p.children or p.attrs:
                 continue
             sibs = p.parent.children
             i = sibs.index(p)
@@ -174,7 +181,9 @@ class Readability:
             if nxt is not None and nxt.tag == "p":
                 p.detach()
 
-        for el in [root] + list(root.iter()):
+        for el in nodes:
+            if el.parent is None and el is not root:
+                continue  # detached by the empty-p drop
             for child in list(el.children):
                 if isinstance(child, CommentNode):
                     el.remove_child(child)
@@ -203,8 +212,6 @@ class Readability:
             # trailing '\n' separator (lifehacker '</p>\n</blockquote>').
             # Tidy treats tags outside its (HTML4-era) table as inline, so
             # figure/figcaption/section don't trigger this (lemonde pin).
-            from .dom import _HTML4_TAGS
-
             kids = el.children
             if (
                 el.tag in _HTML4_TAGS
@@ -234,10 +241,10 @@ class Readability:
                     tail = last.data[len(last.data.rstrip()):]
                     if "\n" in tail and (" " in tail or "\t" in tail):
                         last.data = last.data.rstrip()
-        self._move_inline_edge_space(root)
+        self._move_inline_edge_space(nodes)
 
-    def _move_inline_edge_space(self, root: Element) -> None:
-        for el in list(root.iter()):
+    def _move_inline_edge_space(self, nodes: list[Element]) -> None:
+        for el in nodes:
             if el.tag not in self._INLINE_TAGS or el.parent is None:
                 continue
             last = el.children[-1] if el.children else None
@@ -458,20 +465,28 @@ class Readability:
 
     def prep_article(self, article: Element) -> None:
         """Cleanup pass over a chosen article element (prune: yes path)."""
-        self._kill_breaks(article)
-        self._clean(article, "form")
-        self._clean(article, "object")
+        # one histogram gates the per-tag passes (skips whole-tree walks
+        # for tags the article does not contain at all)
+        tc = self._subtree_tag_counts(article)
+        if tc.get("br"):
+            self._kill_breaks(article)
+        if tc.get("form"):
+            self._clean(article, "form")
+        if tc.get("object"):
+            self._clean(article, "object")
         # NOTE: iframes survive prune — the reference keeps non-video
         # embeds (GrabyTest::testCleanupHtmlRemovesDeniedXssAttributes
         # expects the example.com iframe in the output) and the lemonde
         # golden keeps its video iframe
-        if self._count(article, "h1") == 1:
+        if tc.get("h1", 0) == 1:
             self._clean(article, "h1")
-        if self._count(article, "h2") == 1:
+        if tc.get("h2", 0) == 1:
             self._clean(article, "h2")
-        self._clean_headers(article)
+        if tc.get("h1") or tc.get("h2"):
+            self._clean_headers(article)
         for tag in ("table", "ul", "div"):
-            self._clean_conditionally(article, tag)
+            if tc.get(tag):
+                self._clean_conditionally(article, tag)
         # NOTE: no empty-paragraph removal here — the reference keeps empty
         # <p/> nodes produced by the double-br conversion (blogger golden);
         # the string-level O9 regex only removes serialized <p></p> pairs.
@@ -527,6 +542,20 @@ class Readability:
 
     _HEADING_123 = ("h1", "h2", "h3")
 
+    @staticmethod
+    def _subtree_tag_counts(el: Element) -> dict:
+        """Tag histogram of a subtree in ONE walk (the per-rule _count
+        calls dominated prepArticle cost otherwise)."""
+        counts: dict[str, int] = {}
+        stack = [el]
+        while stack:
+            node = stack.pop()
+            for child in node.children:
+                if isinstance(child, Element):
+                    counts[child.tag] = counts.get(child.tag, 0) + 1
+                    stack.append(child)
+        return counts
+
     def _clean_conditionally(self, el: Element, tag: str) -> None:
         # children-first (reverse document order), like PHP's reverse walk
         # over the live NodeList: a container emptied by its children's
@@ -535,10 +564,12 @@ class Readability:
         for target in reversed(list(el.iter(tag))):
             if target.parent is None:
                 continue
+            tc = self._subtree_tag_counts(target)
             # containers holding a recognized video embed survive (the
             # lemonde golden keeps its <div><iframe .../video/...></div>)
-            if self._has_video_embed(target):
-                continue
+            if any(t in tc for t in ("iframe", "embed", "object", "video")):
+                if self._has_video_embed(target):
+                    continue
             weight = self._class_weight(target) + self._scores.get(id(target), 0.0)
             text = _inner_text(target)
             # golden-fitted (lifehacker): UI dialogs (role="dialog") are
@@ -546,7 +577,7 @@ class Readability:
             # run drops the login/permalink dialogs but keeps the
             # votes dialog whose content is pure <h3>s
             if (target.get("role") or "").lower() == "dialog" and not any(
-                True for h in self._HEADING_123 for _ in target.iter(h)
+                h in tc for h in self._HEADING_123
             ):
                 target.detach()
                 continue
@@ -557,15 +588,19 @@ class Readability:
                 target.detach()
                 continue
             if text.count(",") + text.count("\uff0c") < 10:
-                p_count = self._count(target, "p")
-                img_count = self._count(target, "img")
-                li_count = self._count(target, "li") - 100
+                p_count = tc.get("p", 0)
+                img_count = tc.get("img", 0)
+                li_count = tc.get("li", 0) - 100
                 # interactive controls count together (button ~ input)
-                input_count = self._count(target, "input") + self._count(target, "button")
-                embed_count = sum(
-                    1
-                    for e in target.iter("embed")
-                    if not self._VIDEO_RE.search(e.get("src") or "")
+                input_count = tc.get("input", 0) + tc.get("button", 0)
+                embed_count = (
+                    sum(
+                        1
+                        for e in target.iter("embed")
+                        if not self._VIDEO_RE.search(e.get("src") or "")
+                    )
+                    if tc.get("embed")
+                    else 0
                 )
                 density = self._link_density(target)
                 length = len(text)
