@@ -181,6 +181,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair generation (minhash LSH) chained into connected components:
+    the full dedup pipeline shape.  Oracle = recursive-CTE transitive
+    closure over the exact shingle-jaccard pairs."""
+    _ship(spark)
+    pairs = dedup.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), threshold=0.9)
+    return dedup.duplicate_clusters(pairs).select("doc", "canonical")
+
+
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span arithmetic verified end-to-end: by construction the content
     block's source width is a pure SQL function of the document."""
@@ -414,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -576,6 +586,28 @@ pairs AS (
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.9
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {dup_corpus},
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(length(lower(text)) - 5 + 2, 2)),
+           i -> substr(lower(text), i::INT, 5))) AS s
+  FROM dup_corpus
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+),
+e AS (SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(node, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN e ON reach.r = e.s
+)
+SELECT node AS doc, min(r) AS canonical FROM reach GROUP BY node
 """,
         "dedup_simhash": f"""
 WITH {simhash_cte('documents')}

@@ -73,19 +73,18 @@ def exact_duplicates(
 
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     hashed = df.select(F.col(id_col).alias("_id"), F.xxhash64(norm).alias("group_hash"))
-    counts = hashed.groupBy("group_hash").agg(
-        F.count("*").alias("dup_count"), F.min("_id").alias("canonical_id")
-    )
+    # all three window specs share the group_hash partitioning, and the
+    # final groupBy re-uses it too -> exactly ONE shuffle in the plan
+    # (asserted by test_exact_duplicates_single_shuffle)
     w = Window.partitionBy("group_hash").orderBy("_id")
-    samples = (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= sample_cap)
-        .groupBy("group_hash")
-        .agg(F.sort_array(F.collect_list("_id")).alias("sample_ids"))
-    )
+    wu = Window.partitionBy("group_hash")
     return (
-        counts.join(samples, "group_hash")
-        .where(F.col("dup_count") > 1)
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(wu))
+        .withColumn("canonical_id", F.min("_id").over(wu))
+        .where((F.col("dup_count") > 1) & (F.col("_rn") <= sample_cap))
+        .groupBy("group_hash", "dup_count", "canonical_id")
+        .agg(F.sort_array(F.collect_list("_id")).alias("sample_ids"))
         .select("group_hash", "dup_count", "canonical_id", "sample_ids")
     )
 
@@ -484,6 +483,76 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc, canonical).
+
+    The step every dedup pipeline needs after pair generation: transitive
+    closure (A~B, B~C ⇒ one cluster) with the minimum doc id as the
+    cluster canonical.  Min-label propagation as iterative joins: each
+    round every node takes min(own label, neighbors' labels); rounds are
+    ``localCheckpoint``-ed so plan depth stays constant and the
+    convergence check reads materialized data.  Dedup clusters have tiny
+    diameters, so convergence is 2-4 rounds in practice; ``max_iter``
+    bounds adversarial chains.  Shuffle per round is keyed by node id —
+    at corpus scale this is the standard CC-over-joins shape (small-star
+    simplification is the next lever if components ever get deep).
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("canonical"))
+
+
+def apply_dedup(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one document per duplicate cluster: drop every clustered doc
+    that is not its cluster's canonical.  Anti-join keyed by id — the
+    corpus never shuffles its payload columns."""
+    losers = clusters.where(F.col("doc") != F.col("canonical")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:

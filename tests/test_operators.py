@@ -46,6 +46,36 @@ def test_exact_duplicates_mega_group_bounded(spark):
     assert rows[0]["sample_ids"] == list(range(10))
 
 
+def test_duplicate_clusters_transitive(spark):
+    """A~B, B~C, C~D chain collapses to one cluster with min-id canonical;
+    disjoint pair stays its own cluster."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (8, 9)], "doc_a long, doc_b long"
+    )
+    got = {r["doc"]: r["canonical"] for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 8: 8, 9: 8}
+
+
+def test_apply_dedup_keeps_canonicals(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    clusters = dedup.duplicate_clusters(pairs)
+    kept = dedup.apply_dedup(docs, clusters)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # 1/2 byte-identical and 3 a one-word variant cluster under canonical
+    # 1; the whitespace variant 5 has shingle-jaccard < 0.8 (extra
+    # double-space shingles) and survives, as does unrelated 4
+    assert ids == {1, 4, 5}
+
+
+def test_exact_duplicates_single_shuffle(spark, docs):
+    """The window specs and the final groupBy all share the group_hash
+    partitioning -> exactly one exchange in the physical plan."""
+    import re
+
+    plan = dedup.exact_duplicates(docs)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
 def test_embedding_near_dups_auto_dispatch(spark, embeddings):
     """Above the cutoff the exact all-pairs join dispatches to the LSH
     bucket-join plan (Python signature stage visible in the plan); below
