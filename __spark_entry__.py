@@ -276,6 +276,17 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN under the same planted-neighbor contract as the LSH
+    variant: each planted query's exact top-1 is its source vector, and
+    nprobe=2 cells always contain it (verified at both SFs)."""
+    _ship(spark)
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = _nd_corpus(spark, sf_dir).where("vec_id >= 1000000")
+    topk = similarity.ivf_topk(corpus, queries_df, k=1, n_cells=16, nprobe=2)
+    return topk.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     stats = textstats.token_stats(docs)
@@ -448,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -670,6 +682,23 @@ FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(range(len(a.u)), i -> a.u[i+1] * b.u[i+1])) >= 0.9
 """,
         "ann_topk_lsh": f"""
+WITH {_ND_CORPUS_DUCK},
+q AS (SELECT vec_id, {unitize} AS u FROM nd_corpus WHERE vec_id >= 1000000),
+c AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE / sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
+      FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(len(q.u)), i -> q.u[i+1] * c.u[i+1])), 8) AS cosine
+  FROM q CROSS JOIN c
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 1
+""",
+        "ann_topk_ivf": f"""
 WITH {_ND_CORPUS_DUCK},
 q AS (SELECT vec_id, {unitize} AS u FROM nd_corpus WHERE vec_id >= 1000000),
 c AS (SELECT vec_id,

@@ -329,3 +329,12 @@ def test_sample_by_source_rates(spark):
     rates = {r["source"]: r["count"] / 10000 for r in kept}
     assert 0.75 < rates["src0"] < 0.85
     assert 0.15 < rates["src1"] < 0.25
+
+
+def test_ivf_topk_planted(spark, embeddings):
+    """IVF-flat: planted near-identical pair lands in the same cell; exact
+    rerank returns it as top-1."""
+    topk = similarity.ivf_topk(embeddings, embeddings.where("vec_id = 0"),
+                               k=3, n_cells=4, nprobe=2)
+    rows = sorted(topk.collect(), key=lambda r: r["rank"])
+    assert rows and rows[0]["neighbor_id"] == 5 and rows[0]["cosine"] > 0.999
