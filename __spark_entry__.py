@@ -392,6 +392,28 @@ def q_agg_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dropDuplicates-with-watermark dedup:
+    first occurrence per content hash in event-time order (the survivor
+    set a replayed stream must equal — test_stream_dedup pins the
+    streaming run against this twin)."""
+    from graby_spark.streaming.stream_dedup import dedup_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.selectExpr(
+        "concat('http://d.example.com/', doc_id) as url",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,doc_id) as warc_ts",
+        "text",
+    ).unionByName(
+        docs.where("doc_id % 10 = 0").selectExpr(
+            "concat('http://mirror.example.com/', doc_id) as url",
+            "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,doc_id + 5000) as warc_ts",
+            "text",
+        )
+    )
+    return dedup_batch(pages).select("url")
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window counts by event_type (batch twin of the
     Structured Streaming windowed aggregation)."""
@@ -469,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mime_sniff": q_media_mime_sniff,
         "media_features": q_media_features,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
+        "stream_dedup": q_stream_dedup,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "join_orders_by_nation": q_join_orders_by_nation,
@@ -847,6 +870,27 @@ FROM lineitem
 WHERE l_shipdate <= '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+""",
+        "stream_dedup": """
+WITH pages AS (
+  SELECT 'http://d.example.com/' || doc_id AS url,
+         TIMESTAMP '2024-01-01' + to_seconds(doc_id) AS warc_ts,
+         text
+  FROM documents
+  UNION ALL
+  SELECT 'http://mirror.example.com/' || doc_id,
+         TIMESTAMP '2024-01-01' + to_seconds(doc_id + 5000),
+         text
+  FROM documents WHERE doc_id % 10 = 0
+), ranked AS (
+  SELECT url,
+         row_number() OVER (
+           PARTITION BY trim(regexp_replace(text, '\\s+', ' ', 'g'))
+           ORDER BY warc_ts, url
+         ) AS rn
+  FROM pages
+)
+SELECT url FROM ranked WHERE rn = 1
 """,
         "events_windowed": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -378,3 +378,46 @@ def test_multipage_frontier_plan_depth_constant(spark):
     row = merged.collect()[0]
     assert row["page_count"] == 6
     assert row["text"] == "w1 w2 w3 w4 w5 w6"
+
+
+def test_stream_dedup_matches_batch_twin(spark, tmp_path_factory):
+    """Streaming dropDuplicates-with-watermark keeps exactly one row per
+    content hash; the survivor set matches the batch twin's first-seen
+    selection (same hash set, one row each)."""
+    import os
+
+    from graby_spark.streaming.stream_dedup import dedup_batch, dedup_stream
+
+    base = str(tmp_path_factory.mktemp("sdedup"))
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = docs.selectExpr(
+        "concat('http://d.example.com/', doc_id) as url",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,doc_id) as warc_ts",
+        "text",
+    )
+    dupes = docs.where("doc_id % 10 = 0").selectExpr(
+        "concat('http://mirror.example.com/', doc_id) as url",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,doc_id + 5000) as warc_ts",
+        "text",
+    )
+    pages.unionByName(dupes).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(in_dir).schema
+    ).parquet(in_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    twin = dedup_batch(spark.read.parquet(in_dir))
+    assert got.count() == twin.count() == 500
+    got_hashes = {r["content_hash"] for r in got.select("content_hash").collect()}
+    twin_hashes = {r["content_hash"] for r in twin.select("content_hash").collect()}
+    assert got_hashes == twin_hashes
