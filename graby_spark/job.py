@@ -198,6 +198,13 @@ def run_extraction(
     if "http_status" not in pages.columns:
         pages = pages.withColumn("http_status", F.lit(200))
 
+    # manual column pruning through the UDF barrier: Catalyst cannot prune
+    # columns past mapInPandas, and every extra input column (the crawl
+    # table's pre-extracted `text`, labels, ...) rides the Arrow socket
+    # into Python for nothing.  Ship exactly what extract_batch reads.
+    needed = ["url", "warc_ts", "html", "lang", "content_type", "http_status"]
+    pages = pages.select(*[c for c in needed if c in pages.columns])
+
     if repartition:
         # explicit partition count: AQE's shuffle coalescing would otherwise
         # merge the (byte-small but CPU-heavy) Python stage down to a handful
@@ -205,7 +212,11 @@ def run_extraction(
         # stage's cost is per-row parse CPU, not bytes
         if partitions is None:
             partitions = spark.sparkContext.defaultParallelism * 2
-        pages = attach_salt(pages, salt=salt, partitions=partitions)
+        # the salt/hash key columns exist only to drive the repartition —
+        # don't ship them over the Arrow socket
+        pages = attach_salt(pages, salt=salt, partitions=partitions).drop(
+            "_salt", "_dhash"
+        )
 
     extracted = pages.mapInPandas(_make_extract_batch(ruleset_bc, options), EXTRACT_SCHEMA)
     return extracted
