@@ -106,6 +106,30 @@ def q_extract_then_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_xss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end run with the htmLawed-style XSS filter ON: planted
+    javascript: hrefs / event handlers are stripped, required img alt is
+    defaulted — the oracle predicts the exact sanitized html."""
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 100")
+    pages = docs.selectExpr(
+        "concat('http://news-0.example.org/article/', cast(doc_id as string)) as url",
+        "timestamp'2024-01-01 00:00:00' as warc_ts",
+        "encode(concat('<html lang=\"', lang, '\"><head><title>T ', cast(doc_id as string), "
+        "'</title></head><body><h1>A</h1><div itemprop=\"articleBody\"><p>', text, "
+        "' <a href=\"javascript:alert(1)\" onclick=\"evil()\">link</a>', "
+        "' <img src=\"http://img.example/i.jpg\" onerror=\"p0wn()\"/></p></div></body></html>'), 'UTF-8') as html",
+        "text",
+        "lang",
+        "'text/html; charset=utf-8' as content_type",
+        "200 as http_status",
+    )
+    out = run_extraction(
+        spark, pages, pages_ruleset(), options=ExtractOptions(xss_filter=True)
+    )
+    return out.select("url", F.col("html").alias("sanitized_html"))
+
+
 def q_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M6 routing: image/zip/text-plain payloads bypass the DOM path."""
     _ship(spark)
@@ -467,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_summary": q_extract_summary,
         "extract_metrics_by_domain": q_extract_metrics_by_domain,
         "extract_then_quality": q_extract_then_quality,
+        "extract_xss": q_extract_xss,
         "mime_route": q_mime_route,
         "multipage_stitch": q_multipage_stitch,
         "singlepage_replace": q_singlepage_replace,
@@ -563,6 +588,13 @@ WITH {expected}
 SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
        count(*) AS docs, count(*) AS ok_docs
 FROM expected GROUP BY 1 ORDER BY 1
+""",
+        "extract_xss": """
+SELECT 'http://news-0.example.org/article/' || doc_id AS url,
+       '<p>' || trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g'))
+            || ' <a>link</a>' || chr(10)
+            || '<img src="http://img.example/i.jpg" alt="image" /></p>' AS sanitized_html
+FROM documents WHERE doc_id < 100
 """,
         "mime_route": """
 SELECT 'http://files.example.com/item/' || doc_id AS url,
