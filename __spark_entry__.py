@@ -148,6 +148,56 @@ def q_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "title", F.col("html").alias("routed_html"))
 
 
+def q_mime_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: real PDF payloads through the mime route — FlateDecode, CMap
+    text extraction, metadata (title/author/creation date) — pinned by the
+    md5 of the produced html (constant: the vendored reference PDF)."""
+    import os as _os
+
+    _ship(spark)
+    pdf_path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "fixtures", "document1.pdf"
+    )
+    pdf_bytes = open(pdf_path, "rb").read()
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+    import datetime as _dt
+
+    rows = [
+        (
+            f"http://files.example.com/doc/{i}.pdf",
+            _dt.datetime(2024, 1, 1),
+            pdf_bytes,
+            "",
+            "en",
+            "application/pdf",
+            200,
+        )
+        for i in range(20)
+    ]
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("html", BinaryType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("content_type", StringType()),
+            StructField("http_status", IntegerType()),
+        ]
+    )
+    pages = spark.createDataFrame(rows, schema)
+    out = run_extraction(spark, pages, pages_ruleset(), options=_OPTS)
+    return out.select(
+        "url",
+        "title",
+        F.col("date").alias("pub_date"),
+        F.concat_ws(",", "authors").alias("author_names"),
+        F.md5(F.col("html")).alias("html_md5"),
+    )
+
+
 def q_multipage_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship(spark)
     pages = build_multipage_pages_df(spark, sf_dir)
@@ -493,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_then_quality": q_extract_then_quality,
         "extract_xss": q_extract_xss,
         "mime_route": q_mime_route,
+        "mime_pdf": q_mime_pdf,
         "multipage_stitch": q_multipage_stitch,
         "singlepage_replace": q_singlepage_replace,
         "dedup_exact": q_dedup_exact,
@@ -604,6 +655,14 @@ SELECT 'http://files.example.com/item/' || doc_id AS url,
          WHEN 1 THEN '<a href="http://files.example.com/item/' || doc_id || '">Download ZIP</a>'
          ELSE '<pre>' || text || '</pre>' END AS routed_html
 FROM documents
+""",
+        "mime_pdf": """
+SELECT 'http://files.example.com/doc/' || i || '.pdf' AS url,
+       'Document1' AS title,
+       '2013-09-01T22:20:38+02:00' AS pub_date,
+       'Sebastien MALOT' AS author_names,
+       'fe4113bb70d850fa0c4eca50ff6276ad' AS html_md5
+FROM range(20) t(i)
 """,
         "multipage_stitch": """
 SELECT 'http://serial.example.com/article/' || doc_id AS url,
