@@ -398,10 +398,20 @@ class Document(Element):
 
 
 class _TreeBuilder(HTMLParser):
-    """Recovering HTML parser producing our Document tree."""
+    """Recovering HTML parser producing our Document tree.
 
-    def __init__(self) -> None:
+    ``profile='libxml'`` (default) reproduces libxml2 recovery quirks —
+    areBlanks whitespace dropping per the allowPCData table (the behavior
+    graby's default ``parser: libxml`` sees through PHP's DOMDocument).
+    ``profile='html5'`` keeps every whitespace-only text node like an
+    html5 tree builder does (graby's ``parser: html5`` / html5-php path);
+    the implied-close/list-scope rules are shared (both engines agree on
+    them for the constructs graby meets).
+    """
+
+    def __init__(self, profile: str = "libxml") -> None:
         super().__init__(convert_charrefs=True)
+        self.profile = profile
         self.document = Document()
         self.stack: list[Element] = []
         self._saw_html = False
@@ -560,7 +570,11 @@ class _TreeBuilder(HTMLParser):
             self.stack = []
             self._ensure_body()
         cur = self._current()
-        if data.strip() == "" and self._drops_blank(cur):
+        if (
+            data.strip() == ""
+            and self.profile != "html5"
+            and self._drops_blank(cur)
+        ):
             return
         if cur.children and isinstance(cur.children[-1], TextNode):
             cur.children[-1].data += data
@@ -760,13 +774,15 @@ def _scan(html: str, builder: "_TreeBuilder") -> None:
         pos = i
 
 
-def parse_html(html: str, engine: str = "fast") -> Document:
+def parse_html(html: str, engine: str = "fast", profile: str = "libxml") -> Document:
     """Parse an HTML string into a Document, never raising on bad markup.
 
     ``engine='fast'`` uses the one-pass scanner above; ``'stdlib'`` drives
     the same tree builder through html.parser.HTMLParser (kept for
-    differential testing and as a fallback)."""
-    builder = _TreeBuilder()
+    differential testing and as a fallback).  ``profile`` picks the
+    recovery semantics: 'libxml' (graby default) or 'html5' (site configs
+    with ``parser: html5``)."""
+    builder = _TreeBuilder(profile=profile)
     try:
         if engine == "fast":
             _scan(html, builder)

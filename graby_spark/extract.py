@@ -503,7 +503,12 @@ def process(
             html = html.replace(find, replace)
 
     use_tidy = site_config.tidy_enabled() and smart_tidy
-    readability = Readability(html, url, tidy=use_tidy, post_filters=options.post_filters)
+    # D1 parser select (SiteConfig.php:263-270): 'libxml' (default) or
+    # 'html5' — the profiles differ in whitespace recovery semantics
+    parser = site_config.parser or "libxml"
+    readability = Readability(
+        html, url, tidy=use_tidy, post_filters=options.post_filters, parser=parser
+    )
     dom = readability.dom
 
     result = ExtractedContent(url=url, effective_url=url)

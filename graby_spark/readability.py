@@ -105,9 +105,11 @@ class Readability:
         url: str = "",
         tidy: bool = True,
         post_filters: dict[str, str] | None = None,
+        parser: str = "libxml",
     ) -> None:
         self.original_html = html
         self.url = url
+        self.parser = parser
         self.tidied = tidy
         if tidy:
             html = self._DOUBLE_BR_RE.sub("</p><p>", html)
@@ -116,7 +118,7 @@ class Readability:
                 html = re.sub(pattern, replacement, html)
             except re.error:
                 continue
-        self.dom: Document = parse_html(html)
+        self.dom: Document = parse_html(html, profile=parser)
         if tidy:
             self._tidy_pass(self.dom)
         self.success: bool | None = None

@@ -118,3 +118,33 @@ def test_normalize_merges_text():
 def test_never_raises_on_garbage():
     for bad in ["", "<", "<<<>>>", "<a b=", "\x00\x01", "<html><body>" * 100]:
         parse_html(bad)  # must not raise
+
+
+def test_parser_profiles_whitespace():
+    """D1: 'libxml' drops blanks per the allowPCData table; 'html5' keeps
+    every whitespace-only node like an html5 tree builder."""
+    from graby_spark.dom import parse_html, serialize
+
+    html = "<body><figure>\n<img src='x'>\n</figure><ul>\n<li>a</li>\n</ul></body>"
+    libxml = serialize(parse_html(html))
+    html5 = serialize(parse_html(html, profile="html5"))
+    assert "<figure><img" in libxml          # leading blank dropped (unknown tag)
+    assert "<figure>\n<img" in html5          # html5 keeps it
+    assert "<ul><li>" in libxml               # ol/ul: no PCDATA -> dropped
+    assert "<ul>\n<li>" in html5
+
+
+def test_parser_directive_selects_profile():
+    """site config 'parser: html5' flows into the Readability parse."""
+    from graby_spark.extract import process, ExtractOptions
+    from graby_spark.siteconfig import parse_lines
+
+    from graby_spark.dom import serialize
+
+    cfg5 = parse_lines(["body: //div[@id='c']", "parser: html5", "prune: no", "tidy: no"])
+    cfgx = parse_lines(["body: //div[@id='c']", "prune: no", "tidy: no"])
+    html = "<html><body><div id='c'><ul>\n<li>x</li></ul></div></body></html>"
+    r5 = process(html, "http://x/", None, site_config=cfg5, options=ExtractOptions(xss_filter=False))
+    rx = process(html, "http://x/", None, site_config=cfgx, options=ExtractOptions(xss_filter=False))
+    assert "<ul>\n<li>" in serialize(r5.content)
+    assert "<ul><li>" in serialize(rx.content)
