@@ -391,6 +391,14 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical quality: mean unigram log10-prob per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.unigram_logprob(docs).select(
+        "doc", F.col("n_tokens").cast("long").alias("n_tokens"), "mean_logprob"
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -561,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_logprob": q_text_logprob,
         "text_fingerprint": q_text_fingerprint,
         "pack_sequences": q_pack_sequences,
         "sample_mix": q_sample_mix,
@@ -765,6 +774,19 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        cast(bit_count(xor(a.simhash, b.simhash)) as BIGINT) AS hamming
 FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        "text_logprob": """
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, count(*) AS tf FROM toks GROUP BY token
+), total AS (SELECT count(*) AS n FROM toks)
+SELECT doc, count(*) AS n_tokens,
+       round(avg(log10(tf * 1.0 / (SELECT n FROM total))), 6) AS mean_logprob
+FROM toks JOIN vocab USING (token)
+GROUP BY doc
 """,
         "text_fingerprint": """
 WITH n AS (

@@ -20,6 +20,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprints",
+    "unigram_logprob",
     "STOPWORDS",
 ]
 
@@ -171,3 +172,39 @@ def fingerprints(
         "minima",
     )
     return out.select("doc", "fingerprint", "minima")
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-statistical quality signal: mean unigram log10-probability
+    per document under the corpus's own unigram distribution (the classic
+    cheap 'LM perplexity' stand-in for web-text filtering — gibberish and
+    boilerplate-stuffed documents score far from the corpus mode).
+
+    Two aggregations, both shuffled on the token: global counts (the
+    model) and per-doc scoring via an equi-join on token.  At corpus
+    scale the vocabulary side is Zipf-bounded (vastly smaller than the
+    corpus) and the join is the standard inverted-index shape; every
+    expression is JVM-side and ANSI-SQL expressible (oracle-checkable).
+    Returns (id, n_tokens, mean_logprob rounded to 6 digits).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    total = toks.count()
+    vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    scored = (
+        toks.join(vocab, "token")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log10(F.col("tf") / F.lit(float(total)))), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    return scored

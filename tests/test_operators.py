@@ -338,3 +338,15 @@ def test_ivf_topk_planted(spark, embeddings):
                                k=3, n_cells=4, nprobe=2)
     rows = sorted(topk.collect(), key=lambda r: r["rank"])
     assert rows and rows[0]["neighbor_id"] == 5 and rows[0]["cosine"] > 0.999
+
+
+def test_unigram_logprob(spark):
+    rows = [
+        (1, "the the the the"),          # all high-frequency tokens
+        (2, "the zzzquux the the"),      # one hapax drags the mean down
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc"]: r["mean_logprob"] for r in textstats.unigram_logprob(df).collect()}
+    assert res[1] > res[2]
+    import math
+    assert math.isclose(res[1], math.log10(7/8), rel_tol=1e-4)
