@@ -111,7 +111,7 @@ class Readability:
         self.url = url
         self.parser = parser
         self.tidied = tidy
-        if tidy:
+        if tidy and ("<br" in html or "<BR" in html or "<Br" in html or "<bR" in html):
             html = self._DOUBLE_BR_RE.sub("</p><p>", html)
         for pattern, replacement in (post_filters or {}).items():
             try:

@@ -47,9 +47,11 @@ _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RUN_RE = re.compile(r"[\n\r\t ]+")
 if _regex is not None:
     _EDGE_SPACE_RE = _regex.compile(r"^[\pZ\pC]+|[\pZ\pC]+$")
+    _LEAD_SPACE_RE = _regex.compile(r"^[\pZ\pC]+")
     _EMPTY_P_RE = _regex.compile(r"<p>[\s\h\v]*</p>")
 else:  # pragma: no cover
     _EDGE_SPACE_RE = re.compile(r"^\s+|\s+$")
+    _LEAD_SPACE_RE = re.compile(r"^\s+")
     _EMPTY_P_RE = re.compile(r"<p>\s*</p>")
 
 _EMPTY_LINE_RE = re.compile(r"^[ \t]*[\r\n]+", re.M)
@@ -63,6 +65,10 @@ _IE_COND_RE = re.compile(r"<!--\[if[^>]*>.*?(<!\[endif\]-->|<!-- <!\[endif\] -->
 
 def excerpt(text: str, length: int = 250, separator: str = " &hellip;") -> str:
     """250-char word-boundary excerpt of an HTML string."""
+    if len(text) > 8192:
+        early = _excerpt_from_prefix(text, length, separator)
+        if early is not None:
+            return early
     text = _TAG_RE.sub(" ", text)
     text = _EDGE_SPACE_RE.sub("", text)
     text = _WS_RUN_RE.sub(" ", text).strip(" ")
@@ -72,6 +78,64 @@ def excerpt(text: str, length: int = 250, separator: str = " &hellip;") -> str:
             return text
         return text[:breakpoint_].rstrip() + separator
     return text
+
+
+def _excerpt_from_prefix(text: str, length: int, separator: str) -> str | None:
+    """Early-exit twin of ``excerpt`` for long documents.
+
+    The full pipeline detags and whitespace-collapses the WHOLE document to
+    emit a ~250-char excerpt — O(doc) for an O(length) result.  This variant
+    consumes tag-boundary-aligned prefixes until the collapsed text provably
+    pins the same breakpoint the full pipeline would find, and returns None
+    (caller falls back to the exact full pass) whenever that cannot be
+    proven from a prefix alone.
+
+    Exactness: with P = collapse(lead-strip(detag(prefix))) and F the same
+    over the full document, F[:len(P)] == P — tag→space substitution is
+    local, the leading edge-strip is shared, and a whitespace run or word
+    that continues past the prefix can only EXTEND P's final character run,
+    never rewrite earlier indices.  So any space found at index
+    ``length <= bp <= len(P) - 2`` is the full pipeline's first breakpoint,
+    and P[:bp] is stable.
+
+    Text segments may be truncated mid-run: a raw prefix may end at ANY
+    character boundary outside a tag, so only tag spans must be consumed
+    whole.  If the first ``target`` raw characters are too
+    whitespace-dominated to pin a breakpoint (rare), return None rather
+    than iterating — the exact full pass costs one extra scan.
+    """
+    target = 8 * (length + 2) + 64
+    parts: list[str] = []
+    raw_len = 0
+    pos = 0
+    it = _TAG_RE.finditer(text)
+    while raw_len < target:
+        m = next(it, None)
+        if m is None:
+            # tail after the last tag
+            seg = text[pos : pos + (target - raw_len)]
+            if pos + len(seg) >= len(text):
+                return None  # whole document consumed; use the exact path
+            parts.append(seg)
+            break
+        start, end = m.span()
+        if start > pos:
+            seg = text[pos:start]
+            need = target - raw_len
+            if len(seg) >= need:
+                parts.append(seg[:need])
+                break
+            parts.append(seg)
+            raw_len += len(seg)
+        parts.append(" ")
+        raw_len += 1
+        pos = end
+    collapsed = _WS_RUN_RE.sub(" ", _LEAD_SPACE_RE.sub("", "".join(parts)))
+    if len(collapsed) > length + 1:
+        breakpoint_ = collapsed.find(" ", length)
+        if 0 <= breakpoint_ <= len(collapsed) - 2:
+            return collapsed[:breakpoint_].rstrip() + separator
+    return None
 
 
 _TRACKER_PARAM_RE = re.compile(r"^(utm_|mtm_)")

@@ -110,3 +110,48 @@ def test_fast_parser_matches_stdlib_on_all_recorded_pages():
         assert fast == std, name
         checked += 1
     assert checked >= 15
+
+
+def _excerpt_reference(text, length=250, separator=" &hellip;"):
+    """The pre-fast-path excerpt pipeline, kept verbatim as the oracle for
+    the prefix early-exit (textutils._excerpt_from_prefix)."""
+    from graby_spark.textutils import _TAG_RE, _EDGE_SPACE_RE, _WS_RUN_RE
+
+    text = _TAG_RE.sub(" ", text)
+    text = _EDGE_SPACE_RE.sub("", text)
+    text = _WS_RUN_RE.sub(" ", text).strip(" ")
+    if len(text) > length:
+        breakpoint_ = text.find(" ", length)
+        if breakpoint_ < 0:
+            return text
+        return text[:breakpoint_].rstrip() + separator
+    return text
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.text(alphabet=" \t\r\n\xa0 ab<>/c", max_size=30),
+            st.sampled_from(["<p class='x'>", "</p>", "<br/>", "word "]),
+        ),
+        max_size=400,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_excerpt_fast_path_matches_full(parts):
+    # pad with a long tail so len(text) > 8192 takes the prefix fast path
+    text = "".join(parts) + ("<i>t</i> tail word " * 600)
+    assert excerpt(text) == _excerpt_reference(text)
+
+
+@given(st.text(alphabet=" \t\r\n\x0b\x0c\xa0<>/abc", max_size=600))
+@settings(max_examples=300, deadline=None)
+def test_plain_text_matches_regex_twin(text):
+    import re
+
+    from graby_spark.extract import _plain_text
+
+    tag = re.compile(r"<[^>]+>")
+    ws = re.compile(r"[ \t\r\n]+")
+    expected = ws.sub(" ", tag.sub(" ", text)).strip()
+    assert _plain_text(text) == expected
