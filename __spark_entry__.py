@@ -405,6 +405,82 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(docs).select("doc", "fingerprint")
 
 
+# SQL-synthesized line/paragraph structure shared (verbatim dialect-neutral
+# expression) by the Spark queries and their DuckDB oracles: one branch
+# plants whole-document paragraph repetition, the other duplicate lines.
+_REPETITION_SYNTH = (
+    "CASE WHEN doc_id % 3 = 0 "
+    "THEN concat(text, chr(10), chr(10), text, chr(10), chr(10), text) "
+    "ELSE concat(text, chr(10), 'boilerplate line one', chr(10), 'boilerplate line one') "
+    "END"
+)
+
+# bullet + trailing-ellipsis structure for the Gopher filter
+_GOPHER_SYNTH = (
+    "CASE WHEN doc_id % 7 = 0 "
+    "THEN concat('- bullet item', chr(10), text, '...') "
+    "ELSE text END"
+)
+
+# shared boilerplate paragraphs for cross-corpus paragraph dedup
+_PARA_SYNTH = (
+    "concat('SHARED HEADER BOILERPLATE', chr(10), chr(10), text, chr(10), chr(10), "
+    "CASE WHEN doc_id % 2 = 0 THEN 'SHARED FOOTER' "
+    "ELSE concat('unique footer ', cast(doc_id AS STRING)) END)"
+)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals over a corpus with planted duplicate
+    lines and paragraphs (Rae et al. 2021 A1.1)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", f"{_REPETITION_SYNTH} as text")
+    return textstats.repetition_stats(planted).select(
+        "doc",
+        F.col("char_count").cast("long").alias("char_count"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        "dup_para_frac",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        "dup_5gram_frac",
+        "top_bigram_char_frac",
+    )
+
+
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality gate (word count / word length / symbol
+    ratio / bullet + ellipsis lines / alphabetic words / stop words)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", f"{_GOPHER_SYNTH} as text")
+    return textstats.gopher_quality_filter(planted).select(
+        "doc",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_frac",
+        "ellipsis_frac",
+        "alpha_word_frac",
+        "stop_hits",
+        "passes_gopher",
+    )
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus paragraph dedup: planted shared
+    header/footer paragraphs survive only at their first corpus-order
+    occurrence; documents are reassembled from surviving paragraphs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", f"{_PARA_SYNTH} as text")
+    out = dedup.paragraph_dedup(planted)
+    return out.select(
+        "doc",
+        "n_paras",
+        "n_kept",
+        F.md5("text_dedup").alias("text_md5"),
+    )
+
+
 #: real image headers (PNG IHDR 320x240, JPEG SOF0 128x64, GIF 300x200)
 #: prepended to text junk — dimensions come from actual header parsing
 _PNG_HDR = "89504E470D0A1A0A0000000D4948445200000140000000F00806000000"
@@ -571,6 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_logprob": q_text_logprob,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_gopher": q_text_gopher,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "pack_sequences": q_pack_sequences,
         "sample_mix": q_sample_mix,
         "media_mime_sniff": q_media_mime_sniff,
@@ -809,6 +888,109 @@ WITH n AS (
 SELECT doc_id AS doc,
        ('0x' || substr(md5(array_to_string(minima, ',')), 1, 15))::BIGINT AS fingerprint
 FROM m
+""",
+        "text_repetition": """
+WITH planted AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+    THEN concat(text, chr(10), chr(10), text, chr(10), chr(10), text)
+    ELSE concat(text, chr(10), 'boilerplate line one', chr(10), 'boilerplate line one')
+    END AS text
+  FROM documents
+), base AS (
+  SELECT doc_id AS doc,
+    length(trim(text)) AS char_count,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
+    list_filter(list_transform(string_split(text, chr(10) || chr(10)), p -> trim(p)), p -> p <> '') AS paras,
+    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+  FROM planted
+), grams AS (
+  SELECT doc, char_count, lines, paras,
+    list_transform(range(1, greatest(len(toks) - 1, 0) + 1), i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2,
+    list_transform(range(1, greatest(len(toks) - 2, 0) + 1), i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS g3,
+    list_transform(range(1, greatest(len(toks) - 4, 0) + 1), i -> array_to_string(list_slice(toks, i, i + 4), ' ')) AS g5
+  FROM base
+), top AS (
+  SELECT doc, max(cnt * length(gram)) AS top_chars FROM (
+    SELECT doc, gram, count(*) AS cnt
+    FROM (SELECT doc, unnest(g2) AS gram FROM grams)
+    GROUP BY doc, gram
+  ) GROUP BY doc
+)
+SELECT g.doc,
+  g.char_count::BIGINT AS char_count,
+  len(g.lines)::BIGINT AS n_lines,
+  CASE WHEN len(g.lines) > 0 THEN round((len(g.lines) - len(list_distinct(g.lines))) / len(g.lines), 6) ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN len(g.paras) > 0 THEN round((len(g.paras) - len(list_distinct(g.paras))) / len(g.paras), 6) ELSE 0.0 END AS dup_para_frac,
+  CASE WHEN len(g.g2) > 0 THEN round((len(g.g2) - len(list_distinct(g.g2))) / len(g.g2), 6) ELSE 0.0 END AS dup_bigram_frac,
+  CASE WHEN len(g.g3) > 0 THEN round((len(g.g3) - len(list_distinct(g.g3))) / len(g.g3), 6) ELSE 0.0 END AS dup_trigram_frac,
+  CASE WHEN len(g.g5) > 0 THEN round((len(g.g5) - len(list_distinct(g.g5))) / len(g.g5), 6) ELSE 0.0 END AS dup_5gram_frac,
+  CASE WHEN g.char_count > 0 THEN round(coalesce(t.top_chars, 0) / g.char_count, 6) ELSE 0.0 END AS top_bigram_char_frac
+FROM grams g LEFT JOIN top t USING (doc)
+""",
+        "text_gopher": """
+WITH planted AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+    THEN concat('- bullet item', chr(10), text, '...')
+    ELSE text END AS text
+  FROM documents
+), base AS (
+  SELECT doc_id AS doc, trim(text) AS t,
+    list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS words,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines
+  FROM planted
+), m AS (
+  SELECT doc, words, lines,
+    len(words) AS n_words,
+    CASE WHEN len(words) > 0 THEN list_sum(list_transform(words, w -> length(w))) / len(words) ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(words) > 0 THEN (length(regexp_replace(t, '[^#]', '', 'g')) + len(string_split(t, '...')) - 1) / len(words) ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, '•'))) / len(lines) ELSE 0.0 END AS bullet_frac,
+    CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> ends_with(l, '...'))) / len(lines) ELSE 0.0 END AS ellipsis_frac,
+    CASE WHEN len(words) > 0 THEN len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) / len(words) ELSE 0.0 END AS alpha_word_frac,
+    (list_contains(list_transform(words, w -> lower(w)), 'the')::INT
+     + list_contains(list_transform(words, w -> lower(w)), 'of')::INT
+     + list_contains(list_transform(words, w -> lower(w)), 'and')::INT
+     + list_contains(list_transform(words, w -> lower(w)), 'to')::INT
+     + list_contains(list_transform(words, w -> lower(w)), 'in')::INT
+     + list_contains(list_transform(words, w -> lower(w)), 'is')::INT) AS stop_hits
+  FROM base
+)
+SELECT doc,
+  n_words::BIGINT AS n_words,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(symbol_ratio, 6) AS symbol_ratio,
+  round(bullet_frac, 6) AS bullet_frac,
+  round(ellipsis_frac, 6) AS ellipsis_frac,
+  round(alpha_word_frac, 6) AS alpha_word_frac,
+  stop_hits::BIGINT AS stop_hits,
+  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+   AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS passes_gopher
+FROM m
+""",
+        "dedup_paragraphs": """
+WITH planted AS (
+  SELECT doc_id, concat('SHARED HEADER BOILERPLATE', chr(10), chr(10), text, chr(10), chr(10),
+    CASE WHEN doc_id % 2 = 0 THEN 'SHARED FOOTER'
+    ELSE concat('unique footer ', cast(doc_id AS STRING)) END) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id AS doc,
+    list_filter(list_transform(string_split(text, chr(10) || chr(10)), p -> trim(p)), p -> p <> '') AS paras
+  FROM planted
+), px AS (
+  SELECT doc, i - 1 AS idx, paras[i] AS para,
+    ('0x' || substr(md5(regexp_replace(paras[i], '\s+', ' ', 'g')), 1, 15))::BIGINT AS para_hash
+  FROM (SELECT doc, unnest(range(1, len(paras) + 1)) AS i, paras FROM base)
+), owned AS (
+  SELECT doc, idx, para, row_number() OVER (PARTITION BY para_hash ORDER BY doc, idx) AS rn FROM px
+), rebuilt AS (
+  SELECT doc, count(*) AS n_kept, string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_dedup
+  FROM owned WHERE rn = 1 GROUP BY doc
+)
+SELECT b.doc, len(b.paras)::BIGINT AS n_paras,
+  coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+  md5(coalesce(r.text_dedup, '')) AS text_md5
+FROM base b LEFT JOIN rebuilt r USING (doc)
 """,
         "embedding_near_dups_lsh": f"""
 WITH {_ND_CORPUS_DUCK},

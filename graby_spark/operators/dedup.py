@@ -22,6 +22,7 @@ Determinism: all hashing uses fixed seeds; no RNG at runtime.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,6 +37,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "embedding_near_dups",
+    "paragraph_dedup",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -563,4 +565,74 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"),
         F.transform(vec_d, lambda v: v / norm).alias("unit"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CCNet-style cross-corpus paragraph deduplication (Wenzek et al.
+    2020): hash every paragraph of every document; a paragraph survives
+    only at its first occurrence in corpus order (lowest ``(doc, idx)``),
+    and every document is reassembled from its surviving paragraphs.
+
+    Scale shape: paragraphs explode with their position; the ownership
+    aggregate shuffles only ``(hash, doc, idx)`` triples (64-bit hash, two
+    ints — never text) with map-side partial ``min``; the surviving set
+    joins back by hash and the per-document reassembly shuffles each
+    surviving paragraph's text exactly once.  The paragraph hash is the
+    top 60 bits of md5 of the whitespace-normalized paragraph — the same
+    cross-engine value DuckDB computes, so the operator is oracle-checkable
+    end-to-end.
+
+    Returns (doc, n_paras, n_kept, text_dedup).
+    """
+    arrays = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), re.escape(sep)), lambda p: F.trim(p)),
+            lambda p: p != "",
+        ).alias("_paras"),
+    )
+    paras = arrays.select(
+        "doc",
+        F.posexplode("_paras").alias("idx", "para"),
+    ).withColumn(
+        "para_hash",
+        F.conv(
+            F.substring(F.md5(F.regexp_replace(F.col("para"), r"\s+", " ")), 1, 15), 16, 10
+        ).cast("long"),
+    )
+
+    owners = paras.groupBy("para_hash").agg(
+        F.min(F.struct("doc", "idx")).alias("owner")
+    )
+    kept = (
+        paras.join(owners, "para_hash")
+        .where((F.col("doc") == F.col("owner.doc")) & (F.col("idx") == F.col("owner.idx")))
+        .drop("owner")
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))), lambda s: s["para"]
+            ),
+        ).alias("text_dedup"),
+    )
+    # totals from the pre-explode arrays so zero-paragraph documents keep a
+    # row (posexplode drops them)
+    totals = arrays.select("doc", F.size("_paras").cast("long").alias("n_paras"))
+    return (
+        totals.join(rebuilt, "doc", "left")
+        .select(
+            "doc",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
     )

@@ -21,6 +21,8 @@ __all__ = [
     "language_id",
     "fingerprints",
     "unigram_logprob",
+    "repetition_stats",
+    "gopher_quality_filter",
     "STOPWORDS",
 ]
 
@@ -208,3 +210,174 @@ def unigram_logprob(
         )
     )
     return scored
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
+    duplicate line / paragraph fractions and duplicate word-n-gram
+    fractions, plus the fraction of characters inside the single most
+    frequent word bigram.
+
+    Scale design: every *fraction over one document's own arrays* is a
+    higher-order array expression (zero shuffle, whole-stage codegen);
+    only the top-bigram count — which genuinely needs a per-(doc, gram)
+    aggregate — shuffles, and it shuffles pre-aggregated (doc, gram)
+    counts, never the text.  At 100 TB the explode→partial-count shape is
+    the standard inverted-index aggregation; the join back to the
+    array-metric side is by id.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.trim(F.col(text_col)).alias("_t"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ).alias("_lines"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n\n"), lambda p: F.trim(p)),
+            lambda p: p != "",
+        ).alias("_paras"),
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "").alias(
+            "_toks"
+        ),
+    )
+
+    def dup_frac(col: str) -> F.Column:
+        n = F.size(F.col(col))
+        return F.when(n > 0, F.round((n - F.size(F.array_distinct(F.col(col)))) / n, 6)).otherwise(
+            F.lit(0.0)
+        )
+
+    def grams_expr(k: int) -> str:
+        # word k-grams as strings; empty array when the doc is shorter than
+        # k (guarded: Spark's sequence(1, 0) yields DESCENDING [1, 0], so
+        # the short case must never reach sequence())
+        return (
+            f"case when size(_toks) >= {k} then "
+            f"transform(sequence(1, size(_toks) - {k - 1}), "
+            f"i -> concat_ws(' ', slice(_toks, i, {k}))) "
+            f"else cast(array() as array<string>) end"
+        )
+
+    arrays = base.select(
+        "doc",
+        F.length("_t").alias("char_count"),
+        F.size("_lines").alias("n_lines"),
+        dup_frac("_lines").alias("dup_line_frac"),
+        dup_frac("_paras").alias("dup_para_frac"),
+        F.expr(grams_expr(2)).alias("_g2"),
+        F.expr(grams_expr(3)).alias("_g3"),
+        F.expr(grams_expr(5)).alias("_g5"),
+    ).select(
+        "doc",
+        "char_count",
+        "n_lines",
+        "dup_line_frac",
+        "dup_para_frac",
+        dup_frac("_g2").alias("dup_bigram_frac"),
+        dup_frac("_g3").alias("dup_trigram_frac"),
+        dup_frac("_g5").alias("dup_5gram_frac"),
+        F.col("_g2").alias("_g2"),
+    )
+
+    # fraction of characters covered by the most frequent bigram:
+    # count(top gram) * length(top gram) / char_count.  Ties on the product
+    # are value-identical, so no tie-break is needed.
+    counts = (
+        arrays.select("doc", F.explode("_g2").alias("gram"))
+        .groupBy("doc", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc")
+        .agg(F.max(F.col("cnt") * F.length("gram")).alias("_top_chars"))
+    )
+    return (
+        arrays.drop("_g2")
+        .join(counts, "doc", "left")
+        .select(
+            "doc",
+            "char_count",
+            "n_lines",
+            "dup_line_frac",
+            "dup_para_frac",
+            "dup_bigram_frac",
+            "dup_trigram_frac",
+            "dup_5gram_frac",
+            F.when(
+                F.col("char_count") > 0,
+                F.round(F.coalesce(F.col("_top_chars"), F.lit(0)) / F.col("char_count"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_char_frac"),
+        )
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, appendix A1.1) as one
+    whole-stage-codegen projection — the classic pre-training corpus gate:
+
+      * 50 <= word count <= 100,000
+      * 3 <= mean word length <= 10
+      * symbol-to-word ratio (``#`` or ``...``) <= 0.1
+      * <= 90% of lines start with a bullet, <= 30% end with an ellipsis
+      * >= 80% of words contain at least one alphabetic character
+      * >= 2 distinct required stop words ('the of and to in is')
+
+    Emits the component measurements plus the final boolean so downstream
+    jobs can re-threshold without recomputing.  Zero shuffle, zero Python.
+    """
+    text = F.trim(F.col(text_col))
+    words = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    n_words = F.size(words)
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words,
+    ).otherwise(F.lit(0.0))
+    hashes = F.length(F.regexp_replace(text, "[^#]", ""))
+    ellipses = F.size(F.split(text, r"\.\.\.")) - 1
+    symbol_ratio = F.when(n_words > 0, (hashes + ellipses) / n_words).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    lw = F.transform(words, lambda w: F.lower(w))
+    required = ["the", "of", "and", "to", "in", "is"]
+    stop_hits = sum(
+        F.array_contains(lw, s).cast("int") for s in required
+    )
+
+    bullet_frac = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(F.lit(0.0))
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        passes.alias("passes_gopher"),
+    )

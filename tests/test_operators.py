@@ -350,3 +350,74 @@ def test_unigram_logprob(spark):
     assert res[1] > res[2]
     import math
     assert math.isclose(res[1], math.log10(7/8), rel_tol=1e-4)
+
+
+def test_repetition_stats_planted(spark):
+    rows = [
+        (1, "alpha beta gamma\ndup line\ndup line\n\nalpha beta gamma delta"),
+        (2, "one two three four five six"),   # no repetition at all
+        (3, "x\n\nx\n\nx"),                   # pure paragraph repetition
+        (4, ""),                              # degenerate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc"]: r.asDict() for r in textstats.repetition_stats(df).collect()}
+    # doc 1: 4 non-empty lines, 'dup line' twice -> 1/4
+    assert math.isclose(res[1]["dup_line_frac"], 0.25, abs_tol=1e-9)
+    # doc 1 bigram 'alpha beta' and 'beta gamma' repeat across paragraphs
+    assert res[1]["dup_bigram_frac"] > 0
+    assert res[2]["dup_line_frac"] == 0.0
+    assert res[2]["dup_bigram_frac"] == 0.0
+    assert res[2]["dup_5gram_frac"] == 0.0
+    # doc 3: three identical paragraphs -> 2/3 duplicated
+    assert math.isclose(res[3]["dup_para_frac"], 2 / 3, abs_tol=1e-6)
+    assert math.isclose(res[3]["dup_line_frac"], 2 / 3, abs_tol=1e-6)
+    # degenerate doc emits zeros, not nulls/crash
+    assert res[4]["dup_line_frac"] == 0.0
+    assert res[4]["top_bigram_char_frac"] == 0.0
+
+
+def test_repetition_top_bigram(spark):
+    # 'spam egg' occurs 3x (len 8): chars covered = 24 of 26 total
+    text = "spam egg spam egg spam egg"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = textstats.repetition_stats(df).collect()[0]
+    # bigrams: spam egg, egg spam, spam egg, egg spam, spam egg
+    assert math.isclose(r["top_bigram_char_frac"], 3 * len("spam egg") / len(text), abs_tol=1e-6)
+
+
+def test_gopher_quality_filter(spark):
+    good = "The quick brown fox jumps over the lazy dog and runs far away to rest in " * 4
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    symbols = "### " * 60
+    rows = [(1, good), (2, bullets), (3, symbols), (4, "tiny doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc"]: r.asDict() for r in textstats.gopher_quality_filter(df).collect()}
+    assert res[1]["passes_gopher"] is True
+    assert res[2]["passes_gopher"] is False and res[2]["bullet_frac"] == 1.0
+    assert res[3]["passes_gopher"] is False and res[3]["symbol_ratio"] > 0.1
+    assert res[4]["passes_gopher"] is False and res[4]["n_words"] == 2
+
+
+def test_paragraph_dedup_planted(spark):
+    rows = [
+        (1, "SHARED\n\nunique one"),
+        (2, "SHARED\n\nunique two"),
+        (3, "SHARED\n\nSHARED\n\nunique three"),  # intra-doc repeat too
+        (4, ""),                                   # zero paragraphs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc"]: r.asDict() for r in dedup.paragraph_dedup(df).collect()}
+    assert res[1]["n_paras"] == 2 and res[1]["n_kept"] == 2  # first owner keeps SHARED
+    assert res[1]["text_dedup"] == "SHARED\n\nunique one"
+    assert res[2]["n_kept"] == 1 and res[2]["text_dedup"] == "unique two"
+    assert res[3]["n_kept"] == 1 and res[3]["text_dedup"] == "unique three"
+    # zero-paragraph doc keeps its row
+    assert res[4]["n_paras"] == 0 and res[4]["n_kept"] == 0 and res[4]["text_dedup"] == ""
+
+
+def test_paragraph_dedup_whitespace_normalized(spark):
+    # hash normalizes internal whitespace: 'a  b' == 'a b'
+    rows = [(1, "a  b"), (2, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc"]: r["n_kept"] for r in dedup.paragraph_dedup(df).collect()}
+    assert res[1] == 1 and res[2] == 0

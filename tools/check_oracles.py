@@ -31,8 +31,16 @@ def normalize(df):
         elif str(df[col].dtype).startswith("float"):
             df[col] = df[col].round(9)
     rows = sorted(
-        tuple("NULL" if (isinstance(v, float) and math.isnan(v)) or v is None else v for v in row)
-        for row in df.itertuples(index=False, name=None)
+        (
+            tuple(
+                "NULL" if (isinstance(v, float) and math.isnan(v)) or v is None else v
+                for v in row
+            )
+            for row in df.itertuples(index=False, name=None)
+        ),
+        # mixed NULL-placeholder/float columns are unorderable as raw
+        # values; repr gives a deterministic total order on both engines
+        key=repr,
     )
     return rows
 
