@@ -130,6 +130,21 @@ def build_pages_df(
     ``text_repeat`` inflates the body to production page sizes (50-500 KB)
     so per-document parse cost dominates like it does on real crawls."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the documents parquet is tiny (one read task); spread the RAW rows
+    # first — both amplifications (row explode and 50-500x body inflation)
+    # must run after the shuffle, or the single scan task serially
+    # generates and shuffle-writes the whole amplified payload (measured:
+    # up to ~20% idle at 8 cores when inflation preceded the repartition)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
+    if repeat > 1:
+        n = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+            "max(doc_id) + 1 as n"
+        ).collect()[0][0]
+        docs = docs.selectExpr(
+            f"explode(sequence(0, {repeat - 1})) as copy", "*"
+        ).selectExpr(
+            f"doc_id + copy * {n} as doc_id", "text", "lang", "source", "n_chars"
+        )
     if text_repeat > 1:
         docs = docs.selectExpr(
             "doc_id",
@@ -138,17 +153,6 @@ def build_pages_df(
             "source",
             "n_chars",
         )
-    if repeat > 1:
-        n = docs.selectExpr("max(doc_id) + 1 as n").collect()[0][0]
-        docs = docs.selectExpr(
-            f"explode(sequence(0, {repeat - 1})) as copy", "*"
-        ).selectExpr(
-            f"doc_id + copy * {n} as doc_id", "text", "lang", "source", "n_chars"
-        )
-    # the documents parquet is tiny (one read task); spread the rows first so
-    # page synthesis (which amplifies bytes ~50-500x) runs on every core
-    # instead of inside the single scan task
-    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
     domain = _domain_expr()
     html = _html_expr()
     return docs.selectExpr(

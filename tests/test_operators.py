@@ -421,3 +421,24 @@ def test_paragraph_dedup_whitespace_normalized(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     res = {r["doc"]: r["n_kept"] for r in dedup.paragraph_dedup(df).collect()}
     assert res[1] == 1 and res[2] == 0
+
+
+def test_ann_recall_beats_scan_fraction(spark, embeddings):
+    """The synthetic embeddings are isotropic (no cluster structure), so a
+    bucketed ANN can't approach recall 1.0 — but it MUST beat random
+    sampling: recall@k > scanned fraction, and recall must rise with
+    nprobe (the knob works)."""
+    queries = embeddings.where("vec_id < 20")
+    exact = similarity.brute_force_topk(embeddings, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact.cache()
+    total = exact.count()
+
+    def recall(nprobe):
+        approx = similarity.ivf_topk(embeddings, queries, k=5, n_cells=8, nprobe=nprobe)
+        return exact.intersect(approx.select("query_id", "neighbor_id")).count() / total
+
+    r2, r4 = recall(2), recall(4)
+    assert r2 > 2 / 8  # beats uniform-random scan of the same fraction
+    assert r4 >= r2    # monotone in probe width

@@ -1,0 +1,76 @@
+"""Recall quantification for the approximate ANN paths (lsh_topk, ivf_topk)
+against brute_force_topk ground truth.
+
+The synthetic embeddings are isotropic random vectors (verified: mean
+same-label vs cross-label cosine are both ~0), so there is no cluster
+structure for a bucketed index to exploit — recall ~= scanned-candidate
+fraction is the theoretical ceiling on this data.  What this tool proves
+is (a) the measured recall/scan-fraction tradeoff of each method and
+(b) that recall rises monotonically with probe width, i.e. the knobs work.
+Planted near-identical pairs are recalled at 1.0 (pytest
+test_ivf_topk_planted / test_lsh pinned separately).
+
+Usage: python tools/ann_recall.py [sf_dir] — prints one JSON line.
+"""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from graby_spark.operators import similarity
+from graby_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(master="local[16]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_corpus = emb.count()
+    queries = emb.where("vec_id < 100")
+    k = 10
+
+    exact = similarity.brute_force_topk(emb, queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    exact.cache()
+    total = exact.count()
+
+    out = {"k": k, "n_corpus": n_corpus, "n_queries": total // k, "methods": {}}
+
+    def recall(approx_df) -> float:
+        inter = exact.intersect(approx_df.select("query_id", "neighbor_id")).count()
+        return round(inter / total, 4)
+
+    for nprobe in (2, 4, 8):
+        n_cells = 16
+        r = recall(similarity.ivf_topk(emb, queries, k=k, n_cells=n_cells, nprobe=nprobe))
+        out["methods"][f"ivf_c{n_cells}_p{nprobe}"] = {
+            "recall_at_10": r,
+            "scan_fraction": round(nprobe / n_cells, 4),
+        }
+
+    r = recall(similarity.lsh_topk(emb, queries, k=k))
+    # measure the LSH candidate scan fraction directly
+    sigs = similarity.lsh_signatures(emb)
+    qsigs = similarity.lsh_signatures(queries)
+    cands = (
+        qsigs.alias("q")
+        .join(sigs.alias("c"), ["table", "bucket"])
+        .select(F.col("q.id").alias("qid"), F.col("c.id").alias("cid"))
+        .distinct()
+        .count()
+    )
+    out["methods"]["lsh_default"] = {
+        "recall_at_10": r,
+        "scan_fraction": round(cands / (out["n_queries"] * n_corpus), 4),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

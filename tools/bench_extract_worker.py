@@ -2,9 +2,21 @@
 
 Invoked by bench.py under ``taskset -c 0-(N-1)`` so the whole process tree
 (JVM + Python workers) genuinely sees N CPUs — the honest sandbox proxy for
-an N-executor cluster.  Prints one line: ``docs,secs``.
+an N-executor cluster.  Prints one line: ``RESULT <docs> <secs>``.
 
-Usage: bench_extract_worker.py <cores> <sf_dir> <amplify> <text_repeat>
+Two modes:
+
+  bench_extract_worker.py materialize <sf_dir> <amplify> <text_repeat> <path>
+      Synthesize the amplified pages table once (all cores, untimed) and
+      write it as parquet.  The scaling measurement is scan → extract over
+      a TABLE — the north_rule's input shape — so the synthetic string
+      inflation (a memory-bandwidth-bound generator artifact that scales
+      at ~0.5 on this VM) never pollutes the timed region.
+
+  bench_extract_worker.py <cores> <sf_dir> <amplify> <text_repeat> [path]
+      Timed run at N cores.  With ``path``: scan the materialized parquet
+      and extract.  Without: legacy in-flight synthesis (kept for ad-hoc
+      use).
 """
 
 import sys
@@ -18,25 +30,42 @@ from graby_spark.pages import build_pages_df, pages_ruleset
 from graby_spark.session import get_spark
 
 
+def materialize(sf_dir: str, amplify: int, text_repeat: int, path: str) -> None:
+    spark = get_spark(app_name="bench-materialize", master="local[*]")
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = build_pages_df(spark, sf_dir, repeat=amplify, text_repeat=text_repeat)
+    pages.write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    print(f"MATERIALIZED {n} {path}")
+    spark.stop()
+
+
 def main() -> None:
+    if sys.argv[1] == "materialize":
+        materialize(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
+        return
     cores, sf_dir, amplify, text_repeat = (
         int(sys.argv[1]),
         sys.argv[2],
         int(sys.argv[3]),
         int(sys.argv[4]),
     )
+    pages_path = sys.argv[5] if len(sys.argv) > 5 else None
     spark = get_spark(app_name=f"bench-extract-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
     opts = ExtractOptions(xss_filter=False)
 
-    # warm-up (JVM + python workers)
+    # warm-up (JVM + python workers) on a small slice of the same shape
     warm = build_pages_df(spark, sf_dir, repeat=1)
     run_extraction(spark, warm, pages_ruleset(), options=opts).count()
 
-    pages = build_pages_df(spark, sf_dir, repeat=amplify, text_repeat=text_repeat)
-    # synthesis already hash-distributes rows by doc_id across 2x-parallelism
-    # partitions (the production analog: pages land hash-bucketed at ingest,
-    # see graby_spark.manifest) — the extra salt shuffle would be redundant
+    if pages_path:
+        # production shape: scan the pages table (32 MB splits parallelize
+        # the read at any core count; /dev/shm keeps I/O off the timing)
+        pages = spark.read.parquet(pages_path)
+    else:
+        # legacy: in-flight synthesis (hash-distributed by doc_id)
+        pages = build_pages_df(spark, sf_dir, repeat=amplify, text_repeat=text_repeat)
     start = time.perf_counter()
     docs = (
         run_extraction(spark, pages, pages_ruleset(), options=opts, repartition=False)
