@@ -429,6 +429,17 @@ _PARA_SYNTH = (
     "ELSE concat('unique footer ', cast(doc_id AS STRING)) END)"
 )
 
+# a >=12-token boilerplate tail shared by every 5th document (exercises the
+# exact-substring dedup: the repeated region must be found as one maximal
+# span, canonical first occurrence excluded)
+_SHARED_TAIL = (
+    "subscribe to our newsletter for daily updates and follow us on "
+    "social media for breaking news alerts every single morning"
+)
+_SUBSTR_SYNTH = (
+    f"CASE WHEN doc_id % 5 = 0 THEN concat(text, ' ', '{_SHARED_TAIL}') ELSE text END"
+)
+
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals over a corpus with planted duplicate
@@ -463,6 +474,20 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alpha_word_frac",
         "stop_hits",
         "passes_gopher",
+    )
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2021): every 5th doc
+    carries a shared 19-token boilerplate tail; the operator reports the
+    maximal duplicated token spans, first corpus occurrence excluded."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", f"{_SUBSTR_SYNTH} as text")
+    return dedup.substring_dup_spans(planted, k=12).select(
+        "doc",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        F.col("n_grams").cast("long").alias("n_grams"),
     )
 
 
@@ -650,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_gopher": q_text_gopher,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_substrings": q_dedup_substrings,
         "pack_sequences": q_pack_sequences,
         "sample_mix": q_sample_mix,
         "media_mime_sniff": q_media_mime_sniff,
@@ -966,6 +992,31 @@ SELECT doc,
    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
    AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS passes_gopher
 FROM m
+""",
+        "dedup_substrings": """
+WITH planted AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN concat(text, ' ', 'subscribe to our newsletter for daily updates and follow us on social media for breaking news alerts every single morning') ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id AS doc,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+  FROM planted
+), grams AS (
+  SELECT doc, i - 1 AS pos,
+    ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 11), ' ')), 1, 15))::BIGINT AS gram_hash
+  FROM (SELECT doc, unnest(range(1, greatest(len(toks) - 11, 0) + 1)) AS i, toks FROM toks)
+), owned AS (
+  SELECT doc, pos,
+    row_number() OVER (PARTITION BY gram_hash ORDER BY doc, pos) AS rn,
+    count(*) OVER (PARTITION BY gram_hash) AS occ
+  FROM grams
+), dups AS (
+  SELECT DISTINCT doc, pos FROM owned WHERE occ >= 2 AND rn > 1
+), isl AS (
+  SELECT doc, pos, pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS island FROM dups
+)
+SELECT doc, min(pos)::BIGINT AS start_tok, (max(pos) + 12)::BIGINT AS end_tok, count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc, island
 """,
         "dedup_paragraphs": """
 WITH planted AS (

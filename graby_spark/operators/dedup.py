@@ -38,6 +38,7 @@ __all__ = [
     "simhash",
     "embedding_near_dups",
     "paragraph_dedup",
+    "substring_dup_spans",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -635,4 +636,75 @@ def paragraph_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal run
+    of tokens that repeats anywhere else in the corpus as a full
+    ``k``-token window, keeping the corpus-order first occurrence as
+    canonical.
+
+    Method: hash every k-token gram (md5 top-60-bits — cross-engine, so
+    the DuckDB oracle recomputes identical values); a gram occurrence is
+    a duplicate unless it is the lexicographically first ``(doc, pos)``
+    of its hash; adjacent duplicate positions merge into maximal spans
+    per document (gaps-and-islands with window functions).
+
+    Scale shape: the ownership aggregate shuffles only
+    ``(hash, doc, pos)`` triples with map-side partial min/count — text
+    never moves; a mega-duplicated gram (site boilerplate) stays one
+    aggregate row.  Output is bounded by tokens-per-doc, not by the
+    quadratic pair count an (a, b) emission would produce.
+
+    Returns (doc, start_tok, end_tok, n_grams): token offsets
+    [start, end) of duplicated regions (end = last window start + k).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "").alias(
+            "_toks"
+        ),
+    )
+    grams = toks.select(
+        "doc",
+        F.posexplode(
+            F.expr(
+                f"case when size(_toks) >= {k} then "
+                f"transform(sequence(1, size(_toks) - {k - 1}), "
+                f"i -> cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 15), 16, 10) as bigint)) "
+                f"else cast(array() as array<bigint>) end"
+            )
+        ).alias("pos", "gram_hash"),
+    )
+    owners = grams.groupBy("gram_hash").agg(
+        F.min(F.struct("doc", "pos")).alias("owner"), F.count("*").alias("occ")
+    )
+    dups = (
+        grams.join(owners, "gram_hash")
+        .where(
+            (F.col("occ") >= 2)
+            & ~((F.col("doc") == F.col("owner.doc")) & (F.col("pos") == F.col("owner.pos")))
+        )
+        .select("doc", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    islands = dups.withColumn("island", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc", "island")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + k).alias("end_tok"),
+            F.count("*").alias("n_grams"),
+        )
+        .drop("island")
     )

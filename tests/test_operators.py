@@ -442,3 +442,25 @@ def test_ann_recall_beats_scan_fraction(spark, embeddings):
     r2, r4 = recall(2), recall(4)
     assert r2 > 2 / 8  # beats uniform-random scan of the same fraction
     assert r4 >= r2    # monotone in probe width
+
+
+def test_substring_dup_spans(spark):
+    shared = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"{shared} delta epsilon"),
+        (3, "nothing shared here at all"),
+        (4, f"x {shared} y {shared} z"),  # two occurrences inside one doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc"], r["start_tok"], r["end_tok"]): r["n_grams"]
+        for r in dedup.substring_dup_spans(df, k=10).collect()
+    }
+    # doc 1 owns the first corpus occurrence (doc order) -> no span there
+    assert not any(doc == 1 for doc, _, _ in spans)
+    # doc 2: the 20 shared tokens start at 0; windows 0..10 inclusive
+    assert spans[(2, 0, 20)] == 11
+    # doc 4: both occurrences flagged as maximal spans
+    assert spans[(4, 1, 21)] == 11 and spans[(4, 22, 42)] == 11
+    assert not any(doc == 3 for doc, _, _ in spans)
