@@ -511,6 +511,12 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PNG_HDR = "89504E470D0A1A0A0000000D4948445200000140000000F00806000000"
 _JPEG_HDR = "FFD8FFC00011080040008003"
 _GIF_HDR = "4749463839612C01C800"
+#: canonical 44-byte RIFF/WAVE header: PCM mono 8 kHz 16-bit
+#: (byte_rate 16000), declared data size 32000 -> duration 2000 ms
+_WAV_HDR = (
+    "52494646247D000057415645666D7420100000000100"
+    "0100401F0000803E00000200100064617461007D0000"
+)
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,10 +541,11 @@ def q_media_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = docs.selectExpr(
         "doc_id as media_id",
-        "CASE doc_id % 4 "
+        "CASE doc_id % 5 "
         f"WHEN 0 THEN concat(X'{_PNG_HDR}', encode(text, 'UTF-8')) "
         f"WHEN 1 THEN concat(X'{_JPEG_HDR}', encode(text, 'UTF-8')) "
         f"WHEN 2 THEN concat(X'{_GIF_HDR}', encode(text, 'UTF-8')) "
+        f"WHEN 3 THEN concat(X'{_WAV_HDR}', encode(text, 'UTF-8')) "
         "ELSE encode(text, 'UTF-8') END as payload",
     )
     out = multimodal.attach_media_metadata(media)
@@ -548,6 +555,7 @@ def q_media_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload_bytes").cast("long").alias("payload_bytes"),
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
     )
 
 
@@ -1166,14 +1174,17 @@ SELECT doc_id, source FROM t WHERE frac < rate AND keep2 = 0
 """,
         "media_mime_sniff": """
 SELECT doc_id AS media_id,
-       CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
-            WHEN 2 THEN 'image/gif' ELSE 'application/octet-stream' END AS mime,
-       CASE doc_id % 4 WHEN 0 THEN octet_length(encode(text)) + 29
+       CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+            WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+            ELSE 'application/octet-stream' END AS mime,
+       CASE doc_id % 5 WHEN 0 THEN octet_length(encode(text)) + 29
             WHEN 1 THEN octet_length(encode(text)) + 12
             WHEN 2 THEN octet_length(encode(text)) + 10
+            WHEN 3 THEN octet_length(encode(text)) + 44
             ELSE octet_length(encode(text)) END AS payload_bytes,
-       CASE doc_id % 4 WHEN 0 THEN 320 WHEN 1 THEN 128 WHEN 2 THEN 300 END AS width,
-       CASE doc_id % 4 WHEN 0 THEN 240 WHEN 1 THEN 64 WHEN 2 THEN 200 END AS height
+       CASE doc_id % 5 WHEN 0 THEN 320 WHEN 1 THEN 128 WHEN 2 THEN 300 END AS width,
+       CASE doc_id % 5 WHEN 0 THEN 240 WHEN 1 THEN 64 WHEN 2 THEN 200 END AS height,
+       CASE doc_id % 5 WHEN 3 THEN 2000 END AS duration_ms
 FROM documents
 """,
         "media_features": """

@@ -132,7 +132,36 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .when(gif_ok & (F.col("mime") == "image/gif"), h_gif)
         .when(F.col("mime") == "image/jpeg", F.element_at("_jwh", 2))
     )
-    return out.withColumn("width", width).withColumn("height", height).drop("_jwh")
+    # WAV duration from the canonical RIFF layout (PCM fmt chunk directly
+    # after WAVE, data chunk at offset 37): declared data size / byte rate.
+    # A header-field read, no codec; non-canonical layouts stay NULL.
+    def le32(pos: int) -> F.Column:  # little-endian u32
+        return (
+            be(pos, 1)
+            + be(pos + 1, 1) * 256
+            + be(pos + 2, 1) * 65536
+            + be(pos + 3, 1) * 16777216
+        )
+
+    wav_ok = (
+        (F.length(payload) >= 44)
+        & (F.hex(F.substring(payload, 1, 4)) == "52494646")
+        & (F.hex(F.substring(payload, 9, 4)) == "57415645")
+        & (F.hex(F.substring(payload, 13, 4)) == "666D7420")
+        & (F.hex(F.substring(payload, 37, 4)) == "64617461")
+    )
+    byte_rate = le32(29)
+    data_size = le32(41)
+    duration_ms = F.when(
+        wav_ok & (F.col("mime") == "audio/wav") & (byte_rate > 0),
+        F.floor(data_size.cast("long") * 1000 / byte_rate).cast("int"),
+    )
+    return (
+        out.withColumn("width", width)
+        .withColumn("height", height)
+        .withColumn("duration_ms", duration_ms)
+        .drop("_jwh")
+    )
 
 
 def decode_image(payload: bytes, strict: bool = False) -> np.ndarray:

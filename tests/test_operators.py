@@ -464,3 +464,19 @@ def test_substring_dup_spans(spark):
     # doc 4: both occurrences flagged as maximal spans
     assert spans[(4, 1, 21)] == 11 and spans[(4, 22, 42)] == 11
     assert not any(doc == 3 for doc, _, _ in spans)
+
+
+def test_media_wav_duration_from_header(spark):
+    # canonical RIFF/WAVE: PCM mono 8 kHz 16-bit, declared data 32000 B
+    wav = bytes.fromhex(
+        "52494646247D000057415645666D7420100000000100"
+        "0100401F0000803E00000200100064617461007D0000"
+    )
+    rows = [(1, wav + b"payload"), (2, b"RIFFxxxxNOTW" + b"\x00" * 40), (3, b"plain")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    res = {r["media_id"]: r.asDict() for r in
+           multimodal.attach_media_metadata(df).collect()}
+    assert res[1]["mime"] == "audio/wav" and res[1]["duration_ms"] == 2000
+    # RIFF magic but not a canonical WAVE layout: sniffed audio/wav, no duration
+    assert res[2]["duration_ms"] is None
+    assert res[3]["mime"] == "application/octet-stream" and res[3]["duration_ms"] is None
