@@ -477,6 +477,16 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights of every document toward the 'src0'
+    sub-corpus distribution (hashed-bigram LM log-ratio)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where("source = 'src0'")
+    return textstats.importance_weights(docs, target).select(
+        "doc", F.col("n_feats").cast("long").alias("n_feats"), "logweight"
+    )
+
+
 def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate spans (Lee et al. 2021): every 5th doc
     carries a shared 19-token boilerplate tail; the operator reports the
@@ -684,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": q_text_gopher,
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_substrings": q_dedup_substrings,
+        "text_importance": q_text_importance,
         "pack_sequences": q_pack_sequences,
         "sample_mix": q_sample_mix,
         "media_mime_sniff": q_media_mime_sniff,
@@ -1000,6 +1011,27 @@ SELECT doc,
    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
    AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS passes_gopher
 FROM m
+""",
+        "text_importance": """
+WITH toks AS (
+  SELECT doc_id AS doc, source,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc, source, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+  FROM (SELECT doc, source, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i, toks FROM toks)
+), b AS (
+  SELECT doc, source, ('0x' || substr(md5(gram), 1, 15))::BIGINT % 10000 AS bucket FROM grams
+), sc AS (SELECT bucket, count(*) AS src_n FROM b GROUP BY bucket),
+tc AS (SELECT bucket, count(*) AS tgt_n FROM b WHERE source = 'src0' GROUP BY bucket),
+ratio AS (
+  SELECT bucket,
+    log10((coalesce(tgt_n, 0) + 1) / ((SELECT count(*) FROM b WHERE source = 'src0') + 10000.0))
+    - log10((coalesce(src_n, 0) + 1) / ((SELECT count(*) FROM b) + 10000.0)) AS log_ratio
+  FROM sc FULL JOIN tc USING (bucket)
+)
+SELECT doc, count(*)::BIGINT AS n_feats, round(sum(log_ratio), 6) AS logweight
+FROM b JOIN ratio USING (bucket) GROUP BY doc
 """,
         "dedup_substrings": """
 WITH planted AS (

@@ -23,6 +23,7 @@ __all__ = [
     "unigram_logprob",
     "repetition_stats",
     "gopher_quality_filter",
+    "importance_weights",
     "STOPWORDS",
 ]
 
@@ -380,4 +381,85 @@ def gopher_quality_filter(
         F.round(alpha_frac, 6).alias("alpha_word_frac"),
         stop_hits.cast("long").alias("stop_hits"),
         passes.alias("passes_gopher"),
+    )
+
+
+def importance_weights(
+    source_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """DSIR-style data-selection scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document log
+    importance weight log P_target(x)/P_source(x) under hashed-bigram
+    bag-of-ngrams language models of each corpus.
+
+    Features are word bigrams hashed into ``n_buckets`` (md5 top bits mod
+    n_buckets — cross-engine, DuckDB recomputes identical buckets); both
+    bucket distributions use add-one smoothing.  Scale shape: two
+    corpus-wide bucket aggregations whose output is bounded by n_buckets
+    (map-side partial counts), a driver-size ratio table broadcast to the
+    per-doc scoring join, one groupBy(doc) sum.  Text never shuffles.
+
+    Returns (doc, n_feats, logweight) — higher = more target-like.
+    """
+    def buckets(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("doc"),
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+            ).alias("_toks"),
+        )
+        grams = toks.select(
+            "doc",
+            F.explode(
+                F.expr(
+                    "case when size(_toks) >= 2 then "
+                    "transform(sequence(1, size(_toks) - 1), "
+                    "i -> concat_ws(' ', slice(_toks, i, 2))) "
+                    "else cast(array() as array<string>) end"
+                )
+            ).alias("gram"),
+        )
+        return grams.select(
+            "doc",
+            (
+                F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+                % n_buckets
+            ).alias("bucket"),
+        )
+
+    src = buckets(source_df)
+    tgt = buckets(target_df)
+    src_tot = src.count()
+    tgt_tot = tgt.count()
+    src_counts = src.groupBy("bucket").agg(F.count("*").alias("src_n"))
+    tgt_counts = tgt.groupBy("bucket").agg(F.count("*").alias("tgt_n"))
+    # add-one smoothing over the full bucket space so unseen buckets are
+    # finite; the ratio table is <= n_buckets rows -> broadcast
+    ratio = (
+        src_counts.join(tgt_counts, "bucket", "full")
+        .select(
+            "bucket",
+            (
+                F.log10(
+                    (F.coalesce(F.col("tgt_n"), F.lit(0)) + 1)
+                    / F.lit(float(tgt_tot + n_buckets))
+                )
+                - F.log10(
+                    (F.coalesce(F.col("src_n"), F.lit(0)) + 1)
+                    / F.lit(float(src_tot + n_buckets))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        src.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("log_ratio"), 6).alias("logweight"),
+        )
     )

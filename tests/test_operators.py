@@ -480,3 +480,17 @@ def test_media_wav_duration_from_header(spark):
     # RIFF magic but not a canonical WAVE layout: sniffed audio/wav, no duration
     assert res[2]["duration_ms"] is None
     assert res[3]["mime"] == "application/octet-stream" and res[3]["duration_ms"] is None
+
+
+def test_importance_weights_target_affinity(spark):
+    # target distribution = fruit bigrams; fruit docs must outscore rock docs
+    rows = [
+        (1, "apple banana apple banana apple banana"),
+        (2, "granite basalt granite basalt granite basalt"),
+        (3, "apple banana granite basalt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.where("doc_id = 1")
+    res = {r["doc"]: r["logweight"] for r in
+           textstats.importance_weights(df, target, n_buckets=128).collect()}
+    assert res[1] > res[3] > res[2]
