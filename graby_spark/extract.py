@@ -603,7 +603,7 @@ def process(
     # strip_image_src (D15) — strpos truthiness quirk: position 0 does NOT strip
     for token in site_config.strip_image_src:
         token = _strip_quotes(token)
-        for img in list(dom.iter("img")):
+        for img in dom.iter_list("img"):
             src = img.get("src") or ""
             if src.find(token) > 0 and img.parent is not None:
                 img.detach()
@@ -857,7 +857,7 @@ def _body_fixups(
                 iframe.append(TextNode("[embedded content]"))
 
     # lazy-load images (D28)
-    for img in list(body.iter("img")):
+    for img in body.iter_list("img"):
         if not any(img.has_attr(attr) for attr in lazy_attrs):
             continue
         sibling = img.next_sibling()
@@ -1000,13 +1000,13 @@ def _normalize_presentation(content: Element) -> None:
     '<span class="st">x</span>' → 'x')."""
     if content.has_attr("class"):
         content.remove_attr("class")
-    for el in list(content.iter()):
+    for el in content.iter_list():
         if el.tag in ("script", "style"):
             el.detach()
             continue
         if el.has_attr("class"):
             el.remove_attr("class")
-    for span in list(content.iter("span")):
+    for span in content.iter_list("span"):
         if not span.attrs and span.parent is not None:
             parent = span.parent
             pos = parent.children.index(span)

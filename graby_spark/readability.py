@@ -141,7 +141,7 @@ class Readability:
         # '...height. <!--more--></p>' where the comment preserves it)
         _inline = _PHRASING_TAGS
         # one traversal shared by all phases (tree walks dominate the cost)
-        nodes = [root] + list(root.iter())
+        nodes = [root] + root.iter_list()
         for el in nodes:
             if el.tag in ("pre", "script", "style", "textarea"):
                 continue
@@ -290,7 +290,7 @@ class Readability:
         for el in self.dom.iter("title"):
             return el.text_content
         # fall back to a single <h1> (Arc90 getArticleTitle heuristic)
-        h1s = list(self.dom.iter("h1"))
+        h1s = self.dom.iter_list("h1")
         if len(h1s) == 1:
             return h1s[0].text_content
         return ""
@@ -305,7 +305,7 @@ class Readability:
         body = self.dom.body()
         if body is None:
             return
-        for el in list(body.iter()):
+        for el in body.iter_list():
             new_tag = self._TAG_RENAMES.get(el.tag)
             if new_tag:
                 el.tag = new_tag
@@ -382,7 +382,7 @@ class Readability:
             return None
 
         # 1. strip unlikely candidates + convert loose divs to paragraph-ish
-        for el in list(body.iter()):
+        for el in body.iter_list():
             if el.parent is None:
                 continue
             unlikely = _class_and_id(el)
@@ -395,7 +395,7 @@ class Readability:
 
         # 2. score paragraphs
         candidates: list[Element] = []
-        for el in list(body.iter()):
+        for el in body.iter_list():
             if el.tag not in ("p", "td", "pre"):
                 continue
             parent = el.parent
@@ -518,7 +518,7 @@ class Readability:
     _VIDEO_RE = re.compile(r"youtube|vimeo|dailymotion|video", re.I)
 
     def _clean(self, el: Element, tag: str, allow_known_video: bool = False) -> None:
-        for target in list(el.iter(tag)):
+        for target in el.iter_list(tag):
             if target.parent is None:
                 continue
             if allow_known_video:
@@ -529,7 +529,7 @@ class Readability:
 
     def _clean_headers(self, el: Element) -> None:
         for tag in ("h1", "h2"):
-            for header in list(el.iter(tag)):
+            for header in el.iter_list(tag):
                 if header.parent is None:
                     continue
                 if self._class_weight(header) < 0 or self._link_density(header) > 0.33:
@@ -563,7 +563,7 @@ class Readability:
         # over the live NodeList: a container emptied by its children's
         # removal is then removed itself (the lifehacker golden's
         # get-permalink modal cascade)
-        for target in reversed(list(el.iter(tag))):
+        for target in reversed(el.iter_list(tag)):
             if target.parent is None:
                 continue
             tc = self._subtree_tag_counts(target)
@@ -648,7 +648,7 @@ class Readability:
         footnote_list = Element("ol")
         footnote_list.set_attr("id", "readability-footnotes-list")
         count = 0
-        for link in list(content.iter("a")):
+        for link in content.iter_list("a"):
             if "readability-DoNotFootnote" in (link.get("class") or ""):
                 continue
             text = link.text_content.strip()
