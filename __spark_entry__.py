@@ -477,6 +477,28 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup of a crawl frontier: three tracking/case/fragment
+    variants per document collapse onto one canonical URL (pure JVM
+    whole-stage-codegen string expressions, S10-family)."""
+    from graby_spark.urls import canonical_url_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    variants = docs.selectExpr(
+        "doc_id",
+        "explode(array("
+        "concat('HTTP://NEWS-', cast(doc_id % 7 as string), '.Example.org/article/', cast(doc_id as string), '?utm_source=feed&ref=1'),"
+        "concat('http://news-', cast(doc_id % 7 as string), '.example.org/article/', cast(doc_id as string), '?ref=1#xtor=RSS-x'),"
+        "concat('http://news-', cast(doc_id % 7 as string), '.example.org/article/', cast(doc_id as string), '?ref=1')"
+        ")) as url",
+    )
+    return (
+        variants.select(canonical_url_expr("url").alias("canonical_url"), "url")
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_urls"), F.min("url").alias("first_url"))
+    )
+
+
 def q_text_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights of every document toward the 'src0'
     sub-corpus distribution (hashed-bigram LM log-ratio)."""
@@ -695,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_substrings": q_dedup_substrings,
         "text_importance": q_text_importance,
+        "dedup_urls": q_dedup_urls,
         "pack_sequences": q_pack_sequences,
         "sample_mix": q_sample_mix,
         "media_mime_sniff": q_media_mime_sniff,
@@ -1011,6 +1034,39 @@ SELECT doc,
    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
    AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS passes_gopher
 FROM m
+""",
+        "dedup_urls": """
+WITH variants AS (
+  SELECT doc_id, unnest([
+    concat('HTTP://NEWS-', cast(doc_id % 7 AS STRING), '.Example.org/article/', cast(doc_id AS STRING), '?utm_source=feed&ref=1'),
+    concat('http://news-', cast(doc_id % 7 AS STRING), '.example.org/article/', cast(doc_id AS STRING), '?ref=1#xtor=RSS-x'),
+    concat('http://news-', cast(doc_id % 7 AS STRING), '.example.org/article/', cast(doc_id AS STRING), '?ref=1')
+  ]) AS url
+  FROM documents
+), canon AS (
+  SELECT url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  CASE WHEN regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                    THEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                         || regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
+                    ELSE url END,
+                  '#.*$', '', 'g'),
+                '[?&](utm_|mtm_)[^&#]*', '$', 'g'),
+              '\\$+', '$', 'g'),
+            '\\$&', '?', 'g'),
+          '\\$', '', 'g'),
+        '\\?$', '', 'g'),
+      '(://[^/?#]+/[^?#]*?)/(\\?|$)', '\\1\\2', 'g') AS canonical_url
+  FROM variants
+)
+SELECT canonical_url, count(*)::BIGINT AS n_urls, min(url) AS first_url
+FROM canon GROUP BY canonical_url
 """,
         "text_importance": """
 WITH toks AS (

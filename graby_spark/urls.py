@@ -23,6 +23,7 @@ __all__ = [
     "validate_url",
     "is_url_allowed",
     "allowed_filter_expr",
+    "canonical_url_expr",
     "normalize_host_expr",
 ]
 
@@ -147,3 +148,37 @@ def normalize_host_expr(url_col: str | Column = "url") -> Column:
     col = F.col(url_col) if isinstance(url_col, str) else url_col
     host = F.lower(F.regexp_extract(col, r"^[a-zA-Z]+://([^/:?#]+)", 1))
     return F.regexp_replace(host, r"^www\.", "")
+
+
+def canonical_url_expr(url_col: str | Column = "url") -> Column:
+    """Crawl-pipeline URL canonicalization as one JVM expression chain
+    (oracle-able — the DuckDB twin applies the identical regexes):
+
+      1. lowercase the scheme://host prefix (path case preserved),
+      2. drop the fragment (S10's xtor fragments go with it),
+      3. drop utm_*/mtm_* tracking params (HttpClient.php:521-544 family),
+      4. normalize the leftover separators (?& runs, trailing ?/&),
+      5. strip one trailing slash from non-root paths.
+
+    Used for URL-level exact dedup of a crawl frontier/corpus — pure
+    whole-stage-codegen string ops, no UDF, no shuffle.
+    """
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    # 1. lowercase scheme://host
+    c = F.concat(
+        F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
+    )
+    c = F.when(col.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), c).otherwise(col)
+    # 2. fragment off
+    c = F.regexp_replace(c, r"#.*$", "")
+    # 3. tracking params (any position; separator kept on the left)
+    c = F.regexp_replace(c, r"[?&](utm_|mtm_)[^&#]*", "\\$")
+    # 4. separator fixups: '$' markers collapse; first survivor becomes '?'
+    c = F.regexp_replace(c, r"\$+", "\\$")
+    c = F.regexp_replace(c, r"\$&", "?")      # removed first param: promote next
+    c = F.regexp_replace(c, r"\$", "")        # removed trailing/only params
+    c = F.regexp_replace(c, r"\?$", "")
+    # 5. trailing slash on non-root path
+    c = F.regexp_replace(c, r"(://[^/?#]+/[^?#]*?)/(\?|$)", "$1$2")
+    return c

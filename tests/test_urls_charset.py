@@ -165,3 +165,22 @@ def test_rewrite_url_expr_matches_python():
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [r[0] for r in df.select(rewrite_url_expr("url")).collect()]
     assert got == [rewrite_url(u) for u in urls]
+
+
+def test_canonical_url_expr():
+    from graby_spark.session import get_spark
+    from graby_spark.urls import canonical_url_expr
+
+    spark = get_spark(app_name="canon-test", master="local[2]", shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    cases = [
+        ("HTTP://Example.COM/Article/1?utm_source=feed&id=2", "http://example.com/Article/1?id=2"),
+        ("http://example.com/Article/1?id=2#xtor=RSS-abc", "http://example.com/Article/1?id=2"),
+        ("http://example.com/a/?utm_x=1", "http://example.com/a"),
+        ("http://example.com/?utm_only=1", "http://example.com/"),
+        ("http://example.com/b?utm_a=1&utm_b=2&keep=3", "http://example.com/b?keep=3"),
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url_expr("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
