@@ -477,6 +477,20 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination check: every 50th document doubles as the
+    'evaluation set'; the operator reports the corpus token spans whose
+    13-gram windows appear in it (the GPT-3-style overlap rule)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    evalset = docs.where("doc_id % 50 = 0")
+    return dedup.contamination_spans(docs, evalset, k=13).select(
+        "doc",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )
+
+
 def q_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup of a crawl frontier: three tracking/case/fragment
     variants per document collapse onto one canonical URL (pure JVM
@@ -718,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "text_importance": q_text_importance,
         "dedup_urls": q_dedup_urls,
+        "text_contamination": q_text_contamination,
         "pack_sequences": q_pack_sequences,
         "sample_mix": q_sample_mix,
         "media_mime_sniff": q_media_mime_sniff,
@@ -1034,6 +1049,25 @@ SELECT doc,
    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
    AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS passes_gopher
 FROM m
+""",
+        "text_contamination": """
+WITH toks AS (
+  SELECT doc_id AS doc,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc, i - 1 AS pos,
+    ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 12), ' ')), 1, 15))::BIGINT AS gram_hash
+  FROM (SELECT doc, unnest(range(1, greatest(len(toks) - 12, 0) + 1)) AS i, toks FROM toks)
+), eval_hashes AS (
+  SELECT DISTINCT gram_hash FROM grams WHERE doc % 50 = 0
+), hits AS (
+  SELECT DISTINCT doc, pos FROM grams WHERE gram_hash IN (SELECT gram_hash FROM eval_hashes)
+), isl AS (
+  SELECT doc, pos, pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS island FROM hits
+)
+SELECT doc, min(pos)::BIGINT AS start_tok, (max(pos) + 13)::BIGINT AS end_tok, count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc, island
 """,
         "dedup_urls": """
 WITH variants AS (

@@ -39,6 +39,7 @@ __all__ = [
     "embedding_near_dups",
     "paragraph_dedup",
     "substring_dup_spans",
+    "contamination_spans",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -699,6 +700,66 @@ def substring_dup_spans(
     )
     w = Window.partitionBy("doc").orderBy("pos")
     islands = dups.withColumn("island", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc", "island")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + k).alias("end_tok"),
+            F.count("*").alias("n_grams"),
+        )
+        .drop("island")
+    )
+
+
+def contamination_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    k: int = 13,
+) -> DataFrame:
+    """Benchmark-decontamination spans: maximal runs of corpus tokens whose
+    every ``k``-token window also appears in the evaluation set (the
+    GPT-3/PaLM-style 13-gram decontamination check).
+
+    Same gram machinery as ``substring_dup_spans``; the eval side reduces
+    to a DISTINCT hash set (bounded by eval tokens — tiny next to the
+    corpus) and the probe is a semi-join against it, so corpus text never
+    shuffles and the eval set never fans out.  Returns
+    (doc, start_tok, end_tok, n_grams) of contaminated regions.
+    """
+    from pyspark.sql import Window
+
+    def grams(src: DataFrame, idc: str, txtc: str) -> DataFrame:
+        toks = src.select(
+            F.col(idc).alias("doc"),
+            F.filter(
+                F.split(F.lower(F.trim(F.col(txtc))), r"\s+"), lambda t: t != ""
+            ).alias("_toks"),
+        )
+        return toks.select(
+            "doc",
+            F.posexplode(
+                F.expr(
+                    f"case when size(_toks) >= {k} then "
+                    f"transform(sequence(1, size(_toks) - {k - 1}), "
+                    f"i -> cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 15), 16, 10) as bigint)) "
+                    f"else cast(array() as array<bigint>) end"
+                )
+            ).alias("pos", "gram_hash"),
+        )
+
+    eval_hashes = grams(eval_df, eval_id_col, eval_text_col).select("gram_hash").distinct()
+    hits = (
+        grams(df, id_col, text_col)
+        .join(eval_hashes, "gram_hash", "left_semi")
+        .select("doc", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    islands = hits.withColumn("island", F.col("pos") - F.row_number().over(w))
     return (
         islands.groupBy("doc", "island")
         .agg(

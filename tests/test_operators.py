@@ -494,3 +494,23 @@ def test_importance_weights_target_affinity(spark):
     res = {r["doc"]: r["logweight"] for r in
            textstats.importance_weights(df, target, n_buckets=128).collect()}
     assert res[1] > res[3] > res[2]
+
+
+def test_contamination_spans(spark):
+    bench_q = " ".join(f"q{i}" for i in range(15))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {bench_q} outro"),
+            (2, "clean document with no overlap at all whatsoever in any window here"),
+            (3, bench_q),  # verbatim eval copy
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame([(100, bench_q)], "doc_id long, text string")
+    spans = {
+        r["doc"]: (r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in dedup.contamination_spans(corpus, evalset, k=10).collect()
+    }
+    assert spans[1] == (2, 17, 6)   # the 15 planted tokens
+    assert spans[3] == (0, 15, 6)   # fully contaminated
+    assert 2 not in spans
