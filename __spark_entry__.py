@@ -1085,16 +1085,14 @@ WITH variants AS (
           regexp_replace(
             regexp_replace(
               regexp_replace(
-                regexp_replace(
-                  CASE WHEN regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
-                    THEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
-                         || regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
-                    ELSE url END,
-                  '#.*$', '', 'g'),
-                '[?&](utm_|mtm_)[^&#]*', '$', 'g'),
-              '\\$+', '$', 'g'),
-            '\\$&', '?', 'g'),
-          '\\$', '', 'g'),
+                CASE WHEN regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                  THEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                       || regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
+                  ELSE url END,
+                '#.*$', '', 'g'),
+              '&(utm_|mtm_)[^&#]*', '', 'g'),
+            '\\?(utm_|mtm_)[^&#]*&', '?', 'g'),
+          '\\?(utm_|mtm_)[^&#]*$', '', 'g'),
         '\\?$', '', 'g'),
       '(://[^/?#]+/[^?#]*?)/(\\?|$)', '\\1\\2', 'g') AS canonical_url
   FROM variants

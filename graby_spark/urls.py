@@ -172,12 +172,12 @@ def canonical_url_expr(url_col: str | Column = "url") -> Column:
     c = F.when(col.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), c).otherwise(col)
     # 2. fragment off
     c = F.regexp_replace(c, r"#.*$", "")
-    # 3. tracking params (any position; separator kept on the left)
-    c = F.regexp_replace(c, r"[?&](utm_|mtm_)[^&#]*", "\\$")
-    # 4. separator fixups: '$' markers collapse; first survivor becomes '?'
-    c = F.regexp_replace(c, r"\$+", "\\$")
-    c = F.regexp_replace(c, r"\$&", "?")      # removed first param: promote next
-    c = F.regexp_replace(c, r"\$", "")        # removed trailing/only params
+    # 3. tracking params, marker-free (a literal '$' in a URL must survive):
+    #    non-first params drop with their '&'; a first param with a
+    #    successor promotes it to '?'; a lone first param drops the '?'
+    c = F.regexp_replace(c, r"&(utm_|mtm_)[^&#]*", "")
+    c = F.regexp_replace(c, r"\?(utm_|mtm_)[^&#]*&", "?")
+    c = F.regexp_replace(c, r"\?(utm_|mtm_)[^&#]*$", "")
     c = F.regexp_replace(c, r"\?$", "")
     # 5. trailing slash on non-root path
     c = F.regexp_replace(c, r"(://[^/?#]+/[^?#]*?)/(\?|$)", "$1$2")
