@@ -595,7 +595,7 @@ def paragraph_dedup(
     arrays = df.select(
         F.col(id_col).alias("doc"),
         F.filter(
-            F.transform(F.split(F.col(text_col), re.escape(sep)), lambda p: F.trim(p)),
+            F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep)), lambda p: F.trim(p)),
             lambda p: p != "",
         ).alias("_paras"),
     )
@@ -671,7 +671,7 @@ def substring_dup_spans(
 
     toks = df.select(
         F.col(id_col).alias("doc"),
-        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "").alias(
+        F.filter(F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"), lambda t: t != "").alias(
             "_toks"
         ),
     )

@@ -231,16 +231,16 @@ def repetition_stats(
     """
     base = df.select(
         F.col(id_col).alias("doc"),
-        F.trim(F.col(text_col)).alias("_t"),
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
         F.filter(
-            F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+            F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"), lambda l: F.trim(l)),
             lambda l: l != "",
         ).alias("_lines"),
         F.filter(
-            F.transform(F.split(F.col(text_col), "\n\n"), lambda p: F.trim(p)),
+            F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n\n"), lambda p: F.trim(p)),
             lambda p: p != "",
         ).alias("_paras"),
-        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "").alias(
+        F.filter(F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"), lambda t: t != "").alias(
             "_toks"
         ),
     )
@@ -331,7 +331,7 @@ def gopher_quality_filter(
     Emits the component measurements plus the final boolean so downstream
     jobs can re-threshold without recomputing.  Zero shuffle, zero Python.
     """
-    text = F.trim(F.col(text_col))
+    text = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     words = F.filter(F.split(text, r"\s+"), lambda t: t != "")
     n_words = F.size(words)
     mean_word_len = F.when(
@@ -342,7 +342,7 @@ def gopher_quality_filter(
     ellipses = F.size(F.split(text, r"\.\.\.")) - 1
     symbol_ratio = F.when(n_words > 0, (hashes + ellipses) / n_words).otherwise(F.lit(0.0))
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)), lambda l: l != ""
+        F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"), lambda l: F.trim(l)), lambda l: l != ""
     )
     n_lines = F.size(lines)
     bullet_lines = F.size(
@@ -409,7 +409,7 @@ def importance_weights(
         toks = df.select(
             F.col(id_col).alias("doc"),
             F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+                F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"), lambda t: t != ""
             ).alias("_toks"),
         )
         grams = toks.select(
