@@ -477,6 +477,44 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation chain as ONE composed job:
+    real byte-level extraction -> quality gate (score >= 0.5) -> exact
+    dedup against a mirrored re-crawl (every 10th doc re-appears under a
+    new id; the canonical lowest id survives) -> fixed-budget sequence
+    packing.  The oracle recomputes every stage in SQL."""
+    from pyspark.sql import Window
+
+    out = _extracted(spark, sf_dir)
+    base = out.select(
+        F.regexp_extract("url", r"/article/(\d+)", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    mirrors = base.where("doc_id % 10 = 0").select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(mirrors)
+    passing = textstats.quality_score(corpus).where("quality >= 0.5").select("doc_id")
+    kept = corpus.join(passing, "doc_id")
+    # exact dedup: canonical (lowest id) per whitespace-normalized text,
+    # keyed by the cross-engine md5 hash so text itself is never the key
+    h = F.conv(
+        F.substring(F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 15),
+        16,
+        10,
+    )
+    w = Window.partitionBy(h).orderBy("doc_id")
+    survivors = (
+        kept.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    )
+    return packing.pack_sequences(survivors, budget=512, n_buckets=16).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "bin_id",
+    )
+
+
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination check: every 50th document doubles as the
     'evaluation set'; the operator reports the corpus token spans whose
@@ -733,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_importance": q_text_importance,
         "dedup_urls": q_dedup_urls,
         "text_contamination": q_text_contamination,
+        "pipeline_curate": q_pipeline_curate,
         "pack_sequences": q_pack_sequences,
         "sample_mix": q_sample_mix,
         "media_mime_sniff": q_media_mime_sniff,
@@ -1050,6 +1089,43 @@ SELECT doc,
    AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS passes_gopher
 FROM m
 """,
+        "pipeline_curate": """
+WITH extracted AS (
+  SELECT doc_id, trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS text FROM documents
+), corpus AS (
+  SELECT doc_id, text FROM extracted
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM extracted WHERE doc_id % 10 = 0
+), scored AS (
+  SELECT doc_id, text,
+    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains([{STOP_EN}], x))) AS stop_hits,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+  FROM corpus
+), kept AS (
+  SELECT doc_id, text FROM scored
+  WHERE (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN punct * 1.0 / greatest(n_chars, 1) <= 0.2 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN stop_hits * 1.0 / greatest(n_tokens, 1) >= 0.05 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+      >= 0.5
+), survivors AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      row_number() OVER (PARTITION BY regexp_replace(trim(text), '\\s+', ' ', 'g') ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+), packed AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16) AS bucket
+  FROM survivors
+)
+SELECT doc_id, n_tokens, bucket,
+  cast(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - 1) / 512) AS BIGINT) AS bin_id
+FROM packed
+""".replace("{STOP_EN}", ",".join(f"'{w}'" for w in __import__("graby_spark.operators.textstats", fromlist=["STOPWORDS"]).STOPWORDS["en"])),
         "text_contamination": """
 WITH toks AS (
   SELECT doc_id AS doc,
