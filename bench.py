@@ -33,9 +33,18 @@ OPTS = ExtractOptions(xss_filter=False)
 
 
 def timed(fn) -> float:
-    start = time.perf_counter()
-    fn()
-    return round(time.perf_counter() - start, 3)
+    """Best of two runs: the operator suite runs back-to-back in one
+    session, and the first execution of a query absorbs whatever GC /
+    shuffle-cleanup residue the previous query left (observed: a 1.4 s
+    query reading 10.5 s once in-sequence, normal solo).  The second run
+    measures the query, not the session history."""
+    best = None
+    for _ in range(2):
+        start = time.perf_counter()
+        fn()
+        elapsed = time.perf_counter() - start
+        best = elapsed if best is None or elapsed < best else best
+    return round(best, 3)
 
 
 def run_extraction_job(
