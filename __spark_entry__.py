@@ -22,7 +22,15 @@ from pyspark.sql import functions as F
 
 from graby_spark.extract import ExtractOptions
 from graby_spark.job import run_extraction, resolve_multipage, resolve_single_page
-from graby_spark.operators import dedup, packing, similarity, textstats, multimodal
+from graby_spark.operators import (
+    dedup,
+    graph,
+    packing,
+    pii,
+    similarity,
+    textstats,
+    multimodal,
+)
 from graby_spark.pages import (
     build_multipage_pages_df,
     build_pages_df,
@@ -477,6 +485,106 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII planted on top of every document: an email always, a phone every 3rd
+# doc, an IPv4 every 5th, an SSN every 7th, a card every 11th.  The {c}
+# placeholder is the engine's string type (Spark 'string' / DuckDB 'varchar')
+# so the exact same expression synthesizes both sides.
+_PII_SYNTH = (
+    "concat(text, ' contact user', cast(doc_id as {c}), '@example.com',"
+    " case when doc_id % 3 = 0 then concat(' or +1 555 ', lpad(cast(doc_id % 1000 as {c}), 3, '0'), ' 1234') else '' end,"
+    " case when doc_id % 5 = 0 then concat(' from host 10.', cast(doc_id % 256 as {c}), '.0.', cast(doc_id % 250 as {c})) else '' end,"
+    " case when doc_id % 7 = 0 then ' ssn 123-45-6789' else '' end,"
+    " case when doc_id % 11 = 0 then ' card 4111-1111-1111-1111' else '' end)"
+)
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with planted emails/phones/IPs/SSNs/cards:
+    staged per-category counts + md5 of the fully redacted text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", f"{_PII_SYNTH.format(c='string')} as text")
+    out = pii.pii_scrub(planted)
+    return out.select(
+        "doc",
+        *[
+            F.col(f"n_{name}").cast("long").alias(f"n_{name}")
+            for name, _, _ in pii.PII_PATTERNS
+        ],
+        F.col("n_pii").cast("long").alias("n_pii"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+# C4 line structure planted on documents (raw docs are single-line): a
+# good intro line, a too-short line, a javascript line, the doc body as a
+# terminated line, plus lorem-ipsum / curly-brace page poisons on a cycle.
+_C4_SYNTH = (
+    "concat('Intro line with five solid words here.', chr(10),"
+    " 'short line.', chr(10),"
+    " 'This javascript line has many words today.', chr(10),"
+    " text, '.', chr(10),"
+    " case when doc_id % 6 = 0 then concat('lorem ipsum dolor sit amet.', chr(10)) else '' end,"
+    " case when doc_id % 9 = 0 then 'code { braces }' else 'Final sentence ends properly today right here!' end)"
+)
+
+
+def q_text_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page cleaning: terminal-punctuation / >=5-word / no-javascript
+    line filter + lorem-ipsum and curly-brace page gates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", f"{_C4_SYNTH} as text")
+    return textstats.c4_quality_filter(planted)
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-hash train/validation/test assignment."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.split_assign(docs)
+
+
+# Synthetic link farm: each doc's page carries one absolute, one
+# protocol-relative (even ids), one root-relative and one document-relative
+# link plus a fragment and a mailto that must be dropped.
+_LINK_URL = (
+    "concat('http://site', cast(doc_id % 7 as {c}), '.example.com/dir/p',"
+    " cast(doc_id as {c}), '.html')"
+)
+_LINK_HTML = (
+    "concat('<p><a href=\"http://ext.example.org/p/', cast(doc_id % 97 as {c}), '\">a</a>',"
+    " case when doc_id % 2 = 0 then concat('<a href=\"//cdn.example.net/a/', cast(doc_id % 13 as {c}), '\">c</a>') else '' end,"
+    " '<a href=\"/root/', cast(doc_id % 31 as {c}), '\">r</a>',"
+    " '<a href=\"page', cast(doc_id % 5 as {c}), '.html#sec\">s</a>',"
+    " '<a href=\"#top\">t</a><a href=\"mailto:u@example.com\">m</a></p>')"
+)
+
+
+def q_graph_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """href extraction + RFC-lite resolution over a synthetic link farm
+    (absolute / protocol-relative / root-relative / document-relative,
+    fragment + mailto dropped)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.selectExpr(
+        f"{_LINK_URL.format(c='string')} as url",
+        f"{_LINK_HTML.format(c='string')} as html",
+    )
+    return graph.outlinks(pages)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (10 checkpointed power iterations) over a
+    deterministic modular link graph with hub edges onto nodes 0-6."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    e1 = docs.selectExpr("doc_id as src", f"(doc_id*31+7) % {n} as dst")
+    e2 = docs.where("doc_id % 2 = 0").selectExpr(
+        "doc_id as src", f"(doc_id*17+3) % {n} as dst"
+    )
+    e3 = docs.where("doc_id % 10 = 0").selectExpr("doc_id as src", "doc_id % 7 as dst")
+    edges = e1.union(e2).union(e3).where("src != dst")
+    pr = graph.pagerank(edges, n_iter=10)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation chain as ONE composed job:
     real byte-level extraction -> quality gate (score >= 0.5) -> exact
@@ -771,6 +879,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_importance": q_text_importance,
         "dedup_urls": q_dedup_urls,
         "text_contamination": q_text_contamination,
+        "text_pii": q_text_pii,
+        "text_c4": q_text_c4,
+        "split_assign": q_split_assign,
+        "graph_outlinks": q_graph_outlinks,
+        "graph_pagerank": q_graph_pagerank,
         "pipeline_curate": q_pipeline_curate,
         "pack_sequences": q_pack_sequences,
         "sample_mix": q_sample_mix,
@@ -830,7 +943,144 @@ def oracle_sql() -> dict[str, str]:
         "sqrt(list_sum(list_transform(embedding, y -> y * y))))"
     )
 
+    # staged PII oracle generated from the SAME pattern table the Spark
+    # operator uses (patterns are in the Java-regex/RE2 common subset)
+    def pii_oracle() -> str:
+        synth = _PII_SYNTH.format(c="varchar")
+        parts = [f"WITH planted AS (SELECT doc_id, {synth} AS t0 FROM documents)"]
+        prev = "planted"
+        for i, (name, pat, rep) in enumerate(pii.PII_PATTERNS):
+            carry = "".join(f"n_{n}, " for n, _, _ in pii.PII_PATTERNS[:i])
+            parts.append(
+                f", s{i} AS (SELECT doc_id, {carry}"
+                f"CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT) AS n_{name}, "
+                f"regexp_replace(t{i}, '{pat}', '{rep}', 'g') AS t{i + 1} FROM {prev})"
+            )
+            prev = f"s{i}"
+        names = ", ".join(f"n_{n}" for n, _, _ in pii.PII_PATTERNS)
+        total = " + ".join(f"n_{n}" for n, _, _ in pii.PII_PATTERNS)
+        parts.append(
+            f"\nSELECT doc_id AS doc, {names}, CAST({total} AS BIGINT) AS n_pii, "
+            f"md5(t{len(pii.PII_PATTERNS)}) AS redacted_md5 FROM {prev}"
+        )
+        return "\n".join(parts)
+
+    def outlinks_oracle() -> str:
+        url = _LINK_URL.format(c="varchar")
+        html = _LINK_HTML.format(c="varchar")
+        return f"""
+WITH pages AS (SELECT {url} AS url, {html} AS html FROM documents),
+links AS (
+  SELECT url AS src, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+  FROM pages
+),
+kept AS (
+  SELECT src, link FROM links
+  WHERE link <> '' AND link NOT LIKE '#%' AND link NOT LIKE 'mailto:%'
+    AND link NOT LIKE 'javascript:%' AND link NOT LIKE 'data:%' AND link NOT LIKE 'tel:%'
+),
+resolved AS (
+  SELECT src,
+    CASE WHEN link LIKE 'http://%' OR link LIKE 'https://%' THEN link
+         WHEN link LIKE '//%' THEN concat(regexp_extract(src, '^([a-z][a-z0-9+.\\-]*):', 1), ':', link)
+         WHEN link LIKE '/%' THEN concat(regexp_extract(src, '^([a-z][a-z0-9+.\\-]*://[^/]+)', 1), link)
+         ELSE concat(regexp_replace(src, '[^/]*$', ''), link) END AS dst0
+  FROM kept
+)
+SELECT src, regexp_replace(dst0, '#.*$', '') AS dst
+FROM resolved
+WHERE regexp_replace(dst0, '#.*$', '') <> src
+"""
+
+    # PageRank oracle: the power iteration unrolled as chained CTEs (one
+    # per iteration), numerically identical to the Spark loop (12-dp round
+    # per iteration, leaky dangling mass, (1-d)/N floor via LEFT JOIN)
+    def pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+        parts = [
+            """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id*31+7) % nn.n AS dst FROM documents, nn
+    UNION ALL
+    SELECT doc_id AS src, (doc_id*17+3) % nn.n AS dst FROM documents, nn WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id AS src, doc_id % 7 AS dst FROM documents WHERE doc_id % 10 = 0
+  ) WHERE src <> dst
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nc AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / nc.m, 12) AS rank FROM nodes, nc)"""
+        ]
+        for i in range(1, n_iter + 1):
+            parts.append(
+                f""",
+r{i} AS (
+  SELECT n.node,
+         round(CAST({1.0 - damping!r} AS DOUBLE) / nc.m
+               + CAST({damping!r} AS DOUBLE) * coalesce(s.x, CAST(0 AS DOUBLE)), 12) AS rank
+  FROM nodes n CROSS JOIN nc
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.deg) AS x
+    FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+            )
+        parts.append(f"\nSELECT node, round(rank, 6) AS rank FROM r{n_iter}\n")
+        return "".join(parts)
+
+    c4_oracle = f"""
+WITH planted AS (SELECT doc_id, {_C4_SYNTH} AS text FROM documents),
+l AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+  FROM planted
+),
+k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+           AND len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l
+),
+c AS (
+  SELECT doc_id, text, lines, kept, array_to_string(kept, chr(10)) AS cleaned,
+         len(string_split_regex(array_to_string(kept, chr(10)), '[.!?]+')) - 1 AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{{') AS has_brace
+  FROM k
+)
+SELECT doc_id AS doc,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       has_lorem, has_brace,
+       (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS passes_c4,
+       md5(cleaned) AS cleaned_md5
+FROM c
+"""
+
+    split_oracle = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(concat('v1:', cast(doc_id AS varchar))), 1, 15))::BIGINT % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id AS doc, bucket,
+       CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'validation'
+            ELSE 'test' END AS split
+FROM b
+"""
+
     return {
+        "text_pii": pii_oracle(),
+        "text_c4": c4_oracle,
+        "split_assign": split_oracle,
+        "graph_outlinks": outlinks_oracle(),
+        "graph_pagerank": pagerank_oracle(),
         "extract_meta": f"""
 WITH {expected}
 SELECT url, title, language, pub_date, coalesce(author_names, '') AS author_names, cast(1 as bigint) AS ok

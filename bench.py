@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from graby_spark.extract import ExtractOptions
 from graby_spark.job import run_extraction, resolve_multipage
-from graby_spark.operators import dedup, similarity, textstats
+from graby_spark.operators import dedup, graph, pii, similarity, textstats
 from graby_spark.pages import build_multipage_pages_df, build_pages_df, pages_ruleset
 from graby_spark.session import get_spark
 
@@ -91,11 +91,11 @@ def run_scaling(sf_dir: str) -> dict:
     host state, so the max of the two is the least-biased estimate of the
     engine's own scaling (both remain honest N-vs-4N measurements of the
     identical job).  Runs FIRST, before the 32-core phases heat the host;
-    best-of-``BENCH_SCALE_REPEATS`` damps residual noise.
+    median-of-``BENCH_SCALE_REPEATS`` (default 5) damps residual noise.
     """
     scale_amplify = int(os.environ.get("BENCH_SCALE_AMPLIFY", "2"))
     scale_text_repeat = int(os.environ.get("BENCH_SCALE_TEXT_REPEAT", "60"))
-    repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "5"))
     n_small = os.environ.get("BENCH_SCALE_SMALL")
     core_counts = (
         [int(n_small), int(n_small) * 4] if n_small else [1, 2, 4, 8]
@@ -244,6 +244,26 @@ def main() -> None:
         "CASE WHEN doc_id % 2 = 0 THEN 'SHARED FOOTER' ELSE concat('u', cast(doc_id as string)) END) as text",
     )
     queries["dedup_paragraphs"] = timed(lambda: dedup.paragraph_dedup(para_docs).count())
+    queries["text_pii"] = timed(lambda: pii.pii_scrub(docs).count())
+
+    # iterative shuffle benchmark: 10 checkpointed PageRank iterations over
+    # the deterministic modular graph (~1.75 edges/doc)
+    def _pagerank_run():
+        ids = docs.select("doc_id")
+        n = ids.count()
+        edges = (
+            ids.selectExpr("doc_id as src", f"(doc_id*31+7) % {n} as dst")
+            .union(
+                ids.where("doc_id % 2 = 0").selectExpr(
+                    "doc_id as src", f"(doc_id*17+3) % {n} as dst"
+                )
+            )
+            .union(ids.where("doc_id % 10 = 0").selectExpr("doc_id as src", "doc_id % 7 as dst"))
+            .where("src != dst")
+        )
+        return graph.pagerank(edges, n_iter=10).count()
+
+    queries["graph_pagerank"] = timed(_pagerank_run)
     queries["agg_lineitem"] = timed(
         lambda: li.where("l_shipdate <= '1998-09-02'")
         .groupBy("l_returnflag", "l_linestatus")

@@ -24,6 +24,8 @@ __all__ = [
     "repetition_stats",
     "gopher_quality_filter",
     "importance_weights",
+    "c4_quality_filter",
+    "split_assign",
     "STOPWORDS",
 ]
 
@@ -462,4 +464,79 @@ def importance_weights(
             F.count("*").alias("n_feats"),
             F.round(F.sum("log_ratio"), 6).alias("logweight"),
         )
+    )
+
+
+def c4_quality_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2): keep only lines
+    that end in terminal punctuation, have >= 5 words, and don't mention
+    javascript; flag pages containing 'lorem ipsum' or '{'; a page passes
+    when >= 3 sentences survive and no page-level flag fires.
+
+    Returns the page-level signals plus md5 of the cleaned text (the kept
+    lines re-joined) so the transform itself is value-checked, not just the
+    boolean.  Pure JVM array/regex expressions — zero Python, zero shuffle;
+    at 100 TB this is a map-only pass whose cost is the regex scan.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.transform(F.split(raw, "\n"), F.trim), lambda l: l != "")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != "")) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = F.size(F.split(cleaned, r"[.!?]+")) - 1
+    has_lorem = F.lower(raw).contains("lorem ipsum")
+    has_brace = raw.contains("{")
+    passes = (n_sentences >= 3) & ~has_lorem & ~has_brace
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        passes.alias("passes_c4"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.98,
+    val_frac: float = 0.01,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic train/validation/test split by salted id hash.
+
+    Hash-based (not row_number) so membership is stable under corpus
+    growth, repartitioning, and incremental reruns — a document keeps its
+    split forever, which is what leakage audits need.  The md5-bucket trick
+    is cross-engine (DuckDB oracle recomputes identical buckets).  Pure
+    projection: no shuffle, no Python.
+    """
+    n_train = int(round(train_frac * 10000))
+    n_val = int(round(val_frac * 10000))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    split = (
+        F.when(bucket < n_train, F.lit("train"))
+        .when(bucket < n_train + n_val, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), bucket.alias("bucket"), split.alias("split")
     )

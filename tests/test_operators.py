@@ -4,6 +4,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from graby_spark.operators import dedup, multimodal, similarity, textstats
 from graby_spark.session import get_spark
 
@@ -514,3 +516,112 @@ def test_contamination_spans(spark):
     assert spans[1] == (2, 17, 6)   # the 15 planted tokens
     assert spans[3] == (0, 15, 6)   # fully contaminated
     assert 2 not in spans
+
+
+def test_pii_scrub_staged_counts(spark):
+    from graby_spark.operators import pii
+
+    rows = [
+        (1, "mail bob.smith+x@ex-ample.co.uk or call +33 1 42 68 53 00 now"),
+        (2, "server 10.0.0.255 card 4111-1111-1111-1111 ssn 123-45-6789"),
+        (3, None),
+        (4, "sixteen digits 1234567890123456 and a date 2024-01-01 stay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in pii.pii_scrub(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    # the IP is counted as an IP, never double-counted by the phone stage
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_phone"] == 0
+    assert out[2]["n_card"] == 1 and out[2]["n_ssn"] == 1
+    assert out[2]["n_pii"] == 3
+    assert out[3]["n_pii"] == 0 and out[3]["redacted"] == ""
+    # bare 16-digit runs and ISO dates are not PII matches
+    assert out[4]["n_pii"] == 0 and "1234567890123456" in out[4]["redacted"]
+
+
+def test_outlinks_resolution(spark):
+    from graby_spark.operators import graph
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example.com/dir/page.html",
+                '<a href="http://b.com/x">1</a><a href="//c.com/y">2</a>'
+                '<a href="/root">3</a><a href="sib.html#frag">4</a>'
+                '<a href="#top">5</a><a href="mailto:z@q.com">6</a>'
+                '<a href="javascript:void(0)">7</a><a href="">8</a>',
+            )
+        ],
+        "url string, html string",
+    )
+    dsts = sorted(r["dst"] for r in graph.outlinks(pages).collect())
+    assert dsts == [
+        "http://b.com/x",
+        "https://a.example.com/dir/sib.html",
+        "https://a.example.com/root",
+        "https://c.com/y",  # protocol-relative inherits the page scheme
+    ]
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    """Star graph: leaves 1..9 -> 0, 0 -> 1.  Compare against a plain
+    Python power iteration with the same rounding."""
+    from graby_spark.operators import graph
+
+    edges = [(i, 0) for i in range(1, 10)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in graph.pagerank(df, n_iter=10).collect()}
+
+    n, d = 10, 0.85
+    ranks = {v: round(1.0 / n, 12) for v in range(10)}
+    deg = {0: 1, **{i: 1 for i in range(1, 10)}}
+    for _ in range(10):
+        incoming = {v: 0.0 for v in range(10)}
+        for s, t in edges:
+            incoming[t] += ranks[s] / deg[s]
+        ranks = {
+            v: round((1 - d) / n + d * incoming[v], 12) for v in range(10)
+        }
+    for v in range(10):
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+    # 0 and 1 form a fed 2-cycle and far outrank the floor leaves
+    assert min(got[0], got[1]) > got[2]
+
+
+def test_c4_quality_filter(spark):
+    rows = [
+        (1, 'Good first sentence with enough words here.\nshort.\n'
+            'This javascript line has many words today.\n'
+            'Another proper sentence with many fine words!\n'
+            'A third full sentence keeps the page alive.'),
+        (2, 'lorem ipsum dolor sit amet consectetur adipiscing elit.\n'
+            'Perfectly fine other sentence with enough words.\n'
+            'Another good long sentence right here today.\n'
+            'And one more to clear the sentence bar.'),
+        (3, 'function f() { return 1; }\nReal sentence with plenty of words here.'),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in textstats.c4_quality_filter(df).collect()}
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept_lines"] == 3
+    assert out[1]["passes_c4"] is True
+    assert out[2]["has_lorem"] is True and out[2]["passes_c4"] is False
+    assert out[3]["has_brace"] is True and out[3]["passes_c4"] is False
+    assert out[4]["n_lines"] == 0 and out[4]["passes_c4"] is False
+
+
+def test_split_assign_deterministic_and_sized(spark):
+    df = spark.range(20_000).selectExpr("id as doc_id")
+    out = textstats.split_assign(df)
+    frac = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(frac["train"] / 20_000 - 0.98) < 0.005
+    assert 0.005 < frac["validation"] / 20_000 < 0.015
+    # stable under corpus growth: the first 10k docs keep their split
+    small = {r["doc"]: r["split"] for r in textstats.split_assign(
+        spark.range(10_000).selectExpr("id as doc_id")).collect()}
+    big = {r["doc"]: r["split"] for r in out.where("doc < 10000").collect()}
+    assert small == big
