@@ -542,6 +542,42 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.split_assign(docs)
 
 
+# Unicode noise planted as LITERAL codepoints inside the SQL string
+# (Spark's chr() is ASCII mod-256, unlike DuckDB's — literals are the only
+# representation both engines read identically): curly quotes, en/em
+# dashes, NBSP, zero-width space, ellipsis; tab and a control char via
+# ASCII chr(); a double space for the collapse pass.
+_NORM_NOISE_HEAD = "‘q’ “Q” a–b c—d "
+_NORM_NOISE_TAIL = " x y​z… t"
+_NORM_SYNTH = (
+    f"concat('{_NORM_NOISE_HEAD}', text, '{_NORM_NOISE_TAIL}',"
+    " chr(9), 't', chr(1), 'c  end')"
+)
+
+_SENT_SYNTH = "concat('First sentence here. Second one! Third question? ', text, '.')"
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode cleanup over documents with planted zero-width chars, curly
+    quotes, exotic spaces, controls, and an ellipsis."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", f"{_NORM_SYNTH} as text")
+    out = textstats.normalize_text(planted)
+    return out.select(
+        "doc",
+        "n_chars_raw",
+        "n_chars_clean",
+        F.md5("normalized").alias("normalized_md5"),
+    )
+
+
+def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation with stable per-document sentence indexes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", f"{_SENT_SYNTH} as text")
+    return textstats.sentences(planted)
+
+
 # Synthetic link farm: each doc's page carries one absolute, one
 # protocol-relative (even ids), one root-relative and one document-relative
 # link plus a fragment and a mailto that must be dropped.
@@ -882,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_c4": q_text_c4,
         "split_assign": q_split_assign,
+        "text_normalize": q_text_normalize,
+        "text_sentences": q_text_sentences,
         "graph_outlinks": q_graph_outlinks,
         "graph_pagerank": q_graph_pagerank,
         "pipeline_curate": q_pipeline_curate,
@@ -1075,10 +1113,54 @@ SELECT doc_id AS doc, bucket,
 FROM b
 """
 
+    # normalize_text oracle: the identical transform chain, character
+    # classes built with chr() so no literal/escape ambiguity can diverge
+    # between the engines
+    zw = "'[' || chr(8203) || chr(8204) || chr(8205) || chr(8288) || chr(65279) || ']'"
+    sp = "'[' || chr(160) || chr(8192) || '-' || chr(8202) || chr(8239) || chr(12288) || ']'"
+    qsrc = "chr(8216) || chr(8217) || chr(8220) || chr(8221) || chr(8211) || chr(8212)"
+    qdst = "chr(39) || chr(39) || chr(34) || chr(34) || '--'"
+    normalize_oracle = f"""
+WITH planted AS (SELECT doc_id, {_NORM_SYNTH} AS text FROM documents),
+c AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          translate(
+            regexp_replace(
+              regexp_replace(text, {zw}, '', 'g'),
+              {sp}, ' ', 'g'),
+            {qsrc}, {qdst}),
+          chr(8230), '...', 'g'),
+        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+      '[ \\t]+', ' ', 'g')) AS normalized
+  FROM planted
+)
+SELECT doc_id AS doc,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(normalized) AS BIGINT) AS n_chars_clean,
+       md5(normalized) AS normalized_md5
+FROM c
+"""
+
+    sentences_oracle = f"""
+WITH planted AS (SELECT doc_id, {_SENT_SYNTH} AS text FROM documents),
+s AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)), x -> x <> '') AS sents
+  FROM planted
+)
+SELECT doc_id AS doc, CAST(sent_idx AS BIGINT) AS sent_idx, sentence
+FROM (SELECT doc_id, unnest(range(len(sents))) AS sent_idx, unnest(sents) AS sentence FROM s)
+"""
+
     return {
         "text_pii": pii_oracle(),
         "text_c4": c4_oracle,
         "split_assign": split_oracle,
+        "text_normalize": normalize_oracle,
+        "text_sentences": sentences_oracle,
         "graph_outlinks": outlinks_oracle(),
         "graph_pagerank": pagerank_oracle(),
         "extract_meta": f"""

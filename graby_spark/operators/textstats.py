@@ -26,6 +26,8 @@ __all__ = [
     "importance_weights",
     "c4_quality_filter",
     "split_assign",
+    "normalize_text",
+    "sentences",
     "STOPWORDS",
 ]
 
@@ -539,4 +541,73 @@ def split_assign(
     )
     return df.select(
         F.col(id_col).alias("doc"), bucket.alias("bucket"), split.alias("split")
+    )
+
+
+# normalize_text pattern constants.  Built so the pattern STRINGS hold
+# real codepoints at runtime: Java regex and the oracle's RE2 both take
+# literal chars, but RE2 lacks Java's \\uXXXX syntax, so the same
+# strings are embedded verbatim in the DuckDB oracle SQL.
+ZERO_WIDTH_CLASS = "[" + "".join(map(chr, (0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF))) + "]"
+UNICODE_SPACE_CLASS = "[" + chr(0xA0) + chr(0x2000) + "-" + chr(0x200A) + chr(0x202F) + chr(0x3000) + "]"
+QUOTE_SRC = "".join(map(chr, (0x2018, 0x2019, 0x201C, 0x201D, 0x2013, 0x2014)))
+QUOTE_DST = "''" + '""' + "--"
+ELLIPSIS = chr(0x2026)
+CONTROL_CLASS = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+SENTENCE_PATTERN = r"[^.!?]+[.!?]*"
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """OSCAR/CCNet-style Unicode cleanup: zero-width characters and BOMs
+    removed, exotic spaces (NBSP, thin/figure spaces) folded to ASCII
+    space, curly quotes/dashes/ellipsis folded to ASCII, C0/C1 control
+    characters (except newline and tab) stripped, space runs collapsed.
+
+    Emits the cleaned text plus before/after char counts so the amount of
+    noise removed is itself a queryable signal.  Pure JVM regex/translate
+    chain (patterns in the Java-regex/RE2 common subset for the DuckDB
+    oracle); map-only at any scale.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    s = F.regexp_replace(raw, ZERO_WIDTH_CLASS, "")
+    s = F.regexp_replace(s, UNICODE_SPACE_CLASS, " ")
+    s = F.translate(s, QUOTE_SRC, QUOTE_DST)
+    s = F.regexp_replace(s, ELLIPSIS, "...")
+    s = F.regexp_replace(s, CONTROL_CLASS, "")
+    s = F.trim(F.regexp_replace(s, "[ \t]+", " "))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(s).cast("long").alias("n_chars_clean"),
+        s.alias("normalized"),
+    )
+
+
+def sentences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sentence segmentation to (doc, sent_idx, sentence): maximal runs of
+    non-terminal characters plus their trailing [.!?]+ punctuation, trimmed,
+    empties dropped.  Regex-only (no lookbehind — the common Java/RE2
+    subset), so the DuckDB oracle reproduces it with lockstep unnest.
+    Enables sentence-level dedup and per-sentence quality scoring;
+    scan → generate, no shuffle.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    # one-arg lambda, NOT bare F.trim: pyspark feeds two-arg callables
+    # (element, index) and F.trim(col, trim) would take the index as the
+    # trim character set
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(raw, F.lit(SENTENCE_PATTERN), F.lit(0)),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    return df.select(F.col(id_col).alias("doc"), F.posexplode(sents)).select(
+        "doc",
+        F.col("pos").cast("long").alias("sent_idx"),
+        F.col("col").alias("sentence"),
     )

@@ -625,3 +625,30 @@ def test_split_assign_deterministic_and_sized(spark):
         spark.range(10_000).selectExpr("id as doc_id")).collect()}
     big = {r["doc"]: r["split"] for r in out.where("doc < 10000").collect()}
     assert small == big
+
+
+def test_normalize_text(spark):
+    noisy = (
+        "‘q’ “Q” a–b c—d x y​z…"
+        " t\tt\x01c  end"
+    )
+    df = spark.createDataFrame([(1, noisy), (2, None)], "doc_id long, text string")
+    out = {r["doc"]: r for r in textstats.normalize_text(df).collect()}
+    # \x01 is STRIPPED (not folded to space), so 't' and 'c' join
+    assert out[1]["normalized"] == "'q' \"Q\" a-b c-d x yz... t tc end"
+    assert out[1]["n_chars_raw"] == len(noisy)
+    assert out[2]["normalized"] == "" and out[2]["n_chars_clean"] == 0
+
+
+def test_sentences_indexed(spark):
+    df = spark.createDataFrame(
+        [(1, "One here. Two there! Three?? trailing bit"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = textstats.sentences(df).collect()
+    got = {(r["doc"], r["sent_idx"]): r["sentence"] for r in rows}
+    assert got[(1, 0)] == "One here."
+    assert got[(1, 1)] == "Two there!"
+    assert got[(1, 2)] == "Three??"
+    assert got[(1, 3)] == "trailing bit"
+    assert not any(d == 2 for d, _ in got)
