@@ -578,6 +578,28 @@ def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.sentences(planted)
 
 
+def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian-smoothed per-domain quality reputation joined back to each
+    document (quality_score -> domain aggregate -> broadcast prior)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = textstats.quality_score(docs).select("doc_id", "quality")
+    joined = docs.select("doc_id", "source").join(q, "doc_id")
+    return textstats.domain_prior(joined)
+
+
+def q_graph_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl-frontier waves: per-domain score ranking
+    with deterministic md5-hash scores."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = docs.selectExpr(
+        "concat('http://', source, '/p', cast(doc_id as string)) as url",
+        "source as domain",
+        "cast(conv(substring(md5(concat('s:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+        " % 10000 / cast(10000 as double) as score",
+    )
+    return graph.frontier_schedule(cands)
+
+
 # Synthetic link farm: each doc's page carries one absolute, one
 # protocol-relative (even ids), one root-relative and one document-relative
 # link plus a fragment and a mailto that must be dropped.
@@ -920,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "text_normalize": q_text_normalize,
         "text_sentences": q_text_sentences,
+        "domain_prior": q_domain_prior,
+        "graph_frontier": q_graph_frontier,
         "graph_outlinks": q_graph_outlinks,
         "graph_pagerank": q_graph_pagerank,
         "pipeline_curate": q_pipeline_curate,
@@ -1161,6 +1185,48 @@ FROM (SELECT doc_id, unnest(range(len(sents))) AS sent_idx, unnest(sents) AS sen
         "split_assign": split_oracle,
         "text_normalize": normalize_oracle,
         "text_sentences": sentences_oracle,
+        "domain_prior": """
+WITH t AS (
+  SELECT doc_id, source,
+         trim(text) AS text,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','was'], x))) AS stop_hits,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+  FROM t
+), q AS (
+  SELECT doc_id, source,
+         CAST(round(
+           (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0 END)
+         + (CASE WHEN punct * 1.0 / greatest(n_chars, 1) <= 0.2 THEN 0.25 ELSE 0 END)
+         + (CASE WHEN stop_hits * 1.0 / greatest(n_tokens, 1) >= 0.05 THEN 0.25 ELSE 0 END)
+         + (CASE WHEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+         , 2) AS DOUBLE) AS quality
+  FROM s
+), per AS (
+  SELECT source, count(*) AS n_domain_docs, sum(quality) AS q_sum FROM q GROUP BY source
+), g AS (SELECT sum(quality) / count(*) AS mu FROM q)
+SELECT q.doc_id AS doc, q.source AS domain,
+       CAST(per.n_domain_docs AS BIGINT) AS n_domain_docs,
+       round((per.q_sum + 20.0 * g.mu) / (per.n_domain_docs + 20), 6) AS domain_prior
+FROM q JOIN per USING (source) CROSS JOIN g
+""",
+        "graph_frontier": """
+WITH cands AS (
+  SELECT concat('http://', source, '/p', cast(doc_id AS varchar)) AS url,
+         source AS domain,
+         ('0x' || substr(md5(concat('s:', cast(doc_id AS varchar))), 1, 15))::BIGINT
+           % 10000 / CAST(10000 AS DOUBLE) AS score
+  FROM documents
+)
+SELECT url, domain, score,
+       CAST(row_number() OVER (PARTITION BY domain ORDER BY score DESC, url) AS BIGINT) AS wave
+FROM cands
+""",
         "graph_outlinks": outlinks_oracle(),
         "graph_pagerank": pagerank_oracle(),
         "extract_meta": f"""

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["outlinks", "pagerank", "HREF_PATTERN"]
+__all__ = ["outlinks", "pagerank", "frontier_schedule", "HREF_PATTERN"]
 
 HREF_PATTERN = r'href="([^"]*)"'
 
@@ -140,3 +140,31 @@ def pagerank(
     out_edges.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def frontier_schedule(
+    candidates: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    score_col: str = "score",
+) -> DataFrame:
+    """Politeness-aware crawl-frontier ordering: rank candidates within
+    each domain by score (ties broken by url for determinism); the rank IS
+    the crawl wave — wave k fetches at most one url per domain, so a
+    score-sorted frontier never hammers a single host.
+
+    One window shuffle partitioned by domain; skewed mega-domains are
+    bounded by their own row count (the window never crosses domains), and
+    the output is sortable by (wave, score) for the fetch scheduler.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(score_col).desc(), F.col(url_col)
+    )
+    return candidates.select(
+        F.col(url_col).alias("url"),
+        F.col(domain_col).alias("domain"),
+        F.col(score_col).alias("score"),
+        F.row_number().over(w).cast("long").alias("wave"),
+    )

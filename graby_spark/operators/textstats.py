@@ -28,6 +28,7 @@ __all__ = [
     "split_assign",
     "normalize_text",
     "sentences",
+    "domain_prior",
     "STOPWORDS",
 ]
 
@@ -610,4 +611,51 @@ def sentences(
         "doc",
         F.col("pos").cast("long").alias("sent_idx"),
         F.col("col").alias("sentence"),
+    )
+
+
+def domain_prior(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    quality_col: str = "quality",
+    smoothing: int = 20,
+) -> DataFrame:
+    """Per-domain quality reputation joined back as a document-level prior.
+
+    prior(d) = (sum(quality in d) + k * global_mean) / (n_d + k) — Bayesian
+    shrinkage toward the corpus mean, so a domain with 3 documents cannot
+    dominate a filter the way a domain with 30k can.  Standard trick for
+    host-level filtering (a la Common Crawl host reputation lists).
+
+    Scale shape: one partial-aggregated groupBy whose output cardinality is
+    the domain count (tiny vs docs), a driver-side global mean, and a
+    broadcast-sized join back — document text/quality never shuffles twice.
+    Exactly cross-engine: quality values are quantized to exact binary
+    fractions, so sums are order-independent.
+    """
+    doc = F.col(id_col).alias("doc")
+    per_domain = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_domain_docs"),
+        F.sum(quality_col).alias("_q_sum"),
+    )
+    g = df.agg(
+        (F.sum(quality_col) / F.count("*")).alias("mu")
+    ).collect()[0]["mu"]
+    priors = per_domain.select(
+        domain_col,
+        "n_domain_docs",
+        F.round(
+            (F.col("_q_sum") + F.lit(float(smoothing)) * F.lit(g))
+            / (F.col("n_domain_docs") + F.lit(smoothing)),
+            6,
+        ).alias("domain_prior"),
+    )
+    return df.select(doc, F.col(domain_col), F.col(quality_col)).join(
+        F.broadcast(priors), domain_col
+    ).select(
+        "doc",
+        F.col(domain_col).alias("domain"),
+        F.col("n_domain_docs").cast("long").alias("n_domain_docs"),
+        "domain_prior",
     )

@@ -652,3 +652,41 @@ def test_sentences_indexed(spark):
     assert got[(1, 2)] == "Three??"
     assert got[(1, 3)] == "trailing bit"
     assert not any(d == 2 for d, _ in got)
+
+
+def test_domain_prior_shrinkage(spark):
+    """A tiny all-ones domain shrinks toward the global mean far more than
+    a large one with the same raw average."""
+    rows = [(i, "big.com", 1.0) for i in range(100)] + [
+        (200, "small.com", 1.0),
+        (201, "small.com", 1.0),
+        (300, "low.com", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    out = {r["domain"]: r for r in textstats.domain_prior(df).collect()}
+    assert out["big.com"]["n_domain_docs"] == 100
+    # both raw means are 1.0 but the small domain sits closer to the mean
+    assert out["big.com"]["domain_prior"] > out["small.com"]["domain_prior"]
+    assert out["low.com"]["domain_prior"] > 0.0  # shrunk up from 0
+    assert out["big.com"]["domain_prior"] < 1.0  # shrunk down from 1
+
+
+def test_frontier_schedule_politeness(spark):
+    from graby_spark.operators import graph
+
+    rows = [
+        ("http://a.com/1", "a.com", 0.9),
+        ("http://a.com/2", "a.com", 0.8),
+        ("http://a.com/3", "a.com", 0.7),
+        ("http://b.com/1", "b.com", 0.99),
+    ]
+    df = spark.createDataFrame(rows, "url string, domain string, score double")
+    out = graph.frontier_schedule(df).collect()
+    by_wave = {}
+    for r in out:
+        by_wave.setdefault(r["wave"], []).append(r["domain"])
+    # each wave touches every domain at most once
+    assert all(len(set(ds)) == len(ds) for ds in by_wave.values())
+    # within a domain, higher score = earlier wave
+    a = {r["url"]: r["wave"] for r in out if r["domain"] == "a.com"}
+    assert a["http://a.com/1"] < a["http://a.com/2"] < a["http://a.com/3"]
