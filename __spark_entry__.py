@@ -587,6 +587,24 @@ def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.domain_prior(joined)
 
 
+def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion round trip: documents → per-record-gzipped WARC
+    blobs → length-prefixed record parser → page rows.  The oracle
+    computes the expected fields directly from documents, so a value
+    match proves the serializer+parser pair, not just the plumbing."""
+    from graby_spark.sources import warc
+
+    blobs = warc.build_warc_blobs(spark, sf_dir, records_per_file=50)
+    recs = warc.warc_records(blobs)
+    return recs.select(
+        "url",
+        "warc_date",
+        F.col("http_status").cast("long").alias("http_status"),
+        "content_type",
+        F.md5("html").alias("html_md5"),
+    )
+
+
 def q_graph_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-aware crawl-frontier waves: per-domain score ranking
     with deterministic md5-hash scores."""
@@ -944,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sentences": q_text_sentences,
         "domain_prior": q_domain_prior,
         "graph_frontier": q_graph_frontier,
+        "source_warc": q_source_warc,
         "graph_outlinks": q_graph_outlinks,
         "graph_pagerank": q_graph_pagerank,
         "pipeline_curate": q_pipeline_curate,
@@ -1214,6 +1233,14 @@ SELECT q.doc_id AS doc, q.source AS domain,
        CAST(per.n_domain_docs AS BIGINT) AS n_domain_docs,
        round((per.q_sum + 20.0 * g.mu) / (per.n_domain_docs + 20), 6) AS domain_prior
 FROM q JOIN per USING (source) CROSS JOIN g
+""",
+        "source_warc": """
+SELECT concat('http://warc.example.com/doc/', cast(doc_id AS varchar)) AS url,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       CAST(200 AS BIGINT) AS http_status,
+       'text/html; charset=utf-8' AS content_type,
+       md5(concat('<html><body><p>', text, '</p></body></html>')) AS html_md5
+FROM documents
 """,
         "graph_frontier": """
 WITH cands AS (

@@ -1,0 +1,196 @@
+"""WARC source connector: Common-Crawl-style archive blobs → page rows.
+
+The engine's input contract is a pages table ``(url, warc_ts, html, ...)``
+(SURVEY §1, BASELINE input_hint).  Real crawls deliver that table as WARC
+files — concatenated ``WARC/1.0`` records, each individually gzipped in
+Common Crawl's layout.  This module is the ingestion edge:
+
+- ``warc_records(df)``: parse a DataFrame of raw WARC blobs (e.g. from
+  ``spark.read.format("binaryFile")``) into one row per response record:
+  (url, warc_date, http_status, content_type, html).  Parsing is
+  length-prefixed (``Content-Length`` slices the payload), never
+  delimiter-scanned, so binary payloads containing record-like bytes
+  cannot desynchronize it.  Per-member gzip is detected by magic bytes
+  and inflated with ``zlib`` member-by-member (``unused_data`` carries
+  the remainder), matching Common Crawl's record-level compression.
+- ``build_warc_blobs(spark, sf_dir)``: deterministic synthetic WARC
+  files from ``documents.parquet`` for tests and benchmarks (no external
+  data), ~``records_per_file`` records per blob.
+
+Scale shape: one ``mapInPandas`` over file blobs — each file parses
+independently (classic Hadoop-era WARC splitability caveat: gzip members
+are the split points; here a file is a partition unit, matching
+``binaryFile``'s semantics).  Records stream out per Arrow batch, so a
+1 GB archive never materializes as one Python list.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["WARC_RECORD_SCHEMA", "warc_records", "build_warc_blobs"]
+
+WARC_RECORD_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("content_type", StringType()),
+        StructField("html", BinaryType()),
+    ]
+)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _iter_members(blob: bytes) -> Iterator[bytes]:
+    """Yield decompressed gzip members (or the raw blob if uncompressed)."""
+    if not blob.startswith(_GZIP_MAGIC):
+        yield blob
+        return
+    rest = blob
+    while rest.startswith(_GZIP_MAGIC):
+        d = zlib.decompressobj(wbits=31)
+        yield d.decompress(rest)
+        rest = d.unused_data
+    if rest:
+        # trailing uncompressed tail (malformed archive) — surface it so
+        # the record parser can reject it instead of silently dropping
+        yield rest
+
+
+def _parse_records(data: bytes) -> Iterator[tuple]:
+    """Parse concatenated WARC/1.0 records from an uncompressed buffer."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in data[pos:head_end].split(b"\r\n"):
+            if b":" in line:
+                k, _, v = line.partition(b":")
+                headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                    "latin-1"
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        payload = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        if headers.get("warc-type") != "response":
+            continue
+        status = 0
+        content_type = ""
+        body = payload
+        http_end = payload.find(b"\r\n\r\n")
+        if http_end >= 0:
+            http_lines = payload[:http_end].split(b"\r\n")
+            if http_lines and http_lines[0].startswith(b"HTTP/"):
+                parts = http_lines[0].split()
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                for line in http_lines[1:]:
+                    if line.lower().startswith(b"content-type:"):
+                        content_type = line.partition(b":")[2].strip().decode(
+                            "latin-1"
+                        )
+                body = payload[http_end + 4 :]
+        yield (
+            headers.get("warc-target-uri", ""),
+            headers.get("warc-date", ""),
+            status,
+            content_type,
+            body,
+        )
+
+
+def warc_records(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """DataFrame of WARC blobs → one row per response record."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[blob_col]:
+                for member in _iter_members(bytes(blob or b"")):
+                    rows.extend(_parse_records(member))
+                    if len(rows) >= 2048:
+                        yield pd.DataFrame(
+                            rows, columns=WARC_RECORD_SCHEMA.fieldNames()
+                        )
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=WARC_RECORD_SCHEMA.fieldNames())
+
+    return df.select(blob_col).mapInPandas(parse, WARC_RECORD_SCHEMA)
+
+
+def build_warc_blobs(
+    spark: SparkSession,
+    sf_dir: str,
+    records_per_file: int = 50,
+    gzip_records: bool = True,
+) -> DataFrame:
+    """Deterministic synthetic WARC files from ``documents.parquet``.
+
+    One row per archive file: (file_id, blob).  Each document becomes a
+    ``WARC-Type: response`` record whose payload is an HTTP/1.1 response
+    wrapping ``<html><body><p>{text}</p></body></html>``; records are
+    individually gzipped (mtime pinned to 0 → byte-deterministic) and
+    concatenated, Common Crawl style.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", (F.col("doc_id") / records_per_file).cast("long").alias("file_id")
+    )
+
+    schema = StructType(
+        [StructField("file_id", LongType()), StructField("blob", BinaryType())]
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = bytearray()
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            doc_id = int(row["doc_id"])
+            html = ("<html><body><p>%s</p></body></html>" % row["text"]).encode(
+                "utf-8"
+            )
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+                + html
+            )
+            ts = pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=doc_id)
+            head = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: http://warc.example.com/doc/{doc_id}\r\n"
+                f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode("latin-1")
+            record = head + http + b"\r\n\r\n"
+            if gzip_records:
+                co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                record = co.compress(record) + co.flush()
+            out += record
+        return pd.DataFrame({"file_id": [key[0]], "blob": [bytes(out)]})
+
+    return docs.groupBy("file_id").applyInPandas(build, schema)

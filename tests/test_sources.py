@@ -1,0 +1,60 @@
+"""WARC source connector tests: parser robustness + round trip."""
+
+import zlib
+
+import pytest
+
+from graby_spark.sources.warc import _iter_members, _parse_records
+
+
+def _record(uri, payload, warc_type="response", extra_crlf=True):
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + (b"\r\n\r\n" if extra_crlf else b"")
+
+
+def _http(body, status=b"200 OK", ctype=b"text/html"):
+    return b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype + b"\r\n\r\n" + body
+
+
+def test_parse_skips_non_response_records():
+    data = _record("http://a/1", b"warcinfo body", warc_type="warcinfo") + _record(
+        "http://a/2", _http(b"<html>x</html>")
+    )
+    rows = list(_parse_records(data))
+    assert len(rows) == 1
+    assert rows[0][0] == "http://a/2" and rows[0][4] == b"<html>x</html>"
+    assert rows[0][2] == 200 and rows[0][3] == "text/html"
+
+
+def test_parse_length_prefixed_not_delimiter_scanned():
+    """A payload containing WARC-header-like bytes must not desync the
+    parser — Content-Length governs the slice."""
+    evil = _http(b"<pre>WARC/1.0\r\nWARC-Type: response\r\n\r\n</pre>")
+    data = _record("http://a/evil", evil) + _record("http://a/next", _http(b"ok"))
+    rows = list(_parse_records(data))
+    assert [r[0] for r in rows] == ["http://a/evil", "http://a/next"]
+    assert b"WARC/1.0" in rows[0][4]
+
+
+def test_gzip_member_iteration():
+    def gz(b):
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(b) + co.flush()
+
+    blob = gz(b"first") + gz(b"second") + gz(b"third")
+    assert list(_iter_members(blob)) == [b"first", b"second", b"third"]
+    # uncompressed blobs pass through untouched
+    assert list(_iter_members(b"raw")) == [b"raw"]
+
+
+def test_parse_stops_on_truncated_record():
+    good = _record("http://a/1", _http(b"fine"))
+    truncated = good + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Le"
+    rows = list(_parse_records(truncated))
+    assert len(rows) == 1 and rows[0][0] == "http://a/1"
