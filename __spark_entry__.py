@@ -587,6 +587,45 @@ def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.domain_prior(joined)
 
 
+# robots.txt per domain: a bot1-only group (must not apply), a '*' group
+# with disallow/allow pair + an allow-all empty Disallow, and an extra
+# disallow on half the domains (md5 parity).  {h} is the engine's
+# md5-parity expression over `domain`.
+_ROBOTS_SYNTH = (
+    "concat('User-agent: bot1', chr(10), 'Disallow: /b1', chr(10), chr(10),"
+    " 'User-agent: *', chr(10), 'Disallow: /private', chr(10),"
+    " 'Allow: /private/ok', chr(10), 'Disallow:', chr(10),"
+    " case when {h} then concat('Disallow: /public', chr(10)) else '' end)"
+)
+_ROBOTS_PATH_SYNTH = (
+    "case doc_id % 4 when 0 then concat('/private/doc', cast(doc_id as {c}))"
+    " when 1 then concat('/private/ok/doc', cast(doc_id as {c}))"
+    " when 2 then concat('/public/doc', cast(doc_id as {c}))"
+    " else concat('/b1/doc', cast(doc_id as {c})) end"
+)
+_SPARK_MD5_PARITY = (
+    "cast(conv(substring(md5(domain), 1, 15), 16, 10) as bigint) % 2 = 0"
+)
+_DUCK_MD5_PARITY = "('0x' || substr(md5(domain), 1, 15))::BIGINT % 2 = 0"
+
+
+def q_graph_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt group parsing + longest-prefix-match URL verdicts over
+    synthetic per-domain policies."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    domains = docs.select(F.col("source").alias("domain")).distinct()
+    robots = domains.selectExpr(
+        "domain",
+        f"{_ROBOTS_SYNTH.format(h=_SPARK_MD5_PARITY)} as robots_txt",
+    )
+    rules = graph.parse_robots(robots)
+    urls = docs.selectExpr(
+        f"concat('http://', source, {_ROBOTS_PATH_SYNTH.format(c='string')}) as url",
+        "source as domain",
+    )
+    return graph.robots_filter(urls, rules)
+
+
 def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion round trip: documents → per-record-gzipped WARC
     blobs → length-prefixed record parser → page rows.  The oracle
@@ -962,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sentences": q_text_sentences,
         "domain_prior": q_domain_prior,
         "graph_frontier": q_graph_frontier,
+        "graph_robots": q_graph_robots,
         "source_warc": q_source_warc,
         "graph_outlinks": q_graph_outlinks,
         "graph_pagerank": q_graph_pagerank,
@@ -1233,6 +1273,58 @@ SELECT q.doc_id AS doc, q.source AS domain,
        CAST(per.n_domain_docs AS BIGINT) AS n_domain_docs,
        round((per.q_sum + 20.0 * g.mu) / (per.n_domain_docs + 20), 6) AS domain_prior
 FROM q JOIN per USING (source) CROSS JOIN g
+""",
+        "graph_robots": f"""
+WITH domains AS (SELECT DISTINCT source AS domain FROM documents),
+robots AS (SELECT domain, {_ROBOTS_SYNTH.format(h=_DUCK_MD5_PARITY)} AS robots_txt FROM domains),
+lines AS (
+  SELECT domain, unnest(range(len(ls))) AS idx, unnest(ls) AS line
+  FROM (SELECT domain, list_transform(string_split(robots_txt, chr(10)), x -> trim(x)) AS ls FROM robots)
+),
+tagged AS (
+  SELECT domain, idx,
+    CASE WHEN lower(line) LIKE 'user-agent:%' THEN trim(substring(line, 12)) END AS ua,
+    CASE WHEN lower(line) LIKE 'disallow:%' THEN 'disallow'
+         WHEN lower(line) LIKE 'allow:%' THEN 'allow' END AS rule,
+    CASE WHEN lower(line) LIKE 'disallow:%' THEN trim(substring(line, 10))
+         WHEN lower(line) LIKE 'allow:%' THEN trim(substring(line, 7)) END AS path_prefix
+  FROM lines
+),
+agented AS (
+  SELECT domain, rule, path_prefix,
+         last_value(ua IGNORE NULLS) OVER (
+           PARTITION BY domain ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent
+  FROM tagged
+),
+rules AS (
+  SELECT domain, rule, path_prefix, CAST(length(path_prefix) AS BIGINT) AS prefix_len
+  FROM agented WHERE agent = '*' AND rule IS NOT NULL AND path_prefix <> ''
+),
+urls AS (
+  SELECT concat('http://', source, {_ROBOTS_PATH_SYNTH.format(c='varchar')}) AS url,
+         source AS domain,
+         {_ROBOTS_PATH_SYNTH.format(c='varchar')} AS path
+  FROM documents
+),
+cand AS (
+  SELECT u.url, u.domain, u.path, r.rule, r.path_prefix, r.prefix_len
+  FROM urls u LEFT JOIN rules r USING (domain)
+),
+scored AS (
+  SELECT *, CASE WHEN rule IS NOT NULL AND starts_with(path, path_prefix) THEN 1 ELSE 0 END AS m
+  FROM cand
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY url ORDER BY m DESC, prefix_len DESC NULLS LAST, rule ASC NULLS LAST) AS rn
+  FROM scored
+)
+SELECT url, domain,
+       CASE WHEN m = 1 THEN rule = 'allow' ELSE TRUE END AS allowed,
+       CASE WHEN m = 1 THEN rule ELSE 'default' END AS matched_rule,
+       CAST(CASE WHEN m = 1 THEN prefix_len ELSE -1 END AS BIGINT) AS matched_len
+FROM best WHERE rn = 1
 """,
         "source_warc": """
 SELECT concat('http://warc.example.com/doc/', cast(doc_id AS varchar)) AS url,

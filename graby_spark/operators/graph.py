@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["outlinks", "pagerank", "frontier_schedule", "HREF_PATTERN"]
+__all__ = ["outlinks", "pagerank", "frontier_schedule", "parse_robots", "robots_filter", "HREF_PATTERN"]
 
 HREF_PATTERN = r'href="([^"]*)"'
 
@@ -167,4 +167,109 @@ def frontier_schedule(
         F.col(domain_col).alias("domain"),
         F.col(score_col).alias("score"),
         F.row_number().over(w).cast("long").alias("wave"),
+    )
+
+
+def parse_robots(
+    robots: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt → (domain, rule, path_prefix, prefix_len) for the
+    ``User-agent: *`` groups.
+
+    The group structure (rules belong to the most recent ``User-agent``
+    line above them) is recovered relationally: lines are exploded with
+    their index and each line's governing agent is a running
+    ``last(ignorenulls)`` window over the line order — no Python, and the
+    same construct exists in the DuckDB oracle (``IGNORE NULLS``).
+    Matching is case-insensitive on directives, exact on paths; an empty
+    pattern (``Disallow:`` with no path — the classic allow-all) matches
+    nothing per RFC 9309 and is dropped here.
+    """
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "idx", "line"
+        ),
+    ).select("domain", "idx", F.trim("line").alias("line"))
+
+    lower = F.lower(F.col("line"))
+    ua = F.when(
+        lower.startswith("user-agent:"),
+        F.trim(F.expr("substring(line, 12)")),
+    )
+    rule = (
+        F.when(lower.startswith("disallow:"), F.lit("disallow"))
+        .when(lower.startswith("allow:"), F.lit("allow"))
+    )
+    path = F.when(
+        lower.startswith("disallow:"), F.trim(F.expr("substring(line, 10)"))
+    ).when(lower.startswith("allow:"), F.trim(F.expr("substring(line, 7)")))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy("idx")
+    tagged = lines.select(
+        "domain",
+        "idx",
+        rule.alias("rule"),
+        path.alias("path_prefix"),
+        F.last(ua, ignorenulls=True).over(w).alias("agent"),
+    )
+    return tagged.where(
+        (F.col("agent") == "*")
+        & F.col("rule").isNotNull()
+        & (F.col("path_prefix") != "")
+    ).select(
+        "domain",
+        "rule",
+        "path_prefix",
+        F.length("path_prefix").cast("long").alias("prefix_len"),
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Longest-prefix-match robots verdict per url (Google semantics:
+    the longest matching rule wins; on a length tie ``allow`` beats
+    ``disallow``; no matching rule means allowed).
+
+    Scale shape: rules tables are domain-cardinality (tiny) — broadcast
+    join on domain, prefix test JVM-side, one window to pick the winning
+    rule.  URLs never shuffle for the join; the window partitions by url
+    within the already-joined (small) candidate set.
+    """
+    from pyspark.sql import Window
+
+    path = F.regexp_replace(
+        F.col(url_col), r"^[a-z][a-z0-9+.\-]*://[^/]*", ""
+    )
+    cand = urls.select(
+        F.col(url_col).alias("url"),
+        F.col(domain_col).alias("domain"),
+        path.alias("_path"),
+    ).join(F.broadcast(rules), "domain", "left")
+    # non-matching rules are SCORED below matches, never filtered out — a
+    # url whose domain has rules but none that match must still emit its
+    # default-allow row
+    is_match = F.col("rule").isNotNull() & F.col("_path").startswith(
+        F.col("path_prefix")
+    )
+    scored = cand.withColumn("_m", is_match.cast("int"))
+    w = Window.partitionBy("url").orderBy(
+        F.col("_m").desc(),
+        F.col("prefix_len").desc_nulls_last(),
+        F.col("rule").asc_nulls_last(),  # 'allow' < 'disallow'
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).where("_rn = 1")
+    hit = F.col("_m") == 1
+    return best.select(
+        "url",
+        "domain",
+        F.when(hit, F.col("rule") == "allow").otherwise(F.lit(True)).alias("allowed"),
+        F.when(hit, F.col("rule")).otherwise(F.lit("default")).alias("matched_rule"),
+        F.when(hit, F.col("prefix_len")).otherwise(F.lit(-1)).cast("long").alias("matched_len"),
     )

@@ -690,3 +690,47 @@ def test_frontier_schedule_politeness(spark):
     # within a domain, higher score = earlier wave
     a = {r["url"]: r["wave"] for r in out if r["domain"] == "a.com"}
     assert a["http://a.com/1"] < a["http://a.com/2"] < a["http://a.com/3"]
+
+
+def test_robots_parse_and_filter(spark):
+    from graby_spark.operators import graph
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: bot1\nDisallow: /b1only\n\n"
+             "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow:\n"),
+            ("b.com", "User-agent: *\nDisallow: /\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = graph.parse_robots(robots)
+    got = {(r["domain"], r["rule"], r["path_prefix"]) for r in rules.collect()}
+    # bot1 group ignored; RFC 9309: empty Disallow matches nothing (dropped)
+    assert got == {
+        ("a.com", "disallow", "/private"),
+        ("a.com", "allow", "/private/ok"),
+        ("b.com", "disallow", "/"),
+    }
+
+    urls = spark.createDataFrame(
+        [
+            ("http://a.com/private/secret", "a.com"),
+            ("http://a.com/private/ok/page", "a.com"),
+            ("http://a.com/public/x", "a.com"),
+            ("http://a.com/b1only/x", "a.com"),
+            ("http://b.com/anything", "b.com"),
+            ("http://c.com/no-robots", "c.com"),
+        ],
+        "url string, domain string",
+    )
+    out = {r["url"]: r for r in graph.robots_filter(urls, rules).collect()}
+    assert len(out) == 6  # every url gets exactly one verdict
+    assert out["http://a.com/private/secret"]["allowed"] is False
+    # longest prefix wins: the /private/ok allow beats the /private disallow
+    assert out["http://a.com/private/ok/page"]["allowed"] is True
+    assert out["http://a.com/private/ok/page"]["matched_len"] == 11
+    assert out["http://a.com/public/x"]["allowed"] is True
+    assert out["http://a.com/b1only/x"]["allowed"] is True  # bot1 group n/a
+    assert out["http://b.com/anything"]["allowed"] is False
+    assert out["http://c.com/no-robots"]["matched_rule"] == "default"
