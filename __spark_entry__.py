@@ -582,9 +582,10 @@ def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bayesian-smoothed per-domain quality reputation joined back to each
     document (quality_score -> domain aggregate -> broadcast prior)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    q = textstats.quality_score(docs).select("doc_id", "quality")
-    joined = docs.select("doc_id", "source").join(q, "doc_id")
-    return textstats.domain_prior(joined)
+    scored = textstats.quality_score(docs, keep=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    return textstats.domain_prior(scored)
 
 
 # robots.txt per domain: a bot1-only group (must not apply), a '*' group

@@ -57,10 +57,19 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality score in [0, 1]: length band, punctuation ratio,
     stopword ratio, mean word length band.  Mirrors common web-text
-    filtering recipes; every term is a SQL expression (oracle-checkable)."""
+    filtering recipes; every term is a SQL expression (oracle-checkable).
+
+    ``keep`` names extra input columns to pass through — cheaper than
+    joining the scores back by id (which costs a full shuffle join of two
+    scans of the same table; see q_domain_prior's plan audit)."""
     text = F.trim(F.col(text_col))
     tokens = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
     n_tokens = F.size(tokens)
@@ -83,6 +92,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_tokens.alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
