@@ -58,3 +58,30 @@ def test_parse_stops_on_truncated_record():
     truncated = good + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Le"
     rows = list(_parse_records(truncated))
     assert len(rows) == 1 and rows[0][0] == "http://a/1"
+
+
+def test_warc_records_streaming(tmp_path):
+    """The parser is a streaming-safe mapInPandas: the same warc_records()
+    call works on a readStream DataFrame (file source, availableNow)."""
+    from graby_spark.session import get_spark
+    from graby_spark.sources.warc import build_warc_blobs, warc_records
+
+    spark = get_spark(app_name="warc-stream-test", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    in_dir = str(tmp_path / "warc_in")
+    blobs = build_warc_blobs(spark, "/root/testdata/sf0.001", records_per_file=25)
+    blobs.write.mode("overwrite").parquet(in_dir)
+    expected = spark.read.parquet(in_dir).count()
+
+    stream = spark.readStream.schema("file_id long, blob binary").parquet(in_dir)
+    q = (
+        warc_records(stream)
+        .writeStream.format("memory")
+        .queryName("warc_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) n, count(distinct url) u from warc_stream_out").collect()[0]
+    assert got["n"] == 500 and got["u"] == 500
+    assert expected == 20  # 500 docs / 25 per file
