@@ -588,6 +588,25 @@ def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.domain_prior(scored)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new crawl batch (odd docs + re-crawled copies
+    of every 10th even doc) probes a stored MinHash index of the corpus
+    (even docs) — only the new batch is shingled; the oracle is the exact
+    new-vs-corpus shingle-Jaccard join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs.where("doc_id % 2 = 0")
+    new_batch = docs.where("doc_id % 2 = 1").unionByName(
+        docs.where("doc_id % 10 = 0").selectExpr(
+            "doc_id + 1000000 as doc_id", "text"
+        )
+    )
+    index = dedup.build_minhash_index(corpus)
+    out = dedup.incremental_minhash_pairs(new_batch, index, threshold=0.9)
+    return out.select(
+        "new_doc", "corpus_doc", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 # robots.txt per domain: a bot1-only group (must not apply), a '*' group
 # with disallow/allow pair + an allow-all empty Disallow, and an extra
 # disallow on half the domains (md5 parity).  {h} is the engine's
@@ -1004,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_frontier": q_graph_frontier,
         "graph_robots": q_graph_robots,
         "source_warc": q_source_warc,
+        "dedup_incremental": q_dedup_incremental,
         "graph_outlinks": q_graph_outlinks,
         "graph_pagerank": q_graph_pagerank,
         "pipeline_curate": q_pipeline_curate,
@@ -1274,6 +1294,33 @@ SELECT q.doc_id AS doc, q.source AS domain,
        CAST(per.n_domain_docs AS BIGINT) AS n_domain_docs,
        round((per.q_sum + 20.0 * g.mu) / (per.n_domain_docs + 20), 6) AS domain_prior
 FROM q JOIN per USING (source) CROSS JOIN g
+""",
+        "dedup_incremental": """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+),
+shc AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(length(lower(text)) - 5 + 2, 2)),
+           i -> substr(lower(text), i::INT, 5))) AS s
+  FROM corpus
+),
+shn AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(length(lower(text)) - 5 + 2, 2)),
+           i -> substr(lower(text), i::INT, 5))) AS s
+  FROM newb
+),
+pairs AS (
+  SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc,
+         len(list_intersect(n.s, c.s)) * 1.0 /
+         (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))) AS j
+  FROM shn n JOIN shc c ON TRUE
+)
+SELECT new_doc, corpus_doc, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.9
 """,
         "graph_robots": f"""
 WITH domains AS (SELECT DISTINCT source AS domain FROM documents),

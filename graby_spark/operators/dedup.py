@@ -40,6 +40,8 @@ __all__ = [
     "paragraph_dedup",
     "substring_dup_spans",
     "contamination_spans",
+    "build_minhash_index",
+    "incremental_minhash_pairs",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -276,15 +278,7 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     df = _ensure_parallelism(df)
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
-    banded = sigs.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.xxhash64(F.slice("signature", i * rows + 1, rows).cast("string")),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = _banded(sigs, bands, rows)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -295,15 +289,7 @@ def minhash_lsh_pairs(
     # shingle sets as 60-bit md5 hashes: the intersect joins compare longs,
     # not 5-char strings (~5x cheaper per pair), and the values match any
     # SQL engine's md5 bit-for-bit; computed once per DOC, not per pair
-    shingles = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(length(lower({text_col})) - {shingle_k} + 1, 1)), "
-                f"i -> cast(conv(substring(md5(substring(lower({text_col}), i, {shingle_k})), 1, 15), 16, 10) as bigint))"
-            )
-        ).alias("sh"),
-    )
+    shingles = _shingle_sets(df, id_col, text_col, shingle_k)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     verified = (
@@ -768,4 +754,103 @@ def contamination_spans(
             F.count("*").alias("n_grams"),
         )
         .drop("island")
+    )
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> DataFrame:
+    """(doc, sh:array<long>) — distinct 60-bit md5 shingle hashes, the
+    exact-verify representation (cross-engine: DuckDB computes the same)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length(lower({text_col})) - {shingle_k} + 1, 1)), "
+                f"i -> cast(conv(substring(md5(substring(lower({text_col}), i, {shingle_k})), 1, 15), 16, 10) as bigint))"
+            )
+        ).alias("sh"),
+    )
+
+
+def _banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc, band, bucket) LSH bucket keys from (doc, signature)."""
+    return sigs.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(F.slice("signature", i * rows + 1, rows).cast("string")),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Persistent dedup index for a corpus: (doc, signature, sh).
+
+    Write this once per corpus snapshot (parquet/Iceberg, bucketed by
+    doc); incremental batches then dedup against it WITHOUT touching the
+    corpus text again — the 100 TB pattern where re-shingling the corpus
+    per crawl increment would dominate all other costs.  ``sh`` keeps the
+    exact-verify shingle hashes alongside the signature so the verify
+    step needs no corpus text either.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    return sigs.join(_shingle_sets(df, id_col, text_col, shingle_k), "doc")
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int | None = None,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """New-batch-vs-corpus near-duplicate pairs against a stored
+    ``build_minhash_index`` table (same banding/verify semantics as
+    ``minhash_lsh_pairs``, but only the NEW batch is ever shingled).
+
+    Returns (new_doc, corpus_doc, jaccard >= threshold).  Scale shape:
+    the new batch's bucket keys equi-join the index's bucket keys (both
+    sides shuffle only (band, bucket, doc) triples — the index side can
+    be pre-bucketed by (band, bucket) to make even that one-sided), and
+    the verify joins ship shingle arrays for candidates only.
+    """
+    if bands is None:
+        bands = _bands_for_threshold(threshold, num_perm)
+    rows = num_perm // bands
+    new_df = _ensure_parallelism(new_df)
+    new_sigs = minhash_signatures(new_df, id_col, text_col, num_perm, shingle_k)
+    new_b = _banded(new_sigs, bands, rows).select(
+        F.col("doc").alias("new_doc"), "band", "bucket"
+    )
+    idx_b = _banded(index.select("doc", "signature"), bands, rows).select(
+        F.col("doc").alias("corpus_doc"), "band", "bucket"
+    )
+    cand = (
+        new_b.join(idx_b, ["band", "bucket"])
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+    new_sh = _shingle_sets(new_df, id_col, text_col, shingle_k)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(
+            new_sh.select(F.col("doc").alias("new_doc"), F.col("sh").alias("sh_a")),
+            "new_doc",
+        )
+        .join(
+            index.select(F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh_b")),
+            "corpus_doc",
+        )
+        .select("new_doc", "corpus_doc", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )

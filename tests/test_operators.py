@@ -734,3 +734,39 @@ def test_robots_parse_and_filter(spark):
     assert out["http://a.com/b1only/x"]["allowed"] is True  # bot1 group n/a
     assert out["http://b.com/anything"]["allowed"] is False
     assert out["http://c.com/no-robots"]["matched_rule"] == "default"
+
+
+def test_incremental_minhash_against_index(spark):
+    """New batch probes a stored corpus index: re-crawled copies are
+    caught, fresh docs are not, and the corpus is never re-shingled."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "databases love columnar storage and vectorized execution"),
+        ],
+        "doc_id long, text string",
+    )
+    index = dedup.build_minhash_index(corpus)
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight"),  # re-crawl of 1
+            (101, "completely novel content about sailing the seven seas"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["new_doc"], r["corpus_doc"]): r["jaccard"]
+        for r in dedup.incremental_minhash_pairs(new, index, threshold=0.9).collect()
+    }
+    assert pairs == {(100, 1): 1.0}
+    # the index round-trips through storage (the production shape)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "idx.parquet")
+        index.write.parquet(p)
+        stored = spark.read.parquet(p)
+        pairs2 = {
+            (r["new_doc"], r["corpus_doc"])
+            for r in dedup.incremental_minhash_pairs(new, stored, threshold=0.9).collect()
+        }
+        assert pairs2 == {(100, 1)}
