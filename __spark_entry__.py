@@ -588,6 +588,35 @@ def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.domain_prior(scored)
 
 
+# lite-extraction fast-path pages: title always, og:title on evens,
+# canonical every 3rd, meta description every 5th
+_LITE_URL = "concat('http://lite.example.com/a/', cast(doc_id as {c}))"
+_LITE_HTML = (
+    "concat('<html lang=\"', lang, '\"><head><title>Doc ', cast(doc_id as {c}), ' - ', source, '</title>',"
+    " case when doc_id % 2 = 0 then concat('<meta property=\"og:title\" content=\"OG ', cast(doc_id as {c}), '\"/>') else '' end,"
+    " case when doc_id % 3 = 0 then concat('<link rel=\"canonical\" href=\"http://canon.example.com/', cast(doc_id as {c}), '\"/>') else '' end,"
+    " case when doc_id % 5 = 0 then '<meta name=\"description\" content=\"desc here\"/>' else '' end,"
+    " '</head><body><p>', left(text, 40), '</p></body></html>')"
+)
+
+
+def q_extract_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex fast-path metadata pre-pass (title/og/canonical/description/
+    lang) — the cheap routing scan that precedes full DOM extraction."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.selectExpr(
+        f"{_LITE_URL.format(c='string')} as url",
+        f"{_LITE_HTML.format(c='string')} as html",
+    )
+    return textstats.extract_lite(pages)
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document over the corpus itself."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.tfidf_topk(docs, k=3)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a new crawl batch (odd docs + re-crawled copies
     of every 10th even doc) probes a stored MinHash index of the corpus
@@ -1024,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_robots": q_graph_robots,
         "source_warc": q_source_warc,
         "dedup_incremental": q_dedup_incremental,
+        "extract_lite": q_extract_lite,
+        "text_tfidf": q_text_tfidf,
         "graph_outlinks": q_graph_outlinks,
         "graph_pagerank": q_graph_pagerank,
         "pipeline_curate": q_pipeline_curate,
@@ -1294,6 +1325,41 @@ SELECT q.doc_id AS doc, q.source AS domain,
        CAST(per.n_domain_docs AS BIGINT) AS n_domain_docs,
        round((per.q_sum + 20.0 * g.mu) / (per.n_domain_docs + 20), 6) AS domain_prior
 FROM q JOIN per USING (source) CROSS JOIN g
+""",
+        "extract_lite": f"""
+WITH pages AS (
+  SELECT {_LITE_URL.format(c='varchar')} AS url, {_LITE_HTML.format(c='varchar')} AS html
+  FROM documents
+)
+SELECT url,
+       regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1) AS title,
+       regexp_extract(html, '(?i)<meta[^>]*property="og:title"[^>]*content="([^"]*)"', 1) AS og_title,
+       regexp_extract(html, '(?i)<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1) AS canonical,
+       regexp_extract(html, '(?i)<meta[^>]*name="description"[^>]*content="([^"]*)"', 1) AS meta_description,
+       regexp_extract(html, '(?i)<html[^>]*\\blang="([^"]*)"', 1) AS html_lang
+FROM pages
+""",
+        "text_tfidf": """
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc, token, count(*) AS tf FROM toks GROUP BY doc, token),
+dfq AS (SELECT token, count(DISTINCT doc) AS doc_freq FROM toks GROUP BY token),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc, tf.token, tf.tf, dfq.doc_freq,
+         round(tf.tf * log10(nd.n / dfq.doc_freq), 6) AS tfidf
+  FROM tf JOIN dfq USING (token) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc, CAST(rnk AS BIGINT) AS rank, token, CAST(tf AS BIGINT) AS tf,
+       CAST(doc_freq AS BIGINT) AS doc_freq, tfidf
+FROM ranked WHERE rnk <= 3
 """,
         "dedup_incremental": """
 WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),

@@ -29,6 +29,8 @@ __all__ = [
     "normalize_text",
     "sentences",
     "domain_prior",
+    "extract_lite",
+    "tfidf_topk",
     "STOPWORDS",
 ]
 
@@ -668,4 +670,85 @@ def domain_prior(
         F.col(domain_col).alias("domain"),
         F.col("n_domain_docs").cast("long").alias("n_domain_docs"),
         "domain_prior",
+    )
+
+
+def extract_lite(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Regex fast-path metadata extraction: title, og:title, canonical
+    link, meta description, html lang — no DOM, no Python.
+
+    This is the 100 TB PRE-PASS, not a replacement for the real extractor:
+    run it over the raw crawl to route/filter/sample (it costs one regex
+    scan per page), then spend the DOM pipeline only on the rows that
+    survive.  Patterns are first-match and attribute-order-sensitive by
+    design (disclosed limitation of the fast path); the byte-exact
+    extraction path remains graby_spark.extract.
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(html, r"(?i)<title[^>]*>([^<]*)</title>", 1).alias("title"),
+        F.regexp_extract(
+            html, r'(?i)<meta[^>]*property="og:title"[^>]*content="([^"]*)"', 1
+        ).alias("og_title"),
+        F.regexp_extract(
+            html, r'(?i)<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1
+        ).alias("canonical"),
+        F.regexp_extract(
+            html, r'(?i)<meta[^>]*name="description"[^>]*content="([^"]*)"', 1
+        ).alias("meta_description"),
+        F.regexp_extract(html, r'(?i)<html[^>]*\blang="([^"]*)"', 1).alias("html_lang"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k keywords per document by tf·idf over the corpus itself.
+
+    idf = log10(N / df) with document frequency from a corpus-wide
+    aggregate whose output is vocabulary-sized (Zipf-bounded, far smaller
+    than the corpus) — the classic two-aggregate shape: tokens shuffle
+    once for the df counts and once for the per-doc tf, the tiny idf
+    table broadcasts back.  Ranking uses the 6-dp-rounded score with the
+    token as tie-break so the result is deterministic across engines
+    (log10's last ulp may differ between libm implementations).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    n_docs = df.select(id_col).distinct().count()
+    tf = toks.groupBy("doc", "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.select("doc", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        "doc",
+        "token",
+        "tf",
+        F.col("df").alias("doc_freq"),
+        F.round(F.col("tf") * F.log10(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("doc", F.col("_rn").cast("long").alias("rank"), "token",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("doc_freq").cast("long").alias("doc_freq"), "tfidf")
     )

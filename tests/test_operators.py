@@ -770,3 +770,43 @@ def test_incremental_minhash_against_index(spark):
             for r in dedup.incremental_minhash_pairs(new, stored, threshold=0.9).collect()
         }
         assert pairs2 == {(100, 1)}
+
+
+def test_extract_lite(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://x/1",
+                '<HTML Lang="fr"><head><TITLE>Hello</TITLE>'
+                '<meta property="og:title" content="OG Hello"/>'
+                '<link rel="canonical" href="http://x/canonical"/>'
+                '<meta name="description" content="a desc"/></head><body/></html>',
+            ),
+            ("http://x/2", "<html><head></head><body>no meta at all</body></html>"),
+            ("http://x/3", None),
+        ],
+        "url string, html string",
+    )
+    out = {r["url"]: r for r in textstats.extract_lite(pages).collect()}
+    assert out["http://x/1"]["title"] == "Hello"          # case-insensitive tags
+    assert out["http://x/1"]["og_title"] == "OG Hello"
+    assert out["http://x/1"]["canonical"] == "http://x/canonical"
+    assert out["http://x/1"]["meta_description"] == "a desc"
+    assert out["http://x/1"]["html_lang"] == "fr"
+    assert out["http://x/2"]["title"] == "" and out["http://x/3"]["title"] == ""
+
+
+def test_tfidf_topk(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple apple shared"),
+            (2, "banana shared shared"),
+            (3, "cherry shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.tfidf_topk(df, k=2).collect()
+    top = {r["doc"]: r["token"] for r in out if r["rank"] == 1}
+    # the corpus-wide 'shared' token has idf 0 -> rare tokens win
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
+    assert all(r["tfidf"] == 0.0 for r in out if r["token"] == "shared")
