@@ -588,6 +588,67 @@ def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.domain_prior(scored)
 
 
+# full pretrain-curation composition input: line structure + a PII line
+# + unicode noise + a lorem poison on a cycle; every 10th doc re-crawled
+# under a mirrored id so the dedup stage has real work
+_PRETRAIN_SYNTH = (
+    "concat('‘Intro’ sentence with plenty of good words here.', chr(10),"
+    " 'Contact me at spam', cast(doc_id as {c}), '@mail.example.com for details today.', chr(10),"
+    " text, '.', chr(10),"
+    " case when doc_id % 6 = 0 then concat('lorem ipsum dolor sit amet today friends.', chr(10)) else '' end,"
+    " 'Closing sentence wraps the document nicely today.')"
+)
+
+
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern pretrain curation chain as ONE composed job:
+    normalize (unicode cleanup) -> PII redaction -> C4 line/page filter ->
+    quality gate -> exact dedup vs a mirrored re-crawl -> train/val/test
+    split -> fixed-budget sequence packing.  The oracle replays every
+    stage in SQL."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = docs.selectExpr(
+        "doc_id", f"{_PRETRAIN_SYNTH.format(c='string')} as text"
+    )
+    corpus = planted.unionByName(
+        planted.where("doc_id % 10 = 0").selectExpr(
+            "doc_id + 1000000 as doc_id", "text"
+        )
+    )
+    norm = textstats.normalize_text(corpus).select("doc", "normalized")
+    red = norm.select("doc", pii.redact_expr(F.col("normalized")).alias("text"))
+    c4 = textstats.c4_quality_filter(red, id_col="doc", keep_text=True)
+    c4_kept = c4.where("passes_c4").select(
+        F.col("doc").alias("doc_id"), F.col("cleaned").alias("text")
+    )
+    q = textstats.quality_score(c4_kept, keep=("text",)).where("quality >= 0.5")
+    h = F.conv(
+        F.substring(F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 15),
+        16,
+        10,
+    )
+    w = Window.partitionBy(h).orderBy("doc_id")
+    survivors = (
+        q.select("doc_id", "text")
+        .withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+    )
+    packed = packing.pack_sequences(survivors, budget=512, n_buckets=16)
+    split = textstats.split_assign(survivors).select(
+        F.col("doc").alias("doc_id"), "split"
+    )
+    return packed.join(split, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "bin_id",
+        "split",
+    )
+
+
 # lite-extraction fast-path pages: title always, og:title on evens,
 # canonical every 3rd, meta description every 5th
 _LITE_URL = "concat('http://lite.example.com/a/', cast(doc_id as {c}))"
@@ -1055,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "extract_lite": q_extract_lite,
         "text_tfidf": q_text_tfidf,
+        "pipeline_pretrain": q_pipeline_pretrain,
         "graph_outlinks": q_graph_outlinks,
         "graph_pagerank": q_graph_pagerank,
         "pipeline_curate": q_pipeline_curate,
@@ -1290,7 +1352,92 @@ SELECT doc_id AS doc, CAST(sent_idx AS BIGINT) AS sent_idx, sentence
 FROM (SELECT doc_id, unnest(range(len(sents))) AS sent_idx, unnest(sents) AS sentence FROM s)
 """
 
+    # expression-chain twins of normalize_text and pii.redact_expr, used
+    # by the composed pretrain-pipeline oracle
+    def norm_chain_sql(expr: str) -> str:
+        e = f"regexp_replace({expr}, {zw}, '', 'g')"
+        e = f"regexp_replace({e}, {sp}, ' ', 'g')"
+        e = f"translate({e}, {qsrc}, {qdst})"
+        e = f"regexp_replace({e}, chr(8230), '...', 'g')"
+        e = f"regexp_replace({e}, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')"
+        return f"trim(regexp_replace({e}, '[ \\t]+', ' ', 'g'))"
+
+    def pii_chain_sql(expr: str) -> str:
+        out = expr
+        for _, pat, rep in pii.PII_PATTERNS:
+            out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+        return out
+
+    pretrain_oracle = f"""
+WITH planted0 AS (SELECT doc_id, {_PRETRAIN_SYNTH.format(c='varchar')} AS text FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM planted0
+  UNION ALL SELECT doc_id + 1000000, text FROM planted0 WHERE doc_id % 10 = 0
+),
+red AS (SELECT doc_id, {pii_chain_sql(norm_chain_sql('text'))} AS raw_text FROM corpus),
+l AS (
+  SELECT doc_id, raw_text,
+         list_filter(list_transform(string_split(raw_text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+  FROM red
+),
+k AS (
+  SELECT doc_id, raw_text,
+         list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+           AND len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l
+),
+c4kept AS (
+  SELECT doc_id, array_to_string(kept, chr(10)) AS text
+  FROM k
+  WHERE len(string_split_regex(array_to_string(kept, chr(10)), '[.!?]+')) - 1 >= 3
+    AND NOT contains(lower(raw_text), 'lorem ipsum')
+    AND NOT contains(raw_text, '{{')
+),
+scored AS (
+  SELECT doc_id, text,
+    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS n_tokens,
+    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains([{stop_en}], x))) AS stop_hits,
+    length(trim(text)) AS n_chars,
+    length(regexp_replace(trim(text), '[^.,;:!?]', '', 'g')) AS punct
+  FROM c4kept
+),
+qkept AS (
+  SELECT doc_id, text FROM scored
+  WHERE (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN punct * 1.0 / greatest(n_chars, 1) <= 0.2 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN stop_hits * 1.0 / greatest(n_tokens, 1) >= 0.05 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+      >= 0.5
+),
+survivors AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      row_number() OVER (
+        PARTITION BY ('0x' || substr(md5(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 15))::BIGINT
+        ORDER BY doc_id) AS rn
+    FROM qkept) WHERE rn = 1
+),
+packed AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16) AS bucket
+  FROM survivors
+)
+SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens, CAST(p.bucket AS BIGINT) AS bucket,
+       cast(floor((sum(p.n_tokens) OVER (PARTITION BY p.bucket ORDER BY p.doc_id) - 1) / 512) as BIGINT) AS bin_id,
+       CASE WHEN b.bucket10k < 9800 THEN 'train'
+            WHEN b.bucket10k < 9900 THEN 'validation'
+            ELSE 'test' END AS split
+FROM packed p JOIN (
+  SELECT doc_id,
+         ('0x' || substr(md5(concat('v1:', cast(doc_id AS varchar))), 1, 15))::BIGINT % 10000 AS bucket10k
+  FROM survivors
+) b USING (doc_id)
+"""
+
     return {
+        "pipeline_pretrain": pretrain_oracle,
         "text_pii": pii_oracle(),
         "text_c4": c4_oracle,
         "split_assign": split_oracle,

@@ -483,7 +483,10 @@ def importance_weights(
 
 
 def c4_quality_filter(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_text: bool = False,
 ) -> DataFrame:
     """C4-style page cleaning (Raffel et al. 2020 §2.2): keep only lines
     that end in terminal punctuation, have >= 5 words, and don't mention
@@ -517,6 +520,7 @@ def c4_quality_filter(
         has_brace.alias("has_brace"),
         passes.alias("passes_c4"),
         F.md5(cleaned).alias("cleaned_md5"),
+        *( [cleaned.alias("cleaned")] if keep_text else [] ),
     )
 
 
