@@ -703,6 +703,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5-parity expression over `domain`.
 _ROBOTS_SYNTH = (
     "concat('User-agent: bot1', chr(10), 'Disallow: /b1', chr(10), chr(10),"
+    " case when {h} then concat('User-agent: helper', chr(10)) else '' end,"
     " 'User-agent: *', chr(10), 'Disallow: /private', chr(10),"
     " 'Allow: /private/ok', chr(10), 'Disallow:', chr(10),"
     " case when {h} then concat('Disallow: /public', chr(10)) else '' end)"
@@ -1330,7 +1331,7 @@ c AS (
               {sp}, ' ', 'g'),
             {qsrc}, {qdst}),
           chr(8230), '...', 'g'),
-        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+        '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g'),
       '[ \\t]+', ' ', 'g')) AS normalized
   FROM planted
 )
@@ -1359,7 +1360,7 @@ FROM (SELECT doc_id, unnest(range(len(sents))) AS sent_idx, unnest(sents) AS sen
         e = f"regexp_replace({e}, {sp}, ' ', 'g')"
         e = f"translate({e}, {qsrc}, {qdst})"
         e = f"regexp_replace({e}, chr(8230), '...', 'g')"
-        e = f"regexp_replace({e}, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')"
+        e = f"regexp_replace({e}, '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g')"
         return f"trim(regexp_replace({e}, '[ \\t]+', ' ', 'g'))"
 
     def pii_chain_sql(expr: str) -> str:
@@ -1551,16 +1552,22 @@ tagged AS (
          WHEN lower(line) LIKE 'allow:%' THEN trim(substring(line, 7)) END AS path_prefix
   FROM lines
 ),
-agented AS (
-  SELECT domain, rule, path_prefix,
-         last_value(ua IGNORE NULLS) OVER (
-           PARTITION BY domain ORDER BY idx
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent
-  FROM tagged
+r1 AS (
+  SELECT domain, idx, ua, rule, path_prefix, (ua IS NOT NULL) AS is_ua,
+         coalesce(lag(ua IS NOT NULL) OVER (PARTITION BY domain ORDER BY idx), FALSE) AS prev_ua
+  FROM tagged WHERE ua IS NOT NULL OR rule IS NOT NULL
 ),
+r2 AS (
+  SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END) OVER (
+    PARTITION BY domain ORDER BY idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM r1
+),
+star AS (SELECT DISTINCT domain, gid FROM r2 WHERE ua = '*'),
 rules AS (
-  SELECT domain, rule, path_prefix, CAST(length(path_prefix) AS BIGINT) AS prefix_len
-  FROM agented WHERE agent = '*' AND rule IS NOT NULL AND path_prefix <> ''
+  SELECT r2.domain, r2.rule, r2.path_prefix, CAST(length(r2.path_prefix) AS BIGINT) AS prefix_len
+  FROM r2 JOIN star USING (domain, gid)
+  WHERE r2.rule IS NOT NULL AND r2.path_prefix <> ''
 ),
 urls AS (
   SELECT concat('http://', source, {_ROBOTS_PATH_SYNTH.format(c='varchar')}) AS url,

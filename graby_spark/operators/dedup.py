@@ -826,6 +826,16 @@ def incremental_minhash_pairs(
     if bands is None:
         bands = _bands_for_threshold(threshold, num_perm)
     rows = num_perm // bands
+    # fail fast on a parameter mismatch with the stored index: slicing a
+    # shorter stored signature would silently empty half the bands and
+    # let duplicates through with no error
+    first = index.select(F.size("signature").alias("n")).head(1)
+    if first and first[0]["n"] != num_perm:
+        raise ValueError(
+            f"index signatures have {first[0]['n']} permutations, "
+            f"probe requested num_perm={num_perm} — rebuild the index or "
+            "pass the index's num_perm"
+        )
     new_df = _ensure_parallelism(new_df)
     new_sigs = minhash_signatures(new_df, id_col, text_col, num_perm, shingle_k)
     new_b = _banded(new_sigs, bands, rows).select(

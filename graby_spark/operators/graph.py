@@ -66,7 +66,7 @@ def outlinks(
                             origin.alias("_origin"), directory.alias("_dir"), raw)
 
     link = F.col("link")
-    skip = (link == "") | F.lit(False)
+    skip = link == ""
     for p in _SKIP_PREFIXES:
         skip = skip | link.startswith(p)
 
@@ -113,6 +113,10 @@ def pagerank(
         .cache()
     )
     n = nodes.count()
+    if n == 0:
+        # an edgeless graph (e.g. a crawl increment with no resolvable
+        # outlinks) has an empty ranking, not a division by zero
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # (src, dst, deg) is iteration-invariant: partition on src once, cache
     out_edges = edges.join(deg, "src").cache()
@@ -176,11 +180,13 @@ def parse_robots(
     """robots.txt → (domain, rule, path_prefix, prefix_len) for the
     ``User-agent: *`` groups.
 
-    The group structure (rules belong to the most recent ``User-agent``
-    line above them) is recovered relationally: lines are exploded with
-    their index and each line's governing agent is a running
-    ``last(ignorenulls)`` window over the line order — no Python, and the
-    same construct exists in the DuckDB oracle (``IGNORE NULLS``).
+    Group structure per RFC 9309: one or more CONSECUTIVE ``User-agent``
+    lines open a group and the rules that follow belong to ALL of them
+    (stacked agents are common in real robots.txt), until the next
+    user-agent line after a rule opens a new group.  Recovered
+    relationally — a lag() marks group starts, a running sum numbers
+    them, and rules keep any group containing ``*`` — no Python; the
+    DuckDB oracle uses the identical window construction.
     Matching is case-insensitive on directives, exact on paths; an empty
     pattern (``Disallow:`` with no path — the classic allow-all) matches
     nothing per RFC 9309 and is dropped here.
@@ -207,23 +213,30 @@ def parse_robots(
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("domain").orderBy("idx")
     tagged = lines.select(
         "domain",
         "idx",
+        ua.alias("ua"),
         rule.alias("rule"),
         path.alias("path_prefix"),
-        F.last(ua, ignorenulls=True).over(w).alias("agent"),
-    )
-    return tagged.where(
-        (F.col("agent") == "*")
-        & F.col("rule").isNotNull()
-        & (F.col("path_prefix") != "")
-    ).select(
-        "domain",
-        "rule",
-        "path_prefix",
-        F.length("path_prefix").cast("long").alias("prefix_len"),
+    ).where(F.col("ua").isNotNull() | F.col("rule").isNotNull())
+
+    w = Window.partitionBy("domain").orderBy("idx")
+    is_ua = F.col("ua").isNotNull()
+    grouped = tagged.withColumn(
+        "_start", is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    ).withColumn("gid", F.sum(F.col("_start").cast("int")).over(w))
+
+    star_groups = grouped.where(F.col("ua") == "*").select("domain", "gid").distinct()
+    return (
+        grouped.where(F.col("rule").isNotNull() & (F.col("path_prefix") != ""))
+        .join(F.broadcast(star_groups), ["domain", "gid"])
+        .select(
+            "domain",
+            "rule",
+            "path_prefix",
+            F.length("path_prefix").cast("long").alias("prefix_len"),
+        )
     )
 
 

@@ -499,7 +499,12 @@ def c4_quality_filter(
     at 100 TB this is a map-only pass whose cost is the regex scan.
     """
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(F.transform(F.split(raw, "\n"), F.trim), lambda l: l != "")
+    # one-arg lambda, NOT bare F.trim: pyspark builds a two-arg
+    # (element, index) lambda for callables that accept two args, and
+    # F.trim(col, trim) would take the index as the trim character set
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
     kept = F.filter(
         lines,
         lambda l: l.rlike('[.!?"]$')
@@ -570,7 +575,7 @@ UNICODE_SPACE_CLASS = "[" + chr(0xA0) + chr(0x2000) + "-" + chr(0x200A) + chr(0x
 QUOTE_SRC = "".join(map(chr, (0x2018, 0x2019, 0x201C, 0x201D, 0x2013, 0x2014)))
 QUOTE_DST = "''" + '""' + "--"
 ELLIPSIS = chr(0x2026)
-CONTROL_CLASS = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+CONTROL_CLASS = "[\x00-\x08\x0b-\x1f\x7f-\x9f]"
 SENTENCE_PATTERN = r"[^.!?]+[.!?]*"
 
 
@@ -579,8 +584,9 @@ def normalize_text(
 ) -> DataFrame:
     """OSCAR/CCNet-style Unicode cleanup: zero-width characters and BOMs
     removed, exotic spaces (NBSP, thin/figure spaces) folded to ASCII
-    space, curly quotes/dashes/ellipsis folded to ASCII, C0/C1 control
-    characters (except newline and tab) stripped, space runs collapsed.
+    space, curly quotes/dashes/ellipsis folded to ASCII, C0 controls
+    (except newline and tab, and including carriage returns) plus the C1
+    range U+0080-U+009F (cp1252 mojibake) stripped, space runs collapsed.
 
     Emits the cleaned text plus before/after char counts so the amount of
     noise removed is itself a queryable signal.  Pure JVM regex/translate
@@ -654,10 +660,15 @@ def domain_prior(
     per_domain = df.groupBy(domain_col).agg(
         F.count("*").alias("n_domain_docs"),
         F.sum(quality_col).alias("_q_sum"),
-    )
-    g = df.agg(
-        (F.sum(quality_col) / F.count("*")).alias("mu")
-    ).collect()[0]["mu"]
+    ).cache()
+    # the global mean folds exactly from the (tiny, cached) per-domain
+    # aggregate — deriving it from df directly would be a whole extra
+    # pass over the corpus; identical value because quality is quantized
+    # to exact binary fractions (sums associate exactly)
+    tot = per_domain.agg(
+        F.sum("_q_sum").alias("s"), F.sum("n_domain_docs").alias("n")
+    ).collect()[0]
+    g = tot["s"] / tot["n"]
     priors = per_domain.select(
         domain_col,
         "n_domain_docs",

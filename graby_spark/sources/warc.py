@@ -64,7 +64,13 @@ def _iter_members(blob: bytes) -> Iterator[bytes]:
     rest = blob
     while rest.startswith(_GZIP_MAGIC):
         d = zlib.decompressobj(wbits=31)
-        yield d.decompress(rest)
+        try:
+            member = d.decompress(rest)
+        except zlib.error:
+            # one bit-flipped member is routine at crawl scale; losing the
+            # archive's tail beats failing the whole Spark job
+            return
+        yield member
         rest = d.unused_data
     if rest:
         # trailing uncompressed tail (malformed archive) — surface it so
@@ -95,6 +101,10 @@ def _parse_records(data: bytes) -> Iterator[tuple]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            return
+        if length < 0:
+            # a negative length would move pos BACKWARD and can loop the
+            # parser forever on a crafted record — reject the remainder
             return
         payload = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length

@@ -701,6 +701,10 @@ def test_robots_parse_and_filter(spark):
              "User-agent: bot1\nDisallow: /b1only\n\n"
              "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow:\n"),
             ("b.com", "User-agent: *\nDisallow: /\n"),
+            # stacked agents share one group (RFC 9309): the '*' rules
+            # apply even though another UA line sits between '*' and them
+            ("c.com", "User-agent: *\nUser-agent: googlebot\nDisallow: /secret\n\n"
+                      "User-agent: bot2\nDisallow: /b2\n"),
         ],
         "domain string, robots_txt string",
     )
@@ -711,6 +715,7 @@ def test_robots_parse_and_filter(spark):
         ("a.com", "disallow", "/private"),
         ("a.com", "allow", "/private/ok"),
         ("b.com", "disallow", "/"),
+        ("c.com", "disallow", "/secret"),
     }
 
     urls = spark.createDataFrame(
@@ -720,7 +725,7 @@ def test_robots_parse_and_filter(spark):
             ("http://a.com/public/x", "a.com"),
             ("http://a.com/b1only/x", "a.com"),
             ("http://b.com/anything", "b.com"),
-            ("http://c.com/no-robots", "c.com"),
+            ("http://d.com/no-robots", "d.com"),
         ],
         "url string, domain string",
     )
@@ -733,7 +738,7 @@ def test_robots_parse_and_filter(spark):
     assert out["http://a.com/public/x"]["allowed"] is True
     assert out["http://a.com/b1only/x"]["allowed"] is True  # bot1 group n/a
     assert out["http://b.com/anything"]["allowed"] is False
-    assert out["http://c.com/no-robots"]["matched_rule"] == "default"
+    assert out["http://d.com/no-robots"]["matched_rule"] == "default"
 
 
 def test_incremental_minhash_against_index(spark):
@@ -810,3 +815,18 @@ def test_tfidf_topk(spark):
     # the corpus-wide 'shared' token has idf 0 -> rare tokens win
     assert top == {1: "apple", 2: "banana", 3: "cherry"}
     assert all(r["tfidf"] == 0.0 for r in out if r["token"] == "shared")
+
+
+def test_pagerank_empty_edges(spark):
+    from graby_spark.operators import graph
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(empty, n_iter=3).count() == 0
+
+
+def test_incremental_minhash_rejects_num_perm_mismatch(spark):
+    corpus = spark.createDataFrame([(1, "some corpus text here")], "doc_id long, text string")
+    index = dedup.build_minhash_index(corpus, num_perm=64)
+    new = spark.createDataFrame([(2, "some new text here")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="64 permutations"):
+        dedup.incremental_minhash_pairs(new, index, num_perm=128)

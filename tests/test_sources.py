@@ -85,3 +85,28 @@ def test_warc_records_streaming(tmp_path):
     got = spark.sql("select count(*) n, count(distinct url) u from warc_stream_out").collect()[0]
     assert got["n"] == 500 and got["u"] == 500
     assert expected == 20  # 500 docs / 25 per file
+
+
+def test_parse_rejects_negative_content_length():
+    """A crafted negative Content-Length must not loop the parser."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a/x\r\n"
+        b"Content-Length: -23\r\n\r\npayload"
+    )
+    assert list(_parse_records(_record("http://a/1", _http(b"ok")) + bad)) != []
+    # and terminates: only the good record comes back
+    rows = list(_parse_records(_record("http://a/1", _http(b"ok")) + bad))
+    assert [r[0] for r in rows] == ["http://a/1"]
+
+
+def test_corrupt_gzip_member_drops_tail_not_job():
+    def gz(b):
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(b) + co.flush()
+
+    good = gz(b"first")
+    corrupt = bytearray(gz(b"second"))
+    corrupt[12] ^= 0xFF  # flip a bit inside the deflate stream
+    members = list(_iter_members(good + bytes(corrupt) + gz(b"third")))
+    assert members[0] == b"first"          # everything before the flip survives
+    assert b"third" not in members          # tail after corruption is dropped
