@@ -578,6 +578,14 @@ def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.sentences(planted)
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / FK grade over documents with planted
+    sentence structure."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", f"{_SENT_SYNTH} as text")
+    return textstats.readability(planted)
+
+
 def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bayesian-smoothed per-domain quality reputation joined back to each
     document (quality_score -> domain aggregate -> broadcast prior)."""
@@ -1110,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "text_normalize": q_text_normalize,
         "text_sentences": q_text_sentences,
+        "text_readability": q_text_readability,
         "domain_prior": q_domain_prior,
         "graph_frontier": q_graph_frontier,
         "graph_robots": q_graph_robots,
@@ -1444,6 +1453,23 @@ FROM packed p JOIN (
         "split_assign": split_oracle,
         "text_normalize": normalize_oracle,
         "text_sentences": sentences_oracle,
+        "text_readability": f"""
+WITH planted AS (SELECT doc_id, {_SENT_SYNTH} AS text FROM documents),
+c AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS words,
+         greatest(len(string_split_regex(lower(trim(text)), '[.!?]+')) - 1, 1) AS sentences,
+         len(regexp_extract_all(lower(trim(text)), '[aeiouy]+')) AS syllables
+  FROM planted
+)
+SELECT doc_id AS doc,
+       CAST(words AS BIGINT) AS n_words,
+       CAST(sentences AS BIGINT) AS n_sentences,
+       CAST(syllables AS BIGINT) AS n_syllables,
+       floor((206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) - 84.6 * (CAST(syllables AS DOUBLE) / greatest(words, 1))) * 10000 + 0.5) / 10000 AS flesch_ease,
+       floor((0.39 * (CAST(words AS DOUBLE) / sentences) + 11.8 * (CAST(syllables AS DOUBLE) / greatest(words, 1)) - 15.59) * 10000 + 0.5) / 10000 AS fk_grade
+FROM c
+""",
         "domain_prior": """
 WITH t AS (
   SELECT doc_id, source,

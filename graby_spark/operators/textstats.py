@@ -31,6 +31,7 @@ __all__ = [
     "domain_prior",
     "extract_lite",
     "tfidf_topk",
+    "readability",
     "STOPWORDS",
 ]
 
@@ -766,4 +767,41 @@ def tfidf_topk(
         .select("doc", F.col("_rn").cast("long").alias("rank"), "token",
                 F.col("tf").cast("long").alias("tf"),
                 F.col("doc_freq").cast("long").alias("doc_freq"), "tfidf")
+    )
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade from counting
+    expressions only: words = whitespace tokens, sentences = terminal
+    punctuation runs, syllables = vowel groups (the standard cheap
+    heuristic).  All-integer counts divided in a fixed order and rounded
+    to 4 dp keep the two engines bit-identical.  Map-only; no Python."""
+    text = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+    sentences = F.greatest(
+        F.size(F.split(text, r"[.!?]+")) - 1, F.lit(1)
+    )
+    syllables = F.size(F.regexp_extract_all(text, F.lit("[aeiouy]+"), F.lit(0)))
+    w = F.greatest(words, F.lit(1))
+    wps = words / sentences
+    spw = syllables / w
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    # floor(x*1e4 + 0.5)/1e4 instead of round(): Spark's round goes
+    # through BigDecimal.valueOf (shortest decimal repr) while other
+    # engines multiply-and-rint — at an exact .5 boundary of the 4th
+    # decimal they disagree; the explicit floor form is the same IEEE
+    # op sequence everywhere
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return df.select(
+        F.col(id_col).alias("doc"),
+        words.cast("long").alias("n_words"),
+        (sentences).cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        r4(ease).alias("flesch_ease"),
+        r4(grade).alias("fk_grade"),
     )

@@ -830,3 +830,16 @@ def test_incremental_minhash_rejects_num_perm_mismatch(spark):
     new = spark.createDataFrame([(2, "some new text here")], "doc_id long, text string")
     with pytest.raises(ValueError, match="64 permutations"):
         dedup.incremental_minhash_pairs(new, index, num_perm=128)
+
+
+def test_readability(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran. A big red hen hid."),
+         (2, "Extraordinarily complicated multisyllabic terminology domination.")],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in textstats.readability(df).collect()}
+    assert out[1]["n_sentences"] == 3 and out[1]["n_words"] == 11
+    # simple monosyllabic prose reads far easier than polysyllabic jargon
+    assert out[1]["flesch_ease"] > 80 > out[2]["flesch_ease"]
+    assert out[2]["fk_grade"] > out[1]["fk_grade"]
