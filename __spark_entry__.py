@@ -645,15 +645,16 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
     )
     packed = packing.pack_sequences(survivors, budget=512, n_buckets=16)
-    split = textstats.split_assign(survivors).select(
-        F.col("doc").alias("doc_id"), "split"
-    )
-    return packed.join(split, "doc_id").select(
+    # split is a pure hash of doc_id — project it onto the packed rows
+    # instead of a join (a join re-evaluates the whole pipeline a second
+    # time AND adds an exchange; same lesson as q_domain_prior's keep=)
+    _, split_col = textstats.split_exprs("doc_id")
+    return packed.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("bucket").cast("long").alias("bucket"),
         "bin_id",
-        "split",
+        split_col.alias("split"),
     )
 
 
@@ -709,10 +710,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with disallow/allow pair + an allow-all empty Disallow, and an extra
 # disallow on half the domains (md5 parity).  {h} is the engine's
 # md5-parity expression over `domain`.
+# CRLF ending + inline comment planted on the '*' group's first rule so
+# the RFC-9309 line handling is oracle-exercised, not just unit-tested
 _ROBOTS_SYNTH = (
     "concat('User-agent: bot1', chr(10), 'Disallow: /b1', chr(10), chr(10),"
     " case when {h} then concat('User-agent: helper', chr(10)) else '' end,"
-    " 'User-agent: *', chr(10), 'Disallow: /private', chr(10),"
+    " 'User-agent: *', chr(13), chr(10), 'Disallow: /private # members only', chr(13), chr(10),"
     " 'Allow: /private/ok', chr(10), 'Disallow:', chr(10),"
     " case when {h} then concat('Disallow: /public', chr(10)) else '' end)"
 )
@@ -1567,7 +1570,7 @@ WITH domains AS (SELECT DISTINCT source AS domain FROM documents),
 robots AS (SELECT domain, {_ROBOTS_SYNTH.format(h=_DUCK_MD5_PARITY)} AS robots_txt FROM domains),
 lines AS (
   SELECT domain, unnest(range(len(ls))) AS idx, unnest(ls) AS line
-  FROM (SELECT domain, list_transform(string_split(robots_txt, chr(10)), x -> trim(x)) AS ls FROM robots)
+  FROM (SELECT domain, list_transform(string_split_regex(robots_txt, '\r?\n'), x -> trim(regexp_replace(x, '#.*$', ''))) AS ls FROM robots)
 ),
 tagged AS (
   SELECT domain, idx,

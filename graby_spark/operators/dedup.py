@@ -290,15 +290,7 @@ def minhash_lsh_pairs(
     # not 5-char strings (~5x cheaper per pair), and the values match any
     # SQL engine's md5 bit-for-bit; computed once per DOC, not per pair
     shingles = _shingle_sets(df, id_col, text_col, shingle_k)
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    verified = (
-        cand.join(shingles.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(shingles.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
-    return verified
+    return _jaccard_verify(cand, shingles, shingles, "doc_a", "doc_b", threshold)
 
 
 #: simhash geometry: 60-bit hash (15 hex chars of md5 — fits signed int64
@@ -783,6 +775,34 @@ def _banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     )
 
 
+def _jaccard_verify(
+    cand: DataFrame,
+    left_sh: DataFrame,
+    right_sh: DataFrame,
+    left_key: str,
+    right_key: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs: joins the
+    per-doc shingle sets onto (left_key, right_key) candidates and keeps
+    pairs at or above ``threshold``.  Shared by the batch and incremental
+    minhash paths so verify semantics cannot diverge."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(
+            left_sh.select(F.col("doc").alias(left_key), F.col("sh").alias("sh_a")),
+            left_key,
+        )
+        .join(
+            right_sh.select(F.col("doc").alias(right_key), F.col("sh").alias("sh_b")),
+            right_key,
+        )
+        .select(left_key, right_key, (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def build_minhash_index(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -800,7 +820,12 @@ def build_minhash_index(
     step needs no corpus text either.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
-    return sigs.join(_shingle_sets(df, id_col, text_col, shingle_k), "doc")
+    # shingle_k rides along as a column: a probe with a different k would
+    # silently share zero buckets with the index (same-length signatures
+    # over different shingles), so the probe validates it
+    return sigs.join(_shingle_sets(df, id_col, text_col, shingle_k), "doc").withColumn(
+        "shingle_k", F.lit(shingle_k)
+    )
 
 
 def incremental_minhash_pairs(
@@ -826,15 +851,25 @@ def incremental_minhash_pairs(
     if bands is None:
         bands = _bands_for_threshold(threshold, num_perm)
     rows = num_perm // bands
-    # fail fast on a parameter mismatch with the stored index: slicing a
-    # shorter stored signature would silently empty half the bands and
-    # let duplicates through with no error
-    first = index.select(F.size("signature").alias("n")).head(1)
+    # fail fast on parameter mismatches with the stored index: a shorter
+    # stored signature would silently empty half the bands, and a
+    # different shingle_k shares zero buckets even for identical text —
+    # both let duplicates through with no error
+    probe_cols = [F.size("signature").alias("n")]
+    has_k = "shingle_k" in index.columns
+    if has_k:
+        probe_cols.append(F.col("shingle_k"))
+    first = index.select(*probe_cols).head(1)
     if first and first[0]["n"] != num_perm:
         raise ValueError(
             f"index signatures have {first[0]['n']} permutations, "
             f"probe requested num_perm={num_perm} — rebuild the index or "
             "pass the index's num_perm"
+        )
+    if first and has_k and first[0]["shingle_k"] != shingle_k:
+        raise ValueError(
+            f"index was built with shingle_k={first[0]['shingle_k']}, "
+            f"probe requested shingle_k={shingle_k}"
         )
     new_df = _ensure_parallelism(new_df)
     new_sigs = minhash_signatures(new_df, id_col, text_col, num_perm, shingle_k)
@@ -850,17 +885,6 @@ def incremental_minhash_pairs(
         .distinct()
     )
     new_sh = _shingle_sets(new_df, id_col, text_col, shingle_k)
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cand.join(
-            new_sh.select(F.col("doc").alias("new_doc"), F.col("sh").alias("sh_a")),
-            "new_doc",
-        )
-        .join(
-            index.select(F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh_b")),
-            "corpus_doc",
-        )
-        .select("new_doc", "corpus_doc", (inter / union).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    return _jaccard_verify(
+        cand, new_sh, index.select("doc", "sh"), "new_doc", "corpus_doc", threshold
     )

@@ -189,14 +189,20 @@ def parse_robots(
     DuckDB oracle uses the identical window construction.
     Matching is case-insensitive on directives, exact on paths; an empty
     pattern (``Disallow:`` with no path — the classic allow-all) matches
-    nothing per RFC 9309 and is dropped here.
+    nothing per RFC 9309 and is dropped here.  CRLF line endings are
+    handled (split on ``\\r?\\n``) and ``#`` inline comments stripped —
+    both routine in robots.txt served by real hosts.
     """
     lines = robots.select(
         F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
-            "idx", "line"
-        ),
-    ).select("domain", "idx", F.trim("line").alias("line"))
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
+        ).alias("idx", "line"),
+    ).select(
+        "domain",
+        "idx",
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+    )
 
     lower = F.lower(F.col("line"))
     ua = F.when(
@@ -228,9 +234,12 @@ def parse_robots(
     ).withColumn("gid", F.sum(F.col("_start").cast("int")).over(w))
 
     star_groups = grouped.where(F.col("ua") == "*").select("domain", "gid").distinct()
+    # no forced broadcast: at Common-Crawl scale the rules of tens of
+    # millions of domains outgrow the broadcast limit — let the planner
+    # (and AQE) pick broadcast when the side is actually small
     return (
         grouped.where(F.col("rule").isNotNull() & (F.col("path_prefix") != ""))
-        .join(F.broadcast(star_groups), ["domain", "gid"])
+        .join(star_groups, ["domain", "gid"])
         .select(
             "domain",
             "rule",
@@ -260,11 +269,14 @@ def robots_filter(
     path = F.regexp_replace(
         F.col(url_col), r"^[a-z][a-z0-9+.\-]*://[^/]*", ""
     )
+    # planner-chosen join strategy: rules are usually tiny (auto
+    # broadcast) but tens of millions of domains' rules must be allowed
+    # to fall back to a shuffle join instead of a forced-broadcast OOM
     cand = urls.select(
         F.col(url_col).alias("url"),
         F.col(domain_col).alias("domain"),
         path.alias("_path"),
-    ).join(F.broadcast(rules), "domain", "left")
+    ).join(rules, "domain", "left")
     # non-matching rules are SCORED below matches, never filtered out — a
     # url whose domain has rules but none that match must still emit its
     # default-allow row

@@ -26,6 +26,7 @@ __all__ = [
     "importance_weights",
     "c4_quality_filter",
     "split_assign",
+    "split_exprs",
     "normalize_text",
     "sentences",
     "domain_prior",
@@ -545,6 +546,21 @@ def split_assign(
     is cross-engine (DuckDB oracle recomputes identical buckets).  Pure
     projection: no shuffle, no Python.
     """
+    bucket, split = split_exprs(id_col, train_frac, val_frac, salt)
+    return df.select(
+        F.col(id_col).alias("doc"), bucket.alias("bucket"), split.alias("split")
+    )
+
+
+def split_exprs(
+    id_col: str = "doc_id",
+    train_frac: float = 0.98,
+    val_frac: float = 0.01,
+    salt: str = "v1",
+):
+    """(bucket, split) column expressions of ``split_assign`` — usable as
+    a pure projection inside a larger pipeline (no join needed to attach
+    a split label to rows that already carry the id)."""
     n_train = int(round(train_frac * 10000))
     n_val = int(round(val_frac * 10000))
     bucket = (
@@ -562,9 +578,7 @@ def split_assign(
         .when(bucket < n_train + n_val, F.lit("validation"))
         .otherwise(F.lit("test"))
     )
-    return df.select(
-        F.col(id_col).alias("doc"), bucket.alias("bucket"), split.alias("split")
-    )
+    return bucket, split
 
 
 # normalize_text pattern constants.  Built so the pattern STRINGS hold
@@ -678,7 +692,10 @@ def domain_prior(
             / (F.col("n_domain_docs") + F.lit(smoothing)),
             6,
         ).alias("domain_prior"),
-    )
+    ).localCheckpoint(eager=True)
+    # priors are materialized above, so the input-side cache can go now —
+    # callers get a self-contained result, not a lease on executor storage
+    per_domain.unpersist()
     return df.select(doc, F.col(domain_col), F.col(quality_col)).join(
         F.broadcast(priors), domain_col
     ).select(
@@ -746,19 +763,24 @@ def tfidf_topk(
             )
         ).alias("token"),
     )
-    n_docs = df.select(id_col).distinct().count()
     tf = toks.groupBy("doc", "token").agg(F.count("*").alias("tf"))
     dfreq = toks.select("doc", "token").distinct().groupBy("token").agg(
         F.count("*").alias("df")
     )
-    scored = tf.join(F.broadcast(dfreq), "token").select(
+    # the corpus size joins in lazily (1-row cross join -> broadcast NLJ)
+    # instead of an eager count() scan at plan-build time; and dfreq is
+    # NOT force-broadcast — the vocabulary of a web corpus (typos, urls,
+    # ids) outgrows the broadcast limit, so the planner must be free to
+    # fall back to a shuffle join
+    nd = df.select(id_col).agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("_n")
+    )
+    scored = tf.join(dfreq, "token").crossJoin(nd).select(
         "doc",
         "token",
         "tf",
         F.col("df").alias("doc_freq"),
-        F.round(F.col("tf") * F.log10(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+        F.round(F.col("tf") * F.log10(F.col("_n") / F.col("df")), 6).alias("tfidf"),
     )
     w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (

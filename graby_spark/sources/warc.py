@@ -143,12 +143,17 @@ def warc_records(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             rows = []
             for blob in pdf[blob_col]:
                 for member in _iter_members(bytes(blob or b"")):
-                    rows.extend(_parse_records(member))
-                    if len(rows) >= 2048:
-                        yield pd.DataFrame(
-                            rows, columns=WARC_RECORD_SCHEMA.fieldNames()
-                        )
-                        rows = []
+                    # drain the record generator one record at a time so
+                    # an UNcompressed multi-GB archive (one giant member)
+                    # still flushes every 2048 records instead of
+                    # materializing the whole file as one Python list
+                    for rec in _parse_records(member):
+                        rows.append(rec)
+                        if len(rows) >= 2048:
+                            yield pd.DataFrame(
+                                rows, columns=WARC_RECORD_SCHEMA.fieldNames()
+                            )
+                            rows = []
             if rows:
                 yield pd.DataFrame(rows, columns=WARC_RECORD_SCHEMA.fieldNames())
 

@@ -843,3 +843,22 @@ def test_readability(spark):
     # simple monosyllabic prose reads far easier than polysyllabic jargon
     assert out[1]["flesch_ease"] > 80 > out[2]["flesch_ease"]
     assert out[2]["fk_grade"] > out[1]["fk_grade"]
+
+
+def test_robots_crlf_and_comments(spark):
+    from graby_spark.operators import graph
+
+    robots = spark.createDataFrame(
+        [("x.com", "User-agent: *\r\nDisallow: /admin # staff only\r\nAllow: /admin/help\r\n")],
+        "domain string, robots_txt string",
+    )
+    got = {(r["rule"], r["path_prefix"]) for r in graph.parse_robots(robots).collect()}
+    assert got == {("disallow", "/admin"), ("allow", "/admin/help")}
+
+
+def test_incremental_minhash_rejects_shingle_k_mismatch(spark):
+    corpus = spark.createDataFrame([(1, "some corpus text here")], "doc_id long, text string")
+    index = dedup.build_minhash_index(corpus, shingle_k=7)
+    new = spark.createDataFrame([(2, "some new text here")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="shingle_k=7"):
+        dedup.incremental_minhash_pairs(new, index, shingle_k=5)
