@@ -421,3 +421,52 @@ def test_stream_dedup_matches_batch_twin(spark, tmp_path_factory):
     got_hashes = {r["content_hash"] for r in got.select("content_hash").collect()}
     twin_hashes = {r["content_hash"] for r in twin.select("content_hash").collect()}
     assert got_hashes == twin_hashes
+
+
+def test_neardup_stream_equals_batch_twin(spark, tmp_path):
+    """Replaying a bounded page stream through the stateful LSH-bucket
+    near-dup operator yields exactly the batch twin's collision rows, and
+    planted near-identical pages are flagged in (almost) every band."""
+    import datetime as dt
+
+    from graby_spark.streaming.stream_neardup import neardup_batch, neardup_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = "the quick brown fox jumps over the lazy dog and keeps on running today"
+    rows = [
+        ("u1", t0, base),
+        ("u2", t0 + dt.timedelta(seconds=1), base),                      # exact dup
+        ("u3", t0 + dt.timedelta(seconds=2), base.replace("dog", "cat")),  # near dup
+        ("u4", t0 + dt.timedelta(seconds=3),
+         "completely different text about database engines and query planners at scale"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    in_dir = str(tmp_path / "neardup_in")
+    df.repartition(1).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(in_dir)
+    q = (
+        neardup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("neardup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bucket"], r["url"], r["first_url"], r["is_collision"])
+        for r in spark.sql("select * from neardup_out").collect()
+    }
+    want = {
+        (r["bucket"], r["url"], r["first_url"], r["is_collision"])
+        for r in neardup_batch(df).collect()
+    }
+    assert got == want
+    per_url = {}
+    for _, url, _, c in got:
+        per_url[url] = per_url.get(url, 0) + c
+    assert per_url["u2"] == 16            # byte-dup collides in every band
+    # one-word-changed near-dup (shingle jaccard ~0.85, per-band collision
+    # p ~ 0.85^4) collides in several bands — any >=1 makes it a candidate
+    assert per_url["u3"] >= 4
+    assert per_url["u1"] == 0 and per_url["u4"] == 0
