@@ -754,6 +754,10 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
+    # NULL-id rows are excluded up front so the corpus size (count of
+    # non-null distinct ids) and the document frequencies count the same
+    # population — otherwise df could exceed N and flip idf negative
+    df = df.where(F.col(id_col).isNotNull())
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(

@@ -63,10 +63,18 @@ _STATE_SCHEMA = StructType(
 def band_buckets_udf(num_perm: int = 64, bands: int = 16, shingle_k: int = 5):
     """Scalar pandas UDF text -> array<long> of band bucket keys.
 
-    Reuses the batch path's stable signature generator so stream buckets
-    and ``build_minhash_index`` buckets agree; each bucket key packs the
-    band index into the top bits so different bands never alias.
+    Reuses the batch path's stable signature generator, so the underlying
+    PERMUTATIONS agree with ``build_minhash_index`` (the bucket hashing
+    itself differs — an FNV fold here vs ``_banded``'s xxhash64 — so the
+    keys are not join-compatible across the two; rerank candidates
+    against the index by doc id, not by bucket).  Each bucket key packs
+    the band index into the top 6 bits so different bands never alias.
     """
+    if num_perm % bands or bands > 64:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} and fit the "
+            "6-bit band tag (<= 64)"
+        )
     rows = num_perm // bands
     sig_fn = _minhash_batch_stable(num_perm, shingle_k)
 
@@ -121,19 +129,29 @@ def neardup_stream(
             yield pd.DataFrame([], columns=_COLLISION_SCHEMA.fieldNames())
             return
         first_url, first_ts = state.get if state.exists else (None, None)
+        # the group's first-seen row is a GLOBAL (ts, url) min — chunks
+        # must be concatenated before latching it, or a group split
+        # across Arrow batches latches chunk 1's min and diverges from
+        # the batch twin (the operator's correctness gate)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "url"])
         rows = []
-        for pdf in pdfs:
-            for r in pdf.sort_values(["ts", "url"]).itertuples():
-                if first_url is None:
-                    first_url, first_ts = r.url, r.ts
-                    rows.append((key[0], r.url, r.ts, r.url, 0))
-                elif r.url == first_url:
-                    rows.append((key[0], r.url, r.ts, first_url, 0))
-                else:
-                    rows.append((key[0], r.url, r.ts, first_url, 1))
+        for r in pdf.itertuples():
+            if first_url is None:
+                first_url, first_ts = r.url, r.ts
+                rows.append((key[0], r.url, r.ts, r.url, 0))
+            elif r.url == first_url:
+                rows.append((key[0], r.url, r.ts, first_url, 0))
+            else:
+                rows.append((key[0], r.url, r.ts, first_url, 1))
         state.update((first_url, first_ts))
         state.setTimeoutDuration(state_ttl_ms)
-        yield pd.DataFrame(rows, columns=_COLLISION_SCHEMA.fieldNames())
+        # emit in bounded slices: a degenerate hot bucket (boilerplate
+        # pages all hashing alike) shouldn't become one giant Arrow batch
+        for i in range(0, len(rows), 2048):
+            yield pd.DataFrame(
+                rows[i : i + 2048], columns=_COLLISION_SCHEMA.fieldNames()
+            )
 
     exploded = _exploded(
         pages, url_col, ts_col, text_col, band_buckets_udf(num_perm, bands, shingle_k)

@@ -454,19 +454,61 @@ def test_neardup_stream_equals_batch_twin(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {
-        (r["bucket"], r["url"], r["first_url"], r["is_collision"])
+        (r["bucket"], r["url"], r["ts"], r["first_url"], r["is_collision"])
         for r in spark.sql("select * from neardup_out").collect()
     }
     want = {
-        (r["bucket"], r["url"], r["first_url"], r["is_collision"])
+        (r["bucket"], r["url"], r["ts"], r["first_url"], r["is_collision"])
         for r in neardup_batch(df).collect()
     }
     assert got == want
     per_url = {}
-    for _, url, _, c in got:
+    for _, url, _, _, c in got:
         per_url[url] = per_url.get(url, 0) + c
     assert per_url["u2"] == 16            # byte-dup collides in every band
     # one-word-changed near-dup (shingle jaccard ~0.85, per-band collision
     # p ~ 0.85^4) collides in several bands — any >=1 makes it a candidate
     assert per_url["u3"] >= 4
     assert per_url["u1"] == 0 and per_url["u4"] == 0
+
+
+def test_neardup_stream_multichunk_group(spark, tmp_path):
+    """A bucket group split across multiple Arrow chunks must still latch
+    the GLOBAL (ts, url) minimum as first-seen (chunk-boundary trap)."""
+    import datetime as dt
+
+    from graby_spark.streaming.stream_neardup import neardup_batch, neardup_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = "identical boilerplate page body repeated across many urls today"
+    # 30 identical docs; url z00.. sorts AFTER the timestamps decide order
+    rows = [(f"u{i:02d}", t0 + dt.timedelta(seconds=30 - i), base) for i in range(30)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    in_dir = str(tmp_path / "neardup_chunks")
+    df.repartition(1).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(in_dir)
+    # force tiny Arrow batches so the single bucket group spans many chunks
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        q = (
+            neardup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("neardup_chunk_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["bucket"], r["url"], r["first_url"], r["is_collision"])
+            for r in spark.sql("select * from neardup_chunk_out").collect()
+        }
+        want = {
+            (r["bucket"], r["url"], r["first_url"], r["is_collision"])
+            for r in neardup_batch(df).collect()
+        }
+        assert got == want
+        # the global earliest ts belongs to u29 — it must be the first_url
+        assert all(fu == "u29" for _, _, fu, _ in got)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
