@@ -578,6 +578,21 @@ def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.sentences(planted)
 
 
+# patterns for the corpus-grep query: word, digit-run, planted marker
+_GREP_PATTERNS = ["\\bspark\\b", "[0-9]+", "NEEDLE_[A-Z]+"]
+
+
+def q_text_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-pattern hit counts over documents (every 9th doc gets a
+    planted NEEDLE marker)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr(
+        "doc_id",
+        "case when doc_id % 9 = 0 then concat(text, ' NEEDLE_ALPHA NEEDLE_BETA') else text end as text",
+    )
+    return textstats.corpus_grep(planted, _GREP_PATTERNS)
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease / FK grade over documents with planted
     sentence structure."""
@@ -1122,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "text_sentences": q_text_sentences,
         "text_readability": q_text_readability,
+        "text_grep": q_text_grep,
         "domain_prior": q_domain_prior,
         "graph_frontier": q_graph_frontier,
         "graph_robots": q_graph_robots,
@@ -1456,6 +1472,16 @@ FROM packed p JOIN (
         "split_assign": split_oracle,
         "text_normalize": normalize_oracle,
         "text_sentences": sentences_oracle,
+        "text_grep": (
+            "WITH planted AS (SELECT doc_id, case when doc_id % 9 = 0 "
+            "then concat(text, ' NEEDLE_ALPHA NEEDLE_BETA') else text end AS text FROM documents)\n"
+            + "\nUNION ALL\n".join(
+                f"SELECT doc_id AS doc, '{p}' AS pattern, "
+                f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_matches "
+                f"FROM planted WHERE len(regexp_extract_all(text, '{p}')) > 0"
+                for p in _GREP_PATTERNS
+            )
+        ),
         "text_readability": f"""
 WITH planted AS (SELECT doc_id, {_SENT_SYNTH} AS text FROM documents),
 c AS (

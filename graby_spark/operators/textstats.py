@@ -33,6 +33,7 @@ __all__ = [
     "extract_lite",
     "tfidf_topk",
     "readability",
+    "corpus_grep",
     "STOPWORDS",
 ]
 
@@ -830,4 +831,37 @@ def readability(
         syllables.cast("long").alias("n_syllables"),
         r4(ease).alias("flesch_ease"),
         r4(grade).alias("fk_grade"),
+    )
+
+
+def corpus_grep(
+    df: DataFrame,
+    patterns: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document regex hit counts for a fixed pattern list — the
+    debugging workhorse behind every filter threshold ("how often does
+    this actually occur?") and quick contamination spot-checks.
+
+    One row per (doc, pattern) with n_matches > 0.  The pattern list is
+    a literal array column (no join); a scan per pattern fused into one
+    projection — map-only at any corpus size.  Patterns must be in the
+    Java-regex/RE2 common subset for the oracle."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pattern"),
+                F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0)))
+                .cast("long")
+                .alias("n_matches"),
+            )
+            for p in patterns
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(pairs).alias("hit"))
+        .select("doc", "hit.pattern", "hit.n_matches")
+        .where(F.col("n_matches") > 0)
     )

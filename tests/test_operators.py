@@ -862,3 +862,15 @@ def test_incremental_minhash_rejects_shingle_k_mismatch(spark):
     new = spark.createDataFrame([(2, "some new text here")], "doc_id long, text string")
     with pytest.raises(ValueError, match="shingle_k=7"):
         dedup.incremental_minhash_pairs(new, index, shingle_k=5)
+
+
+def test_corpus_grep(spark):
+    df = spark.createDataFrame(
+        [(1, "spark and spark again plus 42"), (2, "no hits at all here")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc"], r["pattern"]): r["n_matches"]
+        for r in textstats.corpus_grep(df, ["\\bspark\\b", "[0-9]+"]).collect()
+    }
+    assert out == {(1, "\\bspark\\b"): 2, (1, "[0-9]+"): 1}  # doc 2 emits nothing
