@@ -250,7 +250,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), threshold=0.8)
+    # explicit max_df=None: the oracle's DuckDB twin computes the exact
+    # full-token-space Jaccard (the capped plan is the library DEFAULT)
+    pairs = dedup.ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), threshold=0.8, max_df=None)
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -806,6 +808,9 @@ _LINK_HTML = (
     " case when doc_id % 2 = 0 then concat('<a href=\"//cdn.example.net/a/', cast(doc_id % 13 as {c}), '\">c</a>') else '' end,"
     " '<a href=\"/root/', cast(doc_id % 31 as {c}), '\">r</a>',"
     " '<a href=\"page', cast(doc_id % 5 as {c}), '.html#sec\">s</a>',"
+    " '<a href=''/sq/', cast(doc_id % 11 as {c}), '''>q</a>',"
+    " '<a href=uq', cast(doc_id % 17 as {c}), '.html>u</a>',"
+    " '<a href=\"../up/', cast(doc_id % 9 as {c}), '.html\">p</a>',"
     " '<a href=\"#top\">t</a><a href=\"mailto:u@example.com\">m</a></p>')"
 )
 
@@ -1232,14 +1237,28 @@ def oracle_sql() -> dict[str, str]:
     def outlinks_oracle() -> str:
         url = _LINK_URL.format(c="varchar")
         html = _LINK_HTML.format(c="varchar")
+        # identical bounded unroll of RFC 3986 remove_dot_segments as
+        # graph._collapse_dot_segments (RE2-safe, no lookarounds)
+        collapse = "p0"
+        for _ in range(4):
+            collapse = f"regexp_replace({collapse}, '/\\./', '/', 'g')"
+            collapse = f"regexp_replace({collapse}, '/\\.$', '/', 'g')"
+            collapse = f"regexp_replace({collapse}, '/[^/]+/\\.\\./', '/', 'g')"
+            collapse = f"regexp_replace({collapse}, '/[^/]+/\\.\\.$', '/', 'g')"
+            collapse = f"regexp_replace({collapse}, '^/\\.\\./', '/', 'g')"
+            collapse = f"regexp_replace({collapse}, '^/\\.\\.$', '/', 'g')"
         return f"""
 WITH pages AS (SELECT {url} AS url, {html} AS html FROM documents),
 links AS (
-  SELECT url AS src, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+  SELECT url AS src,
+         unnest(regexp_extract_all(html, '(?i)href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)', 1)) AS rawlink
   FROM pages
 ),
+stripped AS (
+  SELECT src, regexp_replace(rawlink, '^["'']|["'']$', '', 'g') AS link FROM links
+),
 kept AS (
-  SELECT src, link FROM links
+  SELECT src, link FROM stripped
   WHERE link <> '' AND link NOT LIKE '#%' AND link NOT LIKE 'mailto:%'
     AND link NOT LIKE 'javascript:%' AND link NOT LIKE 'data:%' AND link NOT LIKE 'tel:%'
 ),
@@ -1250,10 +1269,18 @@ resolved AS (
          WHEN link LIKE '/%' THEN concat(regexp_extract(src, '^([a-z][a-z0-9+.\\-]*://[^/]+)', 1), link)
          ELSE concat(regexp_replace(src, '[^/]*$', ''), link) END AS dst0
   FROM kept
+),
+nofrag AS (
+  SELECT src, regexp_replace(dst0, '#.*$', '') AS nf FROM resolved
+),
+split AS (
+  SELECT src, nf, regexp_extract(nf, '^([a-z][a-z0-9+.\\-]*://[^/]*)', 1) AS dorigin,
+         substring(nf, length(regexp_extract(nf, '^([a-z][a-z0-9+.\\-]*://[^/]*)', 1)) + 1) AS p0
+  FROM nofrag
 )
-SELECT src, regexp_replace(dst0, '#.*$', '') AS dst
-FROM resolved
-WHERE regexp_replace(dst0, '#.*$', '') <> src
+SELECT src, concat(dorigin, {collapse}) AS dst
+FROM split
+WHERE concat(dorigin, {collapse}) <> src
 """
 
     # PageRank oracle: the power iteration unrolled as chained CTEs (one

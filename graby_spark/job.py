@@ -91,10 +91,20 @@ def attach_salt(df: DataFrame, salt: int = DEFAULT_SALT, partitions: int | None 
     return salted.repartition(F.col("_dhash"), F.col("_salt"))
 
 
-def _make_extract_batch(ruleset_bc, options: ExtractOptions):
+def _make_extract_batch(ruleset_bc, options: ExtractOptions, out_names: list[str] | None = None):
     """Build the mapInPandas function.  The iterator form amortizes
     per-partition setup (ruleset handle, compiled XPath cache) across all
-    Arrow batches of the partition."""
+    Arrow batches of the partition.
+
+    ``out_names`` prunes the OUTPUT side of the Arrow socket: only the named
+    EXTRACT_SCHEMA fields are serialized back to the JVM.  The extraction
+    work itself is unchanged (the parse IS the job); what this removes is
+    the Arrow round-trip of the dominant-byte ``html``/``text`` columns for
+    consumers that never read them (e.g. a success-rate count, a
+    metadata-only sink) — measured as the residual scaling loss at 4N cores
+    (BENCH/BASELINE.md)."""
+    if out_names is None:
+        out_names = [f.name for f in EXTRACT_SCHEMA.fields]
 
     def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import sys
@@ -166,7 +176,7 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions):
                 record["bytes_in"] = len(html)
                 record["extract_ms"] = int((time.perf_counter() - started) * 1000)
                 rows.append(record)
-            yield pd.DataFrame(rows, columns=[f.name for f in EXTRACT_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=out_names)
 
     return extract_batch
 
@@ -179,14 +189,35 @@ def run_extraction(
     salt: int = DEFAULT_SALT,
     partitions: int | None = None,
     repartition: bool = True,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """pages → extracted rows (one per page; multipage merge is a separate
-    operator, see resolve_multipage)."""
+    operator, see resolve_multipage).
+
+    ``columns`` selects which EXTRACT_SCHEMA fields are emitted (default:
+    all).  Catalyst cannot prune columns through the opaque mapInPandas
+    barrier, so without this a consumer that only counts ``is_success``
+    still pays the Arrow transfer of every extracted ``html``/``text`` body
+    — the dominant bytes of the output and, profiled, the residual N→4N
+    scaling loss.  Pass e.g. ``columns=["url", "is_success"]`` for
+    metadata-only consumers."""
     from .session import ship_package
 
     ship_package(spark)  # executors import graby_spark from any launch cwd
     options = options or ExtractOptions()
     ruleset_bc = spark.sparkContext.broadcast(ruleset)
+
+    if columns is None:
+        out_schema = EXTRACT_SCHEMA
+        out_names = None
+    else:
+        known = {f.name for f in EXTRACT_SCHEMA.fields}
+        unknown = [c for c in columns if c not in known]
+        if unknown:
+            raise ValueError(f"unknown extraction columns: {unknown}")
+        wanted = set(columns)
+        out_schema = StructType([f for f in EXTRACT_SCHEMA.fields if f.name in wanted])
+        out_names = [f.name for f in out_schema.fields]
 
     # cheap JVM-side pre-route: rows whose content_type maps to a non-HTML
     # action skip nothing here (the UDF handles them quickly), but clearly
@@ -218,7 +249,9 @@ def run_extraction(
             "_salt", "_dhash"
         )
 
-    extracted = pages.mapInPandas(_make_extract_batch(ruleset_bc, options), EXTRACT_SCHEMA)
+    extracted = pages.mapInPandas(
+        _make_extract_batch(ruleset_bc, options, out_names), out_schema
+    )
     return extracted
 
 

@@ -115,7 +115,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    max_df: float | None = None,
+    max_df: float | None = 0.5,
 ) -> DataFrame:
     """Jaccard-similar pairs via the inverted-index join.
 
@@ -133,6 +133,12 @@ def ngram_jaccard_pairs(
     reduced sets.  Near-identical documents agree on rare tokens anyway,
     so dedup-grade results are unaffected while join volume drops from
     Σ df² over stopwords to Σ df² over content tokens.
+
+    The cap is ON by default (``max_df=0.5``): calling this with defaults
+    on a web corpus must never produce the Σ df²-over-stopwords plan
+    (r02 VERDICT anti-pattern #1).  Pass ``max_df=None`` explicitly to
+    opt into the exact full-token-space Jaccard (e.g. for oracle
+    comparisons on bounded corpora).
     """
     tokens = _tokens_df(df, id_col, text_col)
     if max_df is not None:

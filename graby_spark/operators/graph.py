@@ -32,10 +32,37 @@ from pyspark.sql import functions as F
 
 __all__ = ["outlinks", "pagerank", "frontier_schedule", "parse_robots", "robots_filter", "HREF_PATTERN"]
 
-HREF_PATTERN = r'href="([^"]*)"'
+#: matches double-quoted, single-quoted AND unquoted href values (real
+#: crawl HTML uses all three constantly — r02 VERDICT recall gap); group 1
+#: keeps the surrounding quotes, stripped afterwards, because
+#: regexp_extract_all takes a single group index across the alternatives
+HREF_PATTERN = r"""(?i)href\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)"""
 
 # schemes that never navigate to a fetchable document
 _SKIP_PREFIXES = ("#", "mailto:", "javascript:", "data:", "tel:")
+
+#: bounded unroll depth of the dot-segment fixed point: one pass removes
+#: one nesting level of '/./' and '/seg/../'; real URLs virtually never
+#: nest deeper (the DuckDB oracle unrolls the identical passes, so the
+#: engines agree bit-for-bit even past the bound)
+_DOT_PASSES = 4
+
+
+def _collapse_dot_segments(path: F.Column) -> F.Column:
+    """RFC 3986 §5.2.4 remove_dot_segments over the PATH part, as a bounded
+    unroll of JVM regexp_replace passes (RE2-compatible — no lookarounds,
+    so the DuckDB oracle can mirror it exactly).  Operating on the path
+    only (never the full URL) keeps '/host/../' in ``scheme://host/..``
+    from eating the authority."""
+    p = path
+    for _ in range(_DOT_PASSES):
+        p = F.regexp_replace(p, r"/\./", "/")        # /./      -> /
+        p = F.regexp_replace(p, r"/\.$", "/")        # trailing /.
+        p = F.regexp_replace(p, r"/[^/]+/\.\./", "/")  # /seg/../ -> /
+        p = F.regexp_replace(p, r"/[^/]+/\.\.$", "/")  # trailing /seg/..
+        p = F.regexp_replace(p, r"^/\.\./", "/")     # leading /../ (root drop)
+        p = F.regexp_replace(p, r"^/\.\.$", "/")
+    return p
 
 
 def outlinks(
@@ -49,8 +76,10 @@ def outlinks(
       absolute http(s)  -> kept verbatim
       //host/path       -> page scheme + ':' + link
       /root-relative    -> scheme://host + link
-      document-relative -> page URL directory + link   ('..' not collapsed)
-    Fragments are stripped from the destination; empty and
+      document-relative -> page URL directory + link
+    href values may be double-quoted, single-quoted or unquoted; dot
+    segments ('/./', '/seg/../') are collapsed per RFC 3986 §5.2.4 within
+    the path.  Fragments are stripped from the destination; empty and
     non-navigational (mailto:, javascript:, data:, tel:, bare '#') links
     are dropped.
     """
@@ -61,9 +90,14 @@ def outlinks(
 
     raw = F.explode(
         F.regexp_extract_all(F.coalesce(F.col(html_col), F.lit("")), F.lit(HREF_PATTERN), F.lit(1))
-    ).alias("link")
+    ).alias("_raw")
     exploded = pages.select(src.alias("src"), scheme.alias("_scheme"),
                             origin.alias("_origin"), directory.alias("_dir"), raw)
+    # quote strip is unconditional: an unquoted token cannot contain quotes
+    # (excluded by the char class), so only real delimiters are removed
+    exploded = exploded.withColumn(
+        "link", F.regexp_replace(F.col("_raw"), r"""^["']|["']$""", "")
+    )
 
     link = F.col("link")
     skip = link == ""
@@ -76,10 +110,18 @@ def outlinks(
         .when(link.startswith("/"), F.concat(F.col("_origin"), link))
         .otherwise(F.concat(F.col("_dir"), link))
     )
-    dst = F.regexp_replace(resolved, r"#.*$", "")
+    nofrag = F.regexp_replace(resolved, r"#.*$", "")
+    # split authority from path so dot-collapse can never eat the host
+    dst_origin = F.regexp_extract(nofrag, r"^([a-z][a-z0-9+.\-]*://[^/]*)", 1)
+    step = exploded.where(~skip).withColumn("_nofrag", nofrag).withColumn(
+        "_dorigin", dst_origin
+    )
+    dst = F.concat(
+        F.col("_dorigin"),
+        _collapse_dot_segments(F.expr("substring(_nofrag, length(_dorigin) + 1)")),
+    )
     return (
-        exploded.where(~skip)
-        .select("src", dst.alias("dst"))
+        step.select("src", dst.alias("dst"))
         .where(F.col("dst") != F.col("src"))
     )
 

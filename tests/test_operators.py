@@ -91,9 +91,10 @@ def test_embedding_near_dups_auto_dispatch(spark, embeddings):
 
 
 def test_ngram_jaccard(docs):
+    # max_df=None: exact full-token-space Jaccard (the default is capped)
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).collect()
     }
     assert pairs[(1, 2)] == 1.0
     assert pairs[(1, 5)] == 1.0
@@ -115,7 +116,7 @@ def test_ngram_jaccard_max_df_skew_cap(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     uncapped = {
         (r["doc_a"], r["doc_b"])
-        for r in dedup.ngram_jaccard_pairs(df, threshold=0.6).collect()
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.6, max_df=None).collect()
     }
     capped = {
         (r["doc_a"], r["doc_b"])
@@ -126,6 +127,13 @@ def test_ngram_jaccard_max_df_skew_cap(spark):
     # the hot-token filter is a broadcast anti-join (no shuffle of tokens)
     plan = dedup.ngram_jaccard_pairs(df, threshold=0.6, max_df=0.9)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the CAPPED plan is the DEFAULT (r02 VERDICT #3): calling with no
+    # max_df argument must carry the anti-join, and only an explicit
+    # max_df=None opts into the exact quadratic plan
+    default_plan = dedup.ngram_jaccard_pairs(df, threshold=0.6)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in default_plan and "LeftAnti" in default_plan
+    exact_plan = dedup.ngram_jaccard_pairs(df, threshold=0.6, max_df=None)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in exact_plan
 
 
 def test_minhash_lsh(docs):
@@ -550,7 +558,10 @@ def test_outlinks_resolution(spark):
                 '<a href="http://b.com/x">1</a><a href="//c.com/y">2</a>'
                 '<a href="/root">3</a><a href="sib.html#frag">4</a>'
                 '<a href="#top">5</a><a href="mailto:z@q.com">6</a>'
-                '<a href="javascript:void(0)">7</a><a href="">8</a>',
+                '<a href="javascript:void(0)">7</a><a href="">8</a>'
+                "<a href='/sq/1'>9</a><a href=uq.html>10</a>"
+                '<a href="../up.html">11</a><a href="./here.html">12</a>'
+                '<a href="a/b/../../flat.html">13</a>',
             )
         ],
         "url string, html string",
@@ -558,8 +569,13 @@ def test_outlinks_resolution(spark):
     dsts = sorted(r["dst"] for r in graph.outlinks(pages).collect())
     assert dsts == [
         "http://b.com/x",
+        "https://a.example.com/dir/flat.html",   # a/b/../../ collapsed
+        "https://a.example.com/dir/here.html",   # ./ collapsed
         "https://a.example.com/dir/sib.html",
+        "https://a.example.com/dir/uq.html",     # unquoted href
         "https://a.example.com/root",
+        "https://a.example.com/sq/1",            # single-quoted href
+        "https://a.example.com/up.html",         # ../ collapsed
         "https://c.com/y",  # protocol-relative inherits the page scheme
     ]
 

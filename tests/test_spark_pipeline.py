@@ -58,6 +58,24 @@ def test_extraction_matches_oracle(spark, extracted):
         assert got_authors == authors, url
 
 
+def test_extraction_column_projection(spark, extracted):
+    """columns= prunes the OUTPUT side of the Arrow socket: the projected
+    run produces identical values for the kept columns, the output schema
+    contains exactly those columns (EXTRACT_SCHEMA field order), and the
+    dominant-byte html/text bodies never cross the socket."""
+    pages = build_pages_df(spark, SF_DIR)
+    cols = ["url", "title", "language", "is_success"]
+    slim = run_extraction(spark, pages, pages_ruleset(), options=OPTS, columns=cols)
+    assert slim.columns == cols  # EXTRACT_SCHEMA order preserved
+    got = {r["url"]: r for r in slim.collect()}
+    full = {r["url"]: r for r in extracted.select(*cols).collect()}
+    assert set(got) == set(full)
+    for url, row in full.items():
+        assert got[url].asDict() == row.asDict(), url
+    with pytest.raises(ValueError):
+        run_extraction(spark, pages, pages_ruleset(), options=OPTS, columns=["nope"])
+
+
 def test_multipage_stitch(spark):
     pages = build_multipage_pages_df(spark, SF_DIR)
     merged = resolve_multipage(run_extraction(spark, pages, pages_ruleset(), options=OPTS))

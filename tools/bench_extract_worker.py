@@ -67,8 +67,18 @@ def main() -> None:
         # legacy: in-flight synthesis (hash-distributed by doc_id)
         pages = build_pages_df(spark, sf_dir, repeat=amplify, text_repeat=text_repeat)
     start = time.perf_counter()
+    # the scaling consumer counts successes — project the output so the
+    # extracted html/text bodies (dominant bytes, never read here) don't
+    # ride the Arrow socket back; extraction work itself is unchanged
     docs = (
-        run_extraction(spark, pages, pages_ruleset(), options=opts, repartition=False)
+        run_extraction(
+            spark,
+            pages,
+            pages_ruleset(),
+            options=opts,
+            repartition=False,
+            columns=["url", "title", "language", "is_success", "bytes_in", "extract_ms"],
+        )
         .where("is_success")
         .count()
     )
