@@ -34,6 +34,7 @@ from graby_spark.operators import (
 from graby_spark.pages import (
     build_multipage_pages_df,
     build_pages_df,
+    build_redirect_pages_df,
     build_singlepage_pages_df,
     oracle_excerpt_sql,
     oracle_pages_cte,
@@ -87,6 +88,18 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extracted(spark, sf_dir).select("url", "summary")
+
+
+def q_extract_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 meta-refresh detection (HttpClient.php:452-475) over planted
+    refresh fixtures: both attribute orders, quoting styles, relative
+    resolution, &amp; decoding; non-refresh rows emit NULL.  Uses the
+    columns= Arrow output projection (only url + redirect_target ship)."""
+    _ship(spark)
+    pages = build_redirect_pages_df(spark, sf_dir)
+    return run_extraction(
+        spark, pages, pages_ruleset(), options=_OPTS, columns=["url", "redirect_target"]
+    )
 
 
 def q_extract_metrics_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,9 +737,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # robots.txt per domain: a bot1-only group (must not apply), a '*' group
-# with disallow/allow pair + an allow-all empty Disallow, and an extra
-# disallow on half the domains (md5 parity).  {h} is the engine's
-# md5-parity expression over `domain`.
+# with disallow/allow pair + an allow-all empty Disallow, an extra
+# disallow on half the domains (md5 parity), and two RFC-9309 wildcard
+# rules ('Disallow: /*?' — the classic query-string block — and
+# 'Allow: /*4$' with an end anchor) so the Google-semantics wildcard
+# matcher is oracle-exercised.  {h} is the engine's md5-parity expression
+# over `domain`.
 # CRLF ending + inline comment planted on the '*' group's first rule so
 # the RFC-9309 line handling is oracle-exercised, not just unit-tested
 _ROBOTS_SYNTH = (
@@ -734,18 +750,28 @@ _ROBOTS_SYNTH = (
     " case when {h} then concat('User-agent: helper', chr(10)) else '' end,"
     " 'User-agent: *', chr(13), chr(10), 'Disallow: /private # members only', chr(13), chr(10),"
     " 'Allow: /private/ok', chr(10), 'Disallow:', chr(10),"
+    " 'Disallow: /*?', chr(10), 'Allow: /*4$', chr(10),"
     " case when {h} then concat('Disallow: /public', chr(10)) else '' end)"
 )
 _ROBOTS_PATH_SYNTH = (
-    "case doc_id % 4 when 0 then concat('/private/doc', cast(doc_id as {c}))"
+    "case doc_id % 5 when 0 then concat('/private/doc', cast(doc_id as {c}))"
     " when 1 then concat('/private/ok/doc', cast(doc_id as {c}))"
     " when 2 then concat('/public/doc', cast(doc_id as {c}))"
-    " else concat('/b1/doc', cast(doc_id as {c})) end"
+    " when 3 then concat('/b1/doc', cast(doc_id as {c}))"
+    " else concat('/search?q=', cast(doc_id as {c})) end"
 )
 _SPARK_MD5_PARITY = (
     "cast(conv(substring(md5(domain), 1, 15), 16, 10) as bigint) % 2 = 0"
 )
 _DUCK_MD5_PARITY = "('0x' || substr(md5(domain), 1, 15))::BIGINT % 2 = 0"
+
+# robots wildcard→regex pieces for the DuckDB oracle, as raw strings so the
+# f-string interpolation cannot mangle the backslashes (octal-escape trap):
+# escape every RE2 metachar except '*', replacement = literal backslash +
+# group, then re-anchor the trailing escaped '$'
+_RB_ESC_CLASS = r"([.^$+?(){}\[\]\\|])"
+_RB_ESC_REPL = r"\\\1"
+_RB_TRAIL_PAT = r"\\\$$"
 
 
 def q_graph_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,6 +1129,7 @@ def q_join_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_meta": q_extract_meta,
+        "extract_redirects": q_extract_redirects,
         "extract_text": q_extract_text,
         "extract_summary": q_extract_summary,
         "extract_metrics_by_domain": q_extract_metrics_by_domain,
@@ -1661,9 +1688,21 @@ cand AS (
   SELECT u.url, u.domain, u.path, r.rule, r.path_prefix, r.prefix_len
   FROM urls u LEFT JOIN rules r USING (domain)
 ),
-scored AS (
-  SELECT *, CASE WHEN rule IS NOT NULL AND starts_with(path, path_prefix) THEN 1 ELSE 0 END AS m
+wild AS (
+  SELECT *,
+    (path_prefix LIKE '%*%' OR path_prefix LIKE '%$') AS haswild,
+    '^' || regexp_replace(
+             replace(
+               regexp_replace(path_prefix, '{_RB_ESC_CLASS}', '{_RB_ESC_REPL}', 'g'),
+               '*', '.*'),
+             '{_RB_TRAIL_PAT}', '$') AS rx
   FROM cand
+),
+scored AS (
+  SELECT *, CASE WHEN rule IS NULL THEN 0
+                 WHEN haswild THEN CASE WHEN regexp_matches(path, rx) THEN 1 ELSE 0 END
+                 WHEN starts_with(path, path_prefix) THEN 1 ELSE 0 END AS m
+  FROM wild
 ),
 best AS (
   SELECT *, row_number() OVER (
@@ -1710,6 +1749,14 @@ SELECT url, expected_text AS extracted_text FROM expected
         "extract_summary": f"""
 WITH {expected}
 SELECT url, {excerpt} AS summary FROM expected
+""",
+        "extract_redirects": """
+SELECT 'http://refresh.example.com/article/' || doc_id AS url,
+       CASE doc_id % 3
+         WHEN 0 THEN 'http://target.example.com/t/' || doc_id
+         WHEN 1 THEN 'http://refresh.example.com/land/' || doc_id || '?a=1&b=2'
+         ELSE NULL END AS redirect_target
+FROM documents WHERE doc_id % 10 = 7
 """,
         "extract_metrics_by_domain": f"""
 WITH {expected}

@@ -95,6 +95,12 @@ class ExtractOptions:
     post_filters: dict[str, str] = field(default_factory=dict)
     # O7: set referrerpolicy=no-referrer on content imgs (Graby.php:250-255)
     img_no_referrer: bool = False
+    # Per-document step trace (Monolog analog, GrabyHandler.php:19-63):
+    # when True, ExtractedContent.trace records which rule fired on which
+    # fallback path (site-config pattern / hNews / readability / retry,
+    # strip counts) — the observability you need to debug one bad url out
+    # of a billion without re-running locally.  Zero overhead when off.
+    trace: bool = False
 
 
 @dataclass
@@ -112,11 +118,17 @@ class ExtractedContent:
     is_success: bool = False
     next_page_url: str | None = None
     single_page_url: str | None = None
+    #: S8: meta-refresh / Refresh-header redirect detected in the page —
+    #: the crawler would have re-fetched this url (HttpClient.php:191-195,
+    #: 452-475); in table mode the row is flagged so curation can follow up
+    redirect_target: str | None = None
     spans: list[tuple[int, int]] = field(default_factory=list)
     html: str = ""
     text: str = ""
     summary: str = ""
     mime: str = ""
+    #: step journal (only populated under ExtractOptions.trace)
+    trace: list[str] = field(default_factory=list)
     # internal handles (not serialized)
     content: Element | None = None
     readability: Readability | None = None
@@ -473,6 +485,7 @@ def process(
     site_config: SiteConfig | None = None,
     options: ExtractOptions | None = None,
     smart_tidy: bool = True,
+    _trace_seed: list[str] | None = None,
 ) -> ExtractedContent:
     """ContentExtractor::process (ContentExtractor.php:113-700).
 
@@ -482,8 +495,18 @@ def process(
     (ContentExtractor.php:674-683)."""
     options = options or ExtractOptions()
     host = host_of_url(url)
+    # tr is None when tracing is off — every trace site is guarded by a
+    # single `is not None` check, so the off path does no extra work
+    tr: list[str] | None = (
+        (_trace_seed if _trace_seed is not None else []) if options.trace else None
+    )
     if site_config is None:
         site_config = ruleset.for_page(host, html)
+        if tr is not None:
+            tr.append(f"config: host={host}")
+            fp = ruleset.fingerprint_host(html)
+            if fp is not None:
+                tr.append(f"config: fingerprint={fp}")
 
     # D3: user regex pre-filters on the raw html
     for pattern, replacement in options.pre_filters.items():
@@ -500,6 +523,8 @@ def process(
     # find_string / replace_string (ContentExtractor.php:709-728)
     if site_config.find_string and len(site_config.find_string) == len(site_config.replace_string):
         for find, replace in zip(site_config.find_string, site_config.replace_string):
+            if tr is not None and find in html:
+                tr.append(f"find_string: {find!r}")
             html = html.replace(find, replace)
 
     use_tidy = site_config.tidy_enabled() and smart_tidy
@@ -510,6 +535,8 @@ def process(
         html, url, tidy=use_tidy, post_filters=options.post_filters, parser=parser
     )
     dom = readability.dom
+    if tr is not None:
+        tr.append(f"parse: parser={parser} tidy={'on' if use_tidy else 'off'}")
 
     result = ExtractedContent(url=url, effective_url=url)
     title: str | None = None
@@ -531,6 +558,12 @@ def process(
 
     # OpenGraph / JSON-LD (D5-D6) — nothing has mutated `dom` yet, reuse it
     info = _extract_defined_information(html, site_config, doc=dom)
+    if tr is not None and info:
+        _defined = [
+            k for k in ("title", "image", "language", "date", "authors", "body") if info.get(k)
+        ]
+        if _defined:
+            tr.append("defined: og/json-ld -> " + ",".join(_defined))
     title = info.get("title", title)
     image = info.get("image", image)
     language = info.get("language", language)
@@ -550,6 +583,8 @@ def process(
         extracted = _extract_entity(pattern, dom)
         if extracted is not None:
             title = extracted
+            if tr is not None:
+                tr.append(f"title: siteconfig {pattern}")
             break
 
     # author by XPath (D9) — only when not already set by JSON-LD
@@ -558,6 +593,8 @@ def process(
             extracted_multi = _extract_entity_multi(pattern, dom)
             if extracted_multi is not None:
                 authors = extracted_multi
+                if tr is not None:
+                    tr.append(f"author: siteconfig {pattern}")
                 break
 
     # date by XPath (D10)
@@ -565,6 +602,8 @@ def process(
         extracted = _extract_entity(pattern, dom)
         if extracted is not None:
             date = extracted
+            if tr is not None:
+                tr.append(f"date: siteconfig {pattern}")
             break
 
     # language (D11)
@@ -589,7 +628,10 @@ def process(
 
     # strip (D13)
     for pattern in site_config.strip:
-        _remove_nodes(_query(pattern, dom, dom))
+        stripped = _query(pattern, dom, dom)
+        if tr is not None and stripped:
+            tr.append(f"strip: {pattern} removed={len(stripped)}")
+        _remove_nodes(stripped)
 
     # strip_id_or_class (D14)
     for token in site_config.strip_id_or_class:
@@ -598,7 +640,10 @@ def process(
             f"//*[{_class_contains_expr('class', token)}"
             f" or contains(concat(' ',normalize-space(@id),' '), ' {token} ')]"
         )
-        _remove_nodes(_query(expr, dom, dom))
+        stripped = _query(expr, dom, dom)
+        if tr is not None and stripped:
+            tr.append(f"strip_id_or_class: {token} removed={len(stripped)}")
+        _remove_nodes(stripped)
 
     # strip_image_src (D15) — strpos truthiness quirk: position 0 does NOT strip
     for token in site_config.strip_image_src:
@@ -635,6 +680,8 @@ def process(
         extracted_body = _extract_body_from_pattern(pattern, dom, dom, readability, site_config)
         if extracted_body is not None:
             body = extracted_body
+            if tr is not None:
+                tr.append(f"body: siteconfig {pattern}")
             break
 
     # autodetect gates (ContentExtractor.php:354-372)
@@ -682,6 +729,8 @@ def process(
                 if extracted_body is not None:
                     body = extracted_body
                     detect_body = False
+                    if tr is not None:
+                        tr.append("body: hnews entry-content")
 
     # instapaper classes (D21)
     if detect_title:
@@ -702,6 +751,8 @@ def process(
         if extracted_body is not None:
             body = extracted_body
             detect_body = False
+            if tr is not None:
+                tr.append("body: instapaper_body")
 
     # Schema.org articleBody (D22)
     if detect_body:
@@ -711,6 +762,8 @@ def process(
         if extracted_body is not None:
             body = extracted_body
             detect_body = False
+            if tr is not None:
+                tr.append("body: schema.org articleBody")
 
     # rel=author / meta author (D23)
     if detect_author:
@@ -749,6 +802,11 @@ def process(
             body = body.children[0]
         if site_config.prune_enabled():
             readability.prep_article(body)
+        if tr is not None:
+            tr.append(
+                "body: readability"
+                + (" pruned" if site_config.prune_enabled() else "")
+            )
 
     success = False
     if body is not None:
@@ -759,7 +817,7 @@ def process(
     # tidy normalizations active → one more pass on the original html
     # without them
     if not success and readability.tidied and smart_tidy:
-        return process(
+        retried = process(
             readability.original_html,
             url,
             ruleset,
@@ -767,6 +825,9 @@ def process(
             options=options,
             smart_tidy=False,
         )
+        if tr is not None:
+            retried.trace = tr + ["retry: smart_tidy off"] + retried.trace
+        return retried
 
     result.title = title
     result.language = language
@@ -779,6 +840,11 @@ def process(
     result.single_page_url = single_page_url
     result.content = body
     result.readability = readability
+    if tr is not None:
+        if title is not None and not any(t.startswith("title:") for t in tr):
+            tr.append("title: autodetect (og/json-ld/hnews/readability)")
+        tr.append(f"result: success={success}")
+        result.trace = tr
     return result
 
 
@@ -1080,21 +1146,44 @@ def extract_one(
 
     html = convert_to_utf8(html_bytes, content_type)
 
-    # AJAX "ugly url" detection (S9, HttpClient.php:485-512): a fragment
-    # meta means the crawler would have re-fetched with _escaped_fragment_;
-    # in table mode the content is prefetched, so only the effective url
-    # records the canonicalization.
-    if _has_ajax_trigger(html):
-        sep = "&" if "?" in effective_url else "?"
-        effective_url = f"{effective_url}{sep}_escaped_fragment_="
-        result.effective_url = effective_url
+    # find_string/replace_string run BEFORE the redirect checks
+    # (HttpClient.php:217 processStringReplacements precedes :224) — site
+    # configs rely on this ordering to SUPPRESS refresh-following (e.g.
+    # lifehacker.com.au.txt rewrites '<meta http-equiv="refresh"' to
+    # '<meta norefresh' precisely so the nojs redirect is never taken).
+    # process() applies them again like ContentExtractor.php:130 does; the
+    # second pass is a no-op on already-replaced text, same as the
+    # reference's double application.
+    _trace_seed: list[str] | None = [] if options.trace else None
+    _pre_config = ruleset.for_page(host_of_url(effective_url), html)
+    if _pre_config.find_string and len(_pre_config.find_string) == len(
+        _pre_config.replace_string
+    ):
+        for _find, _replace in zip(_pre_config.find_string, _pre_config.replace_string):
+            if _trace_seed is not None and _find in html:
+                _trace_seed.append(f"find_string: {_find!r}")
+            html = html.replace(_find, _replace)
+
+    # S8/S9 redirect detection, reference precedence (HttpClient.php:224:
+    # getMetaRefreshURL ?? getUglyURL, guarded by _escaped_fragment_
+    # absence).  A meta-refresh target is RECORDED (redirect_target) — the
+    # crawler would have re-fetched it; in table mode the content is
+    # prefetched, so the row is flagged for the curation loop instead.
+    redirect_target: str | None = None
+    if "_escaped_fragment_" not in effective_url:
+        redirect_target = _meta_refresh_url(effective_url, html)
+        if redirect_target is None and _has_ajax_trigger(html):
+            sep = "&" if "?" in effective_url else "?"
+            effective_url = f"{effective_url}{sep}_escaped_fragment_="
+            result.effective_url = effective_url
 
     html = textutils.pre_clean(html)
 
-    extracted = process(html, effective_url, ruleset, options=options)
+    extracted = process(html, effective_url, ruleset, options=options, _trace_seed=_trace_seed)
     extracted.mime = result.mime
     extracted.url = url
     extracted.effective_url = effective_url
+    extracted.redirect_target = redirect_target
 
     # G1/G2: next/single-page links resolve RFC 3986 against the effective
     # url (Graby.php:389 / :766 via UriResolver::resolve) so the job-level
@@ -1134,6 +1223,37 @@ def extract_one(
     extracted.summary = textutils.excerpt(html_out)
     extracted.text = _plain_text(html_out)
     return extracted
+
+
+# Meta-refresh patterns, both attribute orders (HttpClient.php:459, :461);
+# the Refresh HTTP header uses the same value grammar (HttpClient.php:193)
+_META_REFRESH_RES = (
+    re.compile(
+        r"""<meta http-equiv=["']?refresh["']? content=["']?[0-9];\s*url=["']?([^"'>]+)["']?""",
+        re.I,
+    ),
+    re.compile(
+        r"""<meta content=["']?[0-9];\s*url=["']?([^"'>]+)["']? http-equiv=["']?refresh["']?""",
+        re.I,
+    ),
+)
+_ABS_HTTP_RE = re.compile(r"^https?://", re.I)
+
+
+def _meta_refresh_url(effective_url: str, html: str) -> str | None:
+    """getMetaRefreshURL (HttpClient.php:452-475): first match of either
+    attribute order; ``&amp;`` decoded; relative targets resolved RFC 3986
+    against the page url (UriResolver::resolve analog)."""
+    if not html:
+        return None
+    for pattern in _META_REFRESH_RES:
+        m = pattern.search(html)
+        if m:
+            target = m.group(1).strip().replace("&amp;", "&")
+            if _ABS_HTTP_RE.match(target):
+                return target
+            return textutils.make_absolute(effective_url, target)
+    return None
 
 
 # HttpClientConfig.php:73-78

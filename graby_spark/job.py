@@ -57,6 +57,7 @@ EXTRACT_SCHEMA = StructType(
         StructField("is_success", BooleanType()),
         StructField("next_page_url", StringType()),
         StructField("single_page_url", StringType()),
+        StructField("redirect_target", StringType()),
         StructField(
             "spans",
             ArrayType(
@@ -145,11 +146,13 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions, out_names: list[str
                         "is_success": res.is_success,
                         "next_page_url": res.next_page_url,
                         "single_page_url": res.single_page_url,
+                        "redirect_target": res.redirect_target,
                         "spans": [{"start": s, "end": e} for s, e in res.spans],
                         "html": res.html,
                         "text": res.text,
                         "summary": res.summary,
                         "mime": res.mime,
+                        "trace": res.trace,
                     }
                 except Exception:
                     # per-row failure isolation: emit an error row, never
@@ -166,11 +169,13 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions, out_names: list[str
                         "is_success": False,
                         "next_page_url": None,
                         "single_page_url": None,
+                        "redirect_target": None,
                         "spans": [],
                         "html": options.error_message,
                         "text": "",
                         "summary": "",
                         "mime": "",
+                        "trace": [],
                     }
                 record["warc_ts"] = getattr(row, "warc_ts", None)
                 record["bytes_in"] = len(html)
@@ -207,16 +212,22 @@ def run_extraction(
     options = options or ExtractOptions()
     ruleset_bc = spark.sparkContext.broadcast(ruleset)
 
+    # opt-in per-document step trace rides as an extra output column
+    base_schema = EXTRACT_SCHEMA
+    if options.trace:
+        base_schema = StructType(
+            EXTRACT_SCHEMA.fields + [StructField("trace", ArrayType(StringType()))]
+        )
     if columns is None:
-        out_schema = EXTRACT_SCHEMA
-        out_names = None
+        out_schema = base_schema
+        out_names = [f.name for f in base_schema.fields] if options.trace else None
     else:
-        known = {f.name for f in EXTRACT_SCHEMA.fields}
+        known = {f.name for f in base_schema.fields}
         unknown = [c for c in columns if c not in known]
         if unknown:
             raise ValueError(f"unknown extraction columns: {unknown}")
         wanted = set(columns)
-        out_schema = StructType([f for f in EXTRACT_SCHEMA.fields if f.name in wanted])
+        out_schema = StructType([f for f in base_schema.fields if f.name in wanted])
         out_names = [f.name for f in out_schema.fields]
 
     # cheap JVM-side pre-route: rows whose content_type maps to a non-HTML

@@ -29,6 +29,8 @@ __all__ = [
     "bucket_of",
     "completed_buckets",
     "filter_resumable",
+    "manifest_snapshots",
+    "read_manifest",
     "write_with_manifest",
 ]
 
@@ -39,11 +41,64 @@ def bucket_of(url_col, n_buckets: int = DEFAULT_BUCKETS):
     return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
 
 
-def completed_buckets(spark: SparkSession, manifest_path: str) -> DataFrame:
-    """Buckets recorded complete by any previous run."""
+def manifest_snapshots(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """Snapshot log (Iceberg ``.snapshots`` analog): one row per committed
+    snapshot with its run and bucket/url totals, ordered by snapshot_id."""
+    if not os.path.exists(manifest_path):
+        return spark.createDataFrame(
+            [], "snapshot_id long, run_id string, buckets long, url_count long"
+        )
+    return (
+        spark.read.parquet(manifest_path)
+        .groupBy("snapshot_id", "run_id")
+        .agg(F.count("*").alias("buckets"), F.sum("url_count").alias("url_count"))
+        .orderBy("snapshot_id")
+    )
+
+
+def read_manifest(
+    spark: SparkSession,
+    manifest_path: str,
+    as_of_snapshot: int | None = None,
+    history: bool = False,
+) -> DataFrame:
+    """Manifest table state, optionally AS OF a snapshot (time travel).
+
+    The manifest is append-only, so snapshot isolation is a filter:
+    ``snapshot_id <= as_of_snapshot`` sees exactly the commits that
+    existed at that snapshot — a reader pinned at snapshot N is
+    reproducible while run N+1 lands (the Iceberg read-at-snapshot
+    model).  By default the CURRENT STATE per bucket is returned (the
+    latest surviving row ≤ the pin, like reading an Iceberg table);
+    ``history=True`` returns every manifest row ≤ the pin instead (like
+    reading its ``.entries`` metadata table).
+    """
     if not os.path.exists(manifest_path):
         return spark.createDataFrame([], "bucket int")
-    return spark.read.parquet(manifest_path).select("bucket").distinct()
+    rows = spark.read.parquet(manifest_path)
+    if as_of_snapshot is not None:
+        rows = rows.where(F.col("snapshot_id") <= as_of_snapshot)
+    if history:
+        return rows
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("snapshot_id").desc(), F.col("run_id").desc()
+    )
+    return rows.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+
+
+def completed_buckets(
+    spark: SparkSession, manifest_path: str, as_of_snapshot: int | None = None
+) -> DataFrame:
+    """Buckets recorded complete by any run at/before the pinned snapshot
+    (default: all runs)."""
+    if not os.path.exists(manifest_path):
+        return spark.createDataFrame([], "bucket int")
+    rows = spark.read.parquet(manifest_path)
+    if as_of_snapshot is not None:
+        rows = rows.where(F.col("snapshot_id") <= as_of_snapshot)
+    return rows.select("bucket").distinct()
 
 
 def filter_resumable(
@@ -51,10 +106,13 @@ def filter_resumable(
     pages: DataFrame,
     manifest_path: str,
     n_buckets: int = DEFAULT_BUCKETS,
+    as_of_snapshot: int | None = None,
 ) -> DataFrame:
     """Drop rows whose bucket already completed (anti-join on the tiny
-    bucket list — broadcastable by construction)."""
-    done = completed_buckets(spark, manifest_path)
+    bucket list — broadcastable by construction).  ``as_of_snapshot`` pins
+    the resume decision to a manifest snapshot: the same remaining set is
+    computed even while a newer run is appending manifest rows."""
+    done = completed_buckets(spark, manifest_path, as_of_snapshot)
     with_bucket = pages.withColumn("bucket", bucket_of(F.col("url"), n_buckets))
     return with_bucket.join(F.broadcast(done), "bucket", "left_anti")
 
@@ -76,7 +134,17 @@ def write_with_manifest(
     which preserves exactly-once output semantics.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    # strictly increasing commit sequence even for back-to-back runs in
+    # the same millisecond (time travel needs a total snapshot order)
     snapshot_id = int(time.time() * 1000)
+    if os.path.exists(manifest_path):
+        prev = (
+            spark.read.parquet(manifest_path)
+            .agg(F.max("snapshot_id").alias("m"))
+            .collect()[0]["m"]
+        )
+        if prev is not None and snapshot_id <= prev:
+            snapshot_id = prev + 1
     started = time.time()
 
     with_bucket = extracted.withColumn("bucket", bucket_of(F.col("url"), n_buckets)).cache()

@@ -368,6 +368,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     max_exact_rows: int = 50_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Cosine-over-threshold pairs.  JVM-side dot products via
     ``aggregate(zip_with(...))``.
@@ -377,9 +378,15 @@ def embedding_near_dups(
     auto-dispatches to :func:`embedding_near_dups_lsh` (hyperplane-bucket
     candidates + exact rerank, O(n·tables) shuffle), because the exact
     join is a scale-killer on a full corpus.  Pass ``max_exact_rows=None``
-    to force the exact join regardless of size."""
-    if max_exact_rows is not None and df.count() > max_exact_rows:
-        return embedding_near_dups_lsh(df, id_col, vec_col, threshold)
+    to force the exact join regardless of size.
+
+    ``approx_rows`` skips the dispatch ``count()`` action: on a catalog
+    table (Iceberg/Delta) the row count is free metadata — pass it here
+    and the dispatch decision costs nothing (r02 VERDICT hazard #3)."""
+    if max_exact_rows is not None:
+        n = approx_rows if approx_rows is not None else df.count()
+        if n > max_exact_rows:
+            return embedding_near_dups_lsh(df, id_col, vec_col, threshold)
     norm = _with_norm(df, id_col, vec_col)
     a = norm.select(F.col("id").alias("id_a"), F.col("unit").alias("unit_a"))
     b = norm.select(F.col("id").alias("id_b"), F.col("unit").alias("unit_b"))
@@ -473,24 +480,73 @@ def simhash_pairs(
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014, 'Connected Components in
+    MapReduce and Beyond'): every node links its strictly-larger neighbors
+    to the minimum of its neighborhood (incl. itself)."""
+    s = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where("u != v")
+        .distinct()
+    )
+    m = s.groupBy("u").agg(F.min("v").alias("mv"))
+    m = m.select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+    return (
+        s.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where("u != v")
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small; every node links its
+    smaller neighbors (and itself) to the minimum among them."""
+    d = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where("u != v")
+        .distinct()
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(m, "u")
+        .select(
+            F.when(F.col("v") == F.col("m"), F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.col("m").alias("v"),
+        )
+        .where("u != v")
+        .distinct()
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    star_after: int = 4,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (doc, canonical).
 
     The step every dedup pipeline needs after pair generation: transitive
     closure (A~B, B~C ⇒ one cluster) with the minimum doc id as the
-    cluster canonical.  Min-label propagation as iterative joins: each
-    round every node takes min(own label, neighbors' labels); rounds are
+    cluster canonical.
+
+    Hybrid strategy: min-label propagation (each round every node takes
+    min(own, neighbors') — one shuffle per round, converges in rounds =
+    component diameter) for the common shallow-cluster case, switching to
+    alternating large-star/small-star (Kiveris et al. 2014 — O(log² n)
+    rounds worst case, ~log n in practice) when ``star_after`` min-label
+    rounds haven't converged, i.e. when some component's diameter exceeds
+    the bound.  A 10k-node chain that would take 10k min-label rounds
+    finishes in ~15 star rounds (pinned by test).  Every round is
     ``localCheckpoint``-ed so plan depth stays constant and the
-    convergence check reads materialized data.  Dedup clusters have tiny
-    diameters, so convergence is 2-4 rounds in practice; ``max_iter``
-    bounds adversarial chains.  Shuffle per round is keyed by node id —
-    at corpus scale this is the standard CC-over-joins shape (small-star
-    simplification is the next lever if components ever get deep).
+    convergence check reads materialized data.
+
+    ``stats`` (optional dict) receives {"minlabel_rounds", "star_rounds"}
+    for observability/tests.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
@@ -500,13 +556,15 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    if stats is not None:
+        stats["minlabel_rounds"] = 0
+        stats["star_rounds"] = 0
+    converged = False
+    for _ in range(min(star_after, max_iter)):
+        if stats is not None:
+            stats["minlabel_rounds"] += 1
         neighbor = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
@@ -525,8 +583,48 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    return labels.select(F.col("node").alias("doc"), F.col("label").alias("canonical"))
+    if converged:
+        return labels.select(F.col("node").alias("doc"), F.col("label").alias("canonical"))
+
+    # deep component detected: star phase.  Seed with the partial labels
+    # (node→label edges are already-proven connections) plus the original
+    # edges, then alternate large/small star until the edge set is stable.
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            labels.where("node != label").select(
+                F.col("node").alias("u"), F.col("label").alias("v")
+            )
+        )
+        .where("u != v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max(max_iter, 30)):
+        if stats is not None:
+            stats["star_rounds"] += 1
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode
+        sig = e.agg(
+            F.count("*").alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (sig["c"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: e is a forest of (child, root) stars
+    star_labels = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    return (
+        nodes.join(star_labels, "node", "left")
+        .select(
+            F.col("node").alias("doc"),
+            F.coalesce("label", "node").alias("canonical"),
+        )
+    )
 
 
 def apply_dedup(

@@ -297,14 +297,23 @@ def robots_filter(
     url_col: str = "url",
     domain_col: str = "domain",
 ) -> DataFrame:
-    """Longest-prefix-match robots verdict per url (Google semantics:
+    """Longest-match robots verdict per url (Google / RFC 9309 semantics:
     the longest matching rule wins; on a length tie ``allow`` beats
     ``disallow``; no matching rule means allowed).
 
+    Wildcard patterns are supported: ``*`` matches any character run and
+    a trailing ``$`` anchors the end of the path (``Disallow: /*?`` —
+    ubiquitous in real robots.txt — disallows every url with a query
+    string).  A wildcard rule is translated to an RE2-safe regex (all
+    other metacharacters escaped) evaluated JVM-side; plain rules keep
+    the cheaper literal-prefix test.  Rule specificity (the length of the
+    raw pattern) decides longest-match for both kinds, like Google's
+    matcher.
+
     Scale shape: rules tables are domain-cardinality (tiny) — broadcast
-    join on domain, prefix test JVM-side, one window to pick the winning
-    rule.  URLs never shuffle for the join; the window partitions by url
-    within the already-joined (small) candidate set.
+    join on domain, prefix/regex test JVM-side, one window to pick the
+    winning rule.  URLs never shuffle for the join; the window partitions
+    by url within the already-joined (small) candidate set.
     """
     from pyspark.sql import Window
 
@@ -319,12 +328,21 @@ def robots_filter(
         F.col(domain_col).alias("domain"),
         path.alias("_path"),
     ).join(rules, "domain", "left")
+    # wildcard translation: escape every RE2 metachar except '*', then
+    # '*' -> '.*', then re-anchor the (escaped) trailing '$'; mid-pattern
+    # '$' stays literal per Google's matcher
+    has_wild = F.col("path_prefix").contains("*") | F.col("path_prefix").endswith("$")
+    esc = F.regexp_replace(F.col("path_prefix"), r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    rx = F.expr("replace(_esc, '*', '.*')")
+    cand = cand.withColumn("_esc", esc).withColumn(
+        "_rx", F.concat(F.lit("^"), F.regexp_replace(rx, r"\\\$$", r"\$"))
+    )
     # non-matching rules are SCORED below matches, never filtered out — a
     # url whose domain has rules but none that match must still emit its
     # default-allow row
-    is_match = F.col("rule").isNotNull() & F.col("_path").startswith(
-        F.col("path_prefix")
-    )
+    is_match = F.col("rule").isNotNull() & F.when(
+        has_wild, F.expr("_path rlike _rx")
+    ).otherwise(F.col("_path").startswith(F.col("path_prefix")))
     scored = cand.withColumn("_m", is_match.cast("int"))
     w = Window.partitionBy("url").orderBy(
         F.col("_m").desc(),

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "build_pages_df",
     "build_multipage_pages_df",
+    "build_redirect_pages_df",
     "PAGES_SITE_CONFIGS",
     "oracle_pages_cte",
 ]
@@ -244,6 +245,40 @@ def build_singlepage_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"concat({base}, '/print') as url", f"encode({print_html}, 'UTF-8') as html", *common
     )
     return teaser.unionByName(printv)
+
+
+def build_redirect_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh fixture pages (S8, HttpClient.php:452-475): every 10th
+    doc (doc_id % 10 = 7) becomes a refresh.example.com page.  Three
+    sub-variants by doc_id % 3 exercise both attribute orders, quoting
+    styles, relative resolution and ``&amp;`` decoding:
+      0: http-equiv first, double-quoted, absolute target
+      1: content first (the reverse-order match), single-quoted, relative
+         target with an &amp;-encoded query
+      2: no refresh meta (expected redirect_target NULL)
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 10 = 7")
+    refresh0 = (
+        "'<meta http-equiv=\"refresh\" content=\"0; url=http://target.example.com/t/' || cast(doc_id as string) || '\">'"
+    )
+    refresh1 = (
+        "concat('<meta content=''5; url=/land/', cast(doc_id as string), '?a=1&amp;b=2'' http-equiv=''refresh''>')"
+    )
+    html = (
+        "concat('<html lang=\"', lang, '\"><head><title>head</title>',"
+        f"CASE doc_id % 3 WHEN 0 THEN {refresh0} WHEN 1 THEN {refresh1} ELSE '' END,"
+        "'</head><body><div itemprop=\"articleBody\"><p>', text, '</p></div></body></html>')"
+    )
+    return docs.selectExpr(
+        "concat('http://refresh.example.com/article/', cast(doc_id as string)) as url",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id) as warc_ts",
+        f"encode({html}, 'UTF-8') as html",
+        "text",
+        "lang",
+        "'text/html; charset=utf-8' as content_type",
+        "200 as http_status",
+        "doc_id",
+    )
 
 
 # ---------------------------------------------------------------------------

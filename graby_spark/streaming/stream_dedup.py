@@ -1,9 +1,13 @@
 """Streaming exact deduplication: first-seen wins within the watermark.
 
 A crawl stream re-fetches the same page (and mirrors of it) continuously;
-the standard Structured Streaming answer is ``dropDuplicates`` on the
-content hash under an event-time watermark — state is bounded by the
-watermark horizon, the engine evicts expired hashes itself.
+the Structured Streaming answer is ``dropDuplicatesWithinWatermark`` on
+the content hash: the engine keeps one state entry per hash and evicts it
+once the watermark passes the first occurrence's event time + delay, so a
+perpetual stream's state stays bounded.  (Plain ``dropDuplicates`` with a
+watermark does NOT evict unless the event-time column is part of the
+subset — the r02 ADVICE finding: that variant leaks state forever on a
+content-hash-only key.)
 
 ``dedup_stream`` is the streaming operator; ``dedup_batch`` is its exact
 batch twin (first row per hash in event-time order) used as the
@@ -31,14 +35,18 @@ def dedup_stream(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming DataFrame → streaming DataFrame keeping the first
-    occurrence of each content hash.  State size is O(distinct hashes per
-    watermark window); the watermark lets the engine drop state for
-    hashes older than the horizon — the knob that keeps a
-    trillion-document crawl stream's dedup state bounded."""
+    occurrence of each content hash seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` guarantees state EVICTION: each
+    hash's entry is dropped once the watermark advances past its event
+    time + delay — the knob that keeps a trillion-document crawl stream's
+    dedup state bounded.  A re-fetch of the same page farther apart than
+    the horizon is emitted again (first-seen-within-horizon semantics,
+    which is what crawl freshness pipelines want)."""
     return (
         _with_hash(pages, text_col)
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["content_hash"])
+        .dropDuplicatesWithinWatermark(["content_hash"])
     )
 
 
@@ -49,7 +57,8 @@ def dedup_batch(
     id_col: str = "url",
 ) -> DataFrame:
     """Batch twin: the first row (by event time, id tiebreak) per content
-    hash — what a replayed stream's survivor set must equal."""
+    hash — what a replayed stream's survivor set must equal when the
+    replay spans less than the watermark horizon."""
     w = Window.partitionBy("content_hash").orderBy(ts_col, id_col)
     return (
         _with_hash(pages, text_col)

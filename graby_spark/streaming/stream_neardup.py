@@ -22,6 +22,15 @@ via one window) — ``tests/test_spark_pipeline.py`` pins replayed-stream
 == batch-twin equality and planted-duplicate recall.  The banding is a
 Python minhash, not SQL, so this operator intentionally has NO driver
 oracle entry; its correctness gate is the twin equality.
+
+Cross-micro-batch caveat (disclosed): the per-bucket first-seen latch is
+global within a micro-batch and re-latches when a LATER micro-batch
+delivers an EARLIER event, but rows already emitted cannot be retracted
+(append mode) — so twin equality is exact for replays whose micro-batches
+respect event-time order (single availableNow replay, ordered ingestion)
+and first-seen attribution may differ for arbitrarily late cross-batch
+arrivals.  Downstream candidate counting (>= min_bands collisions) is
+insensitive to WHICH url holds the latch.
 """
 
 from __future__ import annotations
@@ -129,29 +138,52 @@ def neardup_stream(
             yield pd.DataFrame([], columns=_COLLISION_SCHEMA.fieldNames())
             return
         first_url, first_ts = state.get if state.exists else (None, None)
-        # the group's first-seen row is a GLOBAL (ts, url) min — chunks
-        # must be concatenated before latching it, or a group split
-        # across Arrow batches latches chunk 1's min and diverges from
-        # the batch twin (the operator's correctness gate)
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(["ts", "url"])
-        rows = []
-        for r in pdf.itertuples():
-            if first_url is None:
-                first_url, first_ts = r.url, r.ts
-                rows.append((key[0], r.url, r.ts, r.url, 0))
-            elif r.url == first_url:
-                rows.append((key[0], r.url, r.ts, first_url, 0))
-            else:
-                rows.append((key[0], r.url, r.ts, first_url, 1))
-        state.update((first_url, first_ts))
-        state.setTimeoutDuration(state_ttl_ms)
-        # emit in bounded slices: a degenerate hot bucket (boilerplate
-        # pages all hashing alike) shouldn't become one giant Arrow batch
-        for i in range(0, len(rows), 2048):
-            yield pd.DataFrame(
-                rows[i : i + 2048], columns=_COLLISION_SCHEMA.fieldNames()
+        # TWO-PASS over the group's Arrow chunks (r02 VERDICT hazard #2:
+        # pd.concat of the whole group materialized a hot bucket's entire
+        # micro-batch input — boilerplate buckets are exactly the
+        # degenerate case).  Pass 1 latches the GLOBAL (ts, url) min with
+        # one vectorized idxmin per chunk; pass 2 emits per chunk against
+        # the settled min.  The chunk frames are retained (emission needs
+        # them) but never concatenated, never globally sorted, and never
+        # expanded into a per-row Python list — peak extra memory is
+        # O(chunk), not O(3x group).  If an EARLIER event arrives in a
+        # later micro-batch the state re-latches here (min vs stored
+        # state), but rows already emitted in previous micro-batches are
+        # not retroactively corrected (append mode cannot retract) — the
+        # batch-twin equality gate therefore holds within a replay whose
+        # groups arrive in micro-batches that respect event-time order
+        # (e.g. a single availableNow replay), not across arbitrarily
+        # late cross-batch arrivals.
+        chunks: list[pd.DataFrame] = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            chunks.append(pdf)
+            # chunk-local (ts, url) min, vectorized: min ts, then min url
+            # among the rows sharing that ts
+            tmin = pdf["ts"].min()
+            umin = pdf.loc[pdf["ts"] == tmin, "url"].min()
+            if first_url is None or (tmin, umin) < (first_ts, first_url):
+                first_url, first_ts = umin, tmin
+        if first_url is not None:
+            state.update((first_url, first_ts))
+            state.setTimeoutDuration(state_ttl_ms)
+        for pdf in chunks:
+            out = pd.DataFrame(
+                {
+                    "bucket": np.full(len(pdf), key[0], dtype=np.int64),
+                    "url": pdf["url"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "first_url": first_url,
+                    "is_collision": (pdf["url"] != first_url)
+                    .to_numpy()
+                    .astype(np.int64),
+                }
             )
+            # emit in bounded slices: a degenerate hot bucket shouldn't
+            # become one giant Arrow output batch either
+            for i in range(0, len(out), 2048):
+                yield out.iloc[i : i + 2048]
 
     exploded = _exploded(
         pages, url_col, ts_col, text_col, band_buckets_udf(num_perm, bands, shingle_k)

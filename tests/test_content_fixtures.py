@@ -21,6 +21,40 @@ def fetch(filename, url, ruleset=NO_CONFIGS, content_type="text/html", **opts):
     return extract_one(body, url, ruleset, content_type=content_type, options=options)
 
 
+EXPECTED = os.path.join(os.path.dirname(__file__), "..", "fixtures", "expected")
+
+
+@pytest.mark.parametrize(
+    ("filename", "url", "content_type", "use_configs"),
+    [
+        ("framablog.html",
+         "https://framablog.org/2017/12/02/avancer-ensemble-vers-la-contribution/",
+         "text/html; charset=utf-8", True),
+        ("rollingstone.html",
+         "https://www.rollingstone.com/?redirurl=/politics/news/greed-and-debt-20120829",
+         "text/html", True),
+        ("https___www.clubic.com_carte-graphique_carte-graphique-amd_article-478936-1-radeon-hd-7750-7770.html",
+         "https://www.clubic.com/carte-graphique/carte-graphique-amd/article-478936-1-radeon-hd-7750-7770.html",
+         "text/html; charset=UTF-8", True),
+    ],
+)
+def test_full_html_snapshot_parity(filename, url, content_type, use_configs):
+    """FULL-HTML byte pins on three rich-markup fixtures beyond the three
+    .test goldens (r02 VERDICT #9).  The reference publishes no full-HTML
+    golden for these (its own tests assert substrings, ported elsewhere in
+    this file), so these are ENGINE SNAPSHOTS (fixtures/expected/*) — their
+    job is to freeze the whole serializer/tidy-emulation surface so a
+    refit for a new host config cannot silently change output on existing
+    rich pages."""
+    ruleset = FIXTURE_CONFIGS if use_configs else NO_CONFIGS
+    r = fetch(filename, url, ruleset=ruleset, content_type=content_type, xss_filter=False)
+    assert r.is_success
+    name = filename.replace(".html", "") + ".expected.html"
+    with open(os.path.join(EXPECTED, name), encoding="utf-8") as fh:
+        expected = fh.read()
+    assert r.html == expected
+
+
 def test_bad_url_404_page():
     """GrabyTest::testBadUrl — 404 page has a title but no real article.
 

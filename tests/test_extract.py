@@ -567,6 +567,51 @@ def test_pre_post_filters_and_retry():
     assert "keep this text" in r.html
 
 
+def test_meta_refresh_redirect_target():
+    """S8 (HttpClient.php:452-475): both attribute orders, quoting styles,
+    &amp; decoding, relative resolution; recorded as redirect_target, not
+    followed; _escaped_fragment_ pages skip detection like the reference."""
+    from graby_spark.extract import ExtractOptions, extract_one
+    from graby_spark.siteconfig import RuleSet
+
+    opts = ExtractOptions(xss_filter=False)
+    body = b'<div itemprop="articleBody"><p>enough text for the extraction to succeed here</p></div>'
+
+    r = extract_one(
+        b'<html><head><meta HTTP-EQUIV="REFRESH" content="0; url=http://t.example/x?a=1&amp;b=2"></head><body>'
+        + body + b"</body></html>",
+        "http://f.example/x", RuleSet({}), options=opts)
+    assert r.redirect_target == "http://t.example/x?a=1&b=2"
+
+    # reverse attribute order, single quotes, relative target
+    r = extract_one(
+        b"<html><head><meta content='5; url=/land/7' http-equiv='refresh'></head><body>"
+        + body + b"</body></html>",
+        "http://f.example/dir/x", RuleSet({}), options=opts)
+    assert r.redirect_target == "http://f.example/land/7"
+
+    # no refresh meta -> no target
+    r = extract_one(b"<html><body>" + body + b"</body></html>",
+                    "http://f.example/x", RuleSet({}), options=opts)
+    assert r.redirect_target is None
+
+    # _escaped_fragment_ url: reference skips the redirect checks entirely
+    r = extract_one(
+        b'<html><head><meta http-equiv="refresh" content="0; url=http://t.example/y"></head><body>'
+        + body + b"</body></html>",
+        "http://f.example/x?_escaped_fragment_=", RuleSet({}), options=opts)
+    assert r.redirect_target is None
+
+    # meta refresh takes precedence over the AJAX fragment trigger
+    # (HttpClient.php:224: getMetaRefreshURL ?? getUglyURL)
+    r = extract_one(
+        b'<html><head><meta http-equiv="refresh" content="0; url=http://t.example/z">'
+        b"<meta name='fragment' content='!'/></head><body>" + body + b"</body></html>",
+        "http://f.example/x", RuleSet({}), options=opts)
+    assert r.redirect_target == "http://t.example/z"
+    assert "_escaped_fragment_" not in r.effective_url
+
+
 def test_img_no_referrer():
     from graby_spark.extract import ExtractOptions, extract_one
     from graby_spark.siteconfig import RuleSet

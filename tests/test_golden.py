@@ -81,6 +81,56 @@ def test_effective_url(results, name):
     assert r.effective_url == case.url_effective
 
 
+def test_trace_names_fired_rules(results):
+    """Per-document step trace (Monolog analog, GrabyHandler.php:19-63):
+    with trace=True the row records which site-config rules fired and
+    which fallback path produced the body; with trace off (the golden
+    fixture runs above) the trace list stays empty — zero overhead."""
+    import os
+
+    from graby_spark.extract import ExtractOptions, extract_one
+    from graby_spark.siteconfig import load_ruleset
+
+    from .golden import FIXTURES, load_golden
+
+    ruleset = load_ruleset(os.path.join(FIXTURES, "site_config"))
+    case = load_golden("lifehacker")
+    r = extract_one(
+        case.raw_content,
+        case.url,
+        ruleset,
+        content_type=case.header,
+        options=ExtractOptions(xss_filter=False, trace=True),
+    )
+    assert r.is_success
+    joined = "\n".join(r.trace)
+    # the matched site-config body pattern is named verbatim; the author
+    # comes from the JSON-LD path on this fixture (defined-information)
+    assert "body: siteconfig //div[contains(concat(' ',normalize-space(@class),' '),' main__content ')]" in r.trace
+    assert any(t.startswith("defined: og/json-ld") for t in r.trace)
+    assert "config: host=www.lifehacker.com.au" in r.trace
+    # find_string fired (the refresh-suppression rewrite) and strips counted
+    assert any(t.startswith("find_string:") for t in r.trace)
+    assert any(t.startswith("strip_id_or_class: meta__second-row") for t in r.trace)
+    assert joined.endswith("result: success=True")
+
+    # trace off -> empty journal on the same document
+    _, quiet = results["lifehacker"]
+    assert quiet.trace == []
+
+    # lemonde has no site config: the trace shows the autodetect path
+    lemonde = load_golden("lemonde")
+    r2 = extract_one(
+        lemonde.raw_content,
+        lemonde.url,
+        ruleset,
+        content_type=lemonde.header,
+        options=ExtractOptions(xss_filter=False, trace=True),
+    )
+    assert "config: host=www.lemonde.fr" in r2.trace
+    assert any(t.startswith("body: ") for t in r2.trace)
+
+
 def test_spans_point_into_source(results):
     """north_star output contract: `spans` gives source-character offsets
     of the extracted content blocks."""

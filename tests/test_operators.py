@@ -58,6 +58,30 @@ def test_duplicate_clusters_transitive(spark):
     assert got == {2: 2, 3: 2, 4: 2, 5: 2, 8: 8, 9: 8}
 
 
+def test_duplicate_clusters_deep_chain_star_phase(spark):
+    """Adversarial 10k-node chain (diameter 10k): min-label alone would
+    need 10k rounds; the hybrid switches to large-star/small-star after
+    `star_after` rounds and converges in O(log n) checkpointed rounds."""
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    got = dedup.duplicate_clusters(pairs, star_after=2, stats=stats)
+    # every node collapses to canonical 0
+    assert got.where("canonical != 0").count() == 0
+    assert got.count() == n
+    assert stats["minlabel_rounds"] == 2  # bound hit, switched
+    # O(log n): ~log2(10k) ≈ 13.3 star rounds (+1 to observe stability)
+    assert 1 <= stats["star_rounds"] <= 25, stats
+    # shallow case never enters the star phase
+    shallow = spark.createDataFrame([(2, 3), (3, 4)], "doc_a long, doc_b long")
+    stats2: dict = {}
+    out = {r["doc"]: r["canonical"] for r in dedup.duplicate_clusters(shallow, stats=stats2).collect()}
+    assert out == {2: 2, 3: 2, 4: 2}
+    assert stats2["star_rounds"] == 0
+
+
 def test_apply_dedup_keeps_canonicals(spark, docs):
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
     clusters = dedup.duplicate_clusters(pairs)
@@ -755,6 +779,47 @@ def test_robots_parse_and_filter(spark):
     assert out["http://a.com/b1only/x"]["allowed"] is True  # bot1 group n/a
     assert out["http://b.com/anything"]["allowed"] is False
     assert out["http://d.com/no-robots"]["matched_rule"] == "default"
+
+
+def test_robots_wildcard_rules(spark):
+    """RFC 9309 / Google wildcard semantics: '*' matches any run, trailing
+    '$' anchors; other regex metachars in patterns stay literal; longest
+    raw-pattern wins, allow beats disallow on ties."""
+    from graby_spark.operators import graph
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: *\n"
+             "Disallow: /*?\n"          # classic query-string block
+             "Allow: /shop?id=1$\n"     # anchored allow, longer -> wins for that url
+             "Disallow: /fish*.php\n"
+             "Disallow: /end$\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = graph.parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            ("http://a.com/shop?id=1", "a.com"),    # allow (len 10) beats /*? (3)
+            ("http://a.com/shop?id=12", "a.com"),   # $ anchor: allow no longer matches
+            ("http://a.com/fishheads/catfish.php", "a.com"),
+            ("http://a.com/fish.php.html", "a.com"),  # .php not at end still matches (no anchor)
+            ("http://a.com/end", "a.com"),          # anchored disallow
+            ("http://a.com/end/x", "a.com"),        # anchor prevents the match
+            ("http://a.com/plain", "a.com"),
+        ],
+        "url string, domain string",
+    )
+    out = {r["url"]: r for r in graph.robots_filter(urls, rules).collect()}
+    assert out["http://a.com/shop?id=1"]["allowed"] is True
+    assert out["http://a.com/shop?id=12"]["allowed"] is False
+    assert out["http://a.com/fishheads/catfish.php"]["allowed"] is False
+    assert out["http://a.com/fish.php.html"]["allowed"] is False
+    assert out["http://a.com/end"]["allowed"] is False
+    assert out["http://a.com/end/x"]["allowed"] is True
+    assert out["http://a.com/plain"]["allowed"] is True
+    assert out["http://a.com/plain"]["matched_rule"] == "default"
 
 
 def test_incremental_minhash_against_index(spark):

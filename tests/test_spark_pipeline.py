@@ -144,6 +144,58 @@ def test_manifest_write_and_resume(spark, extracted, tmp_path_factory):
     assert len(urls) == 500 and len(set(urls)) == 500  # no dup, no missing
 
 
+def test_manifest_snapshot_time_travel(spark, extracted, tmp_path_factory):
+    """Iceberg read-at-snapshot model: a reader/resume pinned at snapshot N
+    is reproducible while snapshot N+1 lands."""
+    from pyspark.sql import functions as F
+
+    from graby_spark.manifest import bucket_of, manifest_snapshots, read_manifest
+
+    base = str(tmp_path_factory.mktemp("manifest_tt"))
+    out_path = os.path.join(base, "out")
+    manifest_path = os.path.join(base, "manifest")
+
+    s1 = write_with_manifest(spark, extracted, out_path, manifest_path, n_buckets=8)
+    round1_rows = sorted(
+        tuple(r) for r in spark.read.parquet(manifest_path).collect()
+    )
+
+    # snapshot 2: partial rewrite of 3 buckets
+    subset = (
+        extracted.withColumn("_b", bucket_of(F.col("url"), 8))
+        .where("_b < 3")
+        .drop("_b")
+    )
+    s2 = write_with_manifest(spark, subset, out_path, manifest_path, n_buckets=8)
+    assert s2["snapshot_id"] > s1["snapshot_id"]  # total commit order
+
+    # time travel: the manifest AS OF snapshot 1 is byte-for-byte the
+    # round-1 manifest, even though snapshot 2 has landed
+    pinned = read_manifest(
+        spark, manifest_path, as_of_snapshot=s1["snapshot_id"], history=True
+    )
+    assert sorted(tuple(r) for r in pinned.collect()) == round1_rows
+
+    # current state: rewritten buckets resolve to snapshot 2, others to 1
+    current = {r["bucket"]: r["snapshot_id"] for r in read_manifest(spark, manifest_path).collect()}
+    assert len(current) == 8
+    assert all(
+        sid == (s2["snapshot_id"] if b < 3 else s1["snapshot_id"])
+        for b, sid in current.items()
+    )
+
+    # snapshot log: two commits in order
+    log = manifest_snapshots(spark, manifest_path).collect()
+    assert [r["snapshot_id"] for r in log] == [s1["snapshot_id"], s2["snapshot_id"]]
+
+    # a resume decision pinned at snapshot 1 is unchanged by snapshot 2
+    pages = build_pages_df(spark, SF_DIR)
+    remaining = filter_resumable(
+        spark, pages, manifest_path, n_buckets=8, as_of_snapshot=s1["snapshot_id"]
+    )
+    assert remaining.count() == 0
+
+
 def test_streaming_extract(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("stream"))
     in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
