@@ -853,6 +853,41 @@ def q_graph_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.outlinks(pages)
 
 
+def q_graph_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text edge extraction over the synthetic link farm (same
+    resolution semantics as graph_outlinks, plus the tag-stripped,
+    whitespace-collapsed anchor label per edge)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.selectExpr(
+        f"{_LINK_URL.format(c='string')} as url",
+        f"{_LINK_HTML.format(c='string')} as html",
+    )
+    return graph.anchor_texts(pages)
+
+
+# sitemap.xml per domain: two urlset entries (one with lastmod+priority and
+# whitespace-padded <loc>, one bare) plus a sitemap-index entry on parity
+# domains; {h} is the engine's md5-parity expression over `domain`
+_SITEMAP_SYNTH = (
+    "concat('<?xml version=\"1.0\"?><urlset>',"
+    " '<url><loc> http://', domain, '/a </loc><lastmod>2024-03-01</lastmod><priority>0.8</priority></url>',"
+    " '<url><loc>http://', domain, '/b</loc></url>',"
+    " case when {h} then concat('<sitemap><loc>http://', domain, '/sitemap2.xml</loc></sitemap>') else '' end,"
+    " '</urlset>')"
+)
+
+
+def q_graph_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml parsing (urlset + sitemap-index entries, loc trim,
+    optional lastmod/priority) over synthetic per-domain sitemaps."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    domains = docs.select(F.col("source").alias("domain")).distinct()
+    sitemaps = domains.selectExpr(
+        "domain", f"{_SITEMAP_SYNTH.format(h=_SPARK_MD5_PARITY)} as sitemap_xml"
+    )
+    return graph.sitemap_urls(sitemaps)
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (10 checkpointed power iterations) over a
     deterministic modular link graph with hub edges onto nodes 0-6."""
@@ -1179,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "pipeline_pretrain": q_pipeline_pretrain,
         "graph_outlinks": q_graph_outlinks,
+        "graph_anchors": q_graph_anchors,
+        "graph_sitemaps": q_graph_sitemaps,
         "graph_pagerank": q_graph_pagerank,
         "pipeline_curate": q_pipeline_curate,
         "pack_sequences": q_pack_sequences,
@@ -1261,12 +1298,10 @@ def oracle_sql() -> dict[str, str]:
         )
         return "\n".join(parts)
 
-    def outlinks_oracle() -> str:
-        url = _LINK_URL.format(c="varchar")
-        html = _LINK_HTML.format(c="varchar")
+    def _collapse_sql(expr: str) -> str:
         # identical bounded unroll of RFC 3986 remove_dot_segments as
         # graph._collapse_dot_segments (RE2-safe, no lookarounds)
-        collapse = "p0"
+        collapse = expr
         for _ in range(4):
             collapse = f"regexp_replace({collapse}, '/\\./', '/', 'g')"
             collapse = f"regexp_replace({collapse}, '/\\.$', '/', 'g')"
@@ -1274,6 +1309,12 @@ def oracle_sql() -> dict[str, str]:
             collapse = f"regexp_replace({collapse}, '/[^/]+/\\.\\.$', '/', 'g')"
             collapse = f"regexp_replace({collapse}, '^/\\.\\./', '/', 'g')"
             collapse = f"regexp_replace({collapse}, '^/\\.\\.$', '/', 'g')"
+        return collapse
+
+    def outlinks_oracle() -> str:
+        url = _LINK_URL.format(c="varchar")
+        html = _LINK_HTML.format(c="varchar")
+        collapse = _collapse_sql("p0")
         return f"""
 WITH pages AS (SELECT {url} AS url, {html} AS html FROM documents),
 links AS (
@@ -1306,6 +1347,49 @@ split AS (
   FROM nofrag
 )
 SELECT src, concat(dorigin, {collapse}) AS dst
+FROM split
+WHERE concat(dorigin, {collapse}) <> src
+"""
+
+    def anchors_oracle() -> str:
+        url = _LINK_URL.format(c="varchar")
+        html = _LINK_HTML.format(c="varchar")
+        collapse = _collapse_sql("p0")
+        return f"""
+WITH pages AS (SELECT {url} AS url, {html} AS html FROM documents),
+els AS (
+  SELECT url AS src,
+         unnest(regexp_extract_all(html, '(?is)<a\\s[^>]*>.*?</a>', 0)) AS el
+  FROM pages
+),
+parts AS (
+  SELECT src,
+    regexp_replace(regexp_extract(el, '(?i)href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)', 1), '^["'']|["'']$', '', 'g') AS link,
+    trim(regexp_replace(regexp_replace(regexp_extract(el, '(?is)<a\\s[^>]*>(.*)</a>', 1), '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
+  FROM els
+),
+kept AS (
+  SELECT src, link, anchor FROM parts
+  WHERE link <> '' AND link NOT LIKE '#%' AND link NOT LIKE 'mailto:%'
+    AND link NOT LIKE 'javascript:%' AND link NOT LIKE 'data:%' AND link NOT LIKE 'tel:%'
+),
+resolved AS (
+  SELECT src, anchor,
+    CASE WHEN link LIKE 'http://%' OR link LIKE 'https://%' THEN link
+         WHEN link LIKE '//%' THEN concat(regexp_extract(src, '^([a-z][a-z0-9+.\\-]*):', 1), ':', link)
+         WHEN link LIKE '/%' THEN concat(regexp_extract(src, '^([a-z][a-z0-9+.\\-]*://[^/]+)', 1), link)
+         ELSE concat(regexp_replace(src, '[^/]*$', ''), link) END AS dst0
+  FROM kept
+),
+nofrag AS (
+  SELECT src, anchor, regexp_replace(dst0, '#.*$', '') AS nf FROM resolved
+),
+split AS (
+  SELECT src, anchor, nf, regexp_extract(nf, '^([a-z][a-z0-9+.\\-]*://[^/]*)', 1) AS dorigin,
+         substring(nf, length(regexp_extract(nf, '^([a-z][a-z0-9+.\\-]*://[^/]*)', 1)) + 1) AS p0
+  FROM nofrag
+)
+SELECT src, concat(dorigin, {collapse}) AS dst, anchor
 FROM split
 WHERE concat(dorigin, {collapse}) <> src
 """
@@ -1736,6 +1820,17 @@ SELECT url, domain, score,
 FROM cands
 """,
         "graph_outlinks": outlinks_oracle(),
+        "graph_anchors": anchors_oracle(),
+        "graph_sitemaps": f"""
+WITH domains AS (SELECT DISTINCT source AS domain FROM documents)
+SELECT domain, 'http://' || domain || '/a' AS loc, '2024-03-01' AS lastmod,
+       CAST(0.8 AS DOUBLE) AS priority, FALSE AS is_index FROM domains
+UNION ALL
+SELECT domain, 'http://' || domain || '/b', NULL, NULL, FALSE FROM domains
+UNION ALL
+SELECT domain, 'http://' || domain || '/sitemap2.xml', NULL, NULL, TRUE
+FROM domains WHERE {_DUCK_MD5_PARITY}
+""",
         "graph_pagerank": pagerank_oracle(),
         "extract_meta": f"""
 WITH {expected}

@@ -30,7 +30,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["outlinks", "pagerank", "frontier_schedule", "parse_robots", "robots_filter", "HREF_PATTERN"]
+__all__ = [
+    "outlinks",
+    "anchor_texts",
+    "sitemap_urls",
+    "pagerank",
+    "frontier_schedule",
+    "parse_robots",
+    "robots_filter",
+    "HREF_PATTERN",
+]
 
 #: matches double-quoted, single-quoted AND unquoted href values (real
 #: crawl HTML uses all three constantly — r02 VERDICT recall gap); group 1
@@ -65,40 +74,26 @@ def _collapse_dot_segments(path: F.Column) -> F.Column:
     return p
 
 
-def outlinks(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
-) -> DataFrame:
-    """(url, html) -> (src, dst) edge list of resolved outbound links.
-
-    Resolution mirrors the UriResolver semantics the extraction path uses
-    for next/single-page links (reference Graby.php:800-872) for the four
-    common cases, as pure JVM expressions:
-      absolute http(s)  -> kept verbatim
-      //host/path       -> page scheme + ':' + link
-      /root-relative    -> scheme://host + link
-      document-relative -> page URL directory + link
-    href values may be double-quoted, single-quoted or unquoted; dot
-    segments ('/./', '/seg/../') are collapsed per RFC 3986 §5.2.4 within
-    the path.  Fragments are stripped from the destination; empty and
-    non-navigational (mailto:, javascript:, data:, tel:, bare '#') links
-    are dropped.
-    """
+def _page_context(pages: DataFrame, url_col: str) -> tuple:
+    """(src, scheme, origin, directory) expressions for link resolution."""
     src = F.col(url_col)
     scheme = F.regexp_extract(src, r"^([a-z][a-z0-9+.\-]*):", 1)
     origin = F.regexp_extract(src, r"^([a-z][a-z0-9+.\-]*://[^/]+)", 1)
     directory = F.regexp_replace(src, r"[^/]*$", "")
+    return src, scheme, origin, directory
 
-    raw = F.explode(
-        F.regexp_extract_all(F.coalesce(F.col(html_col), F.lit("")), F.lit(HREF_PATTERN), F.lit(1))
-    ).alias("_raw")
-    exploded = pages.select(src.alias("src"), scheme.alias("_scheme"),
-                            origin.alias("_origin"), directory.alias("_dir"), raw)
-    # quote strip is unconditional: an unquoted token cannot contain quotes
-    # (excluded by the char class), so only real delimiters are removed
-    exploded = exploded.withColumn(
-        "link", F.regexp_replace(F.col("_raw"), r"""^["']|["']$""", "")
-    )
 
+def _resolve_links(exploded: DataFrame, *extra_cols: str) -> DataFrame:
+    """(src, _scheme, _origin, _dir, link[, extra...]) -> (src, dst[, extra...]).
+
+    RFC-lite resolution mirroring the UriResolver semantics the extraction
+    path uses for next/single-page links (reference Graby.php:800-872), as
+    pure JVM expressions: absolute kept, //protocol-relative gets the page
+    scheme, /root-relative the origin, document-relative the directory;
+    fragments stripped; dot segments collapsed per RFC 3986 §5.2.4 within
+    the path (the authority is split off first so '/host/../' can never
+    eat it); empty and non-navigational links dropped.
+    """
     link = F.col("link")
     skip = link == ""
     for p in _SKIP_PREFIXES:
@@ -111,7 +106,6 @@ def outlinks(
         .otherwise(F.concat(F.col("_dir"), link))
     )
     nofrag = F.regexp_replace(resolved, r"#.*$", "")
-    # split authority from path so dot-collapse can never eat the host
     dst_origin = F.regexp_extract(nofrag, r"^([a-z][a-z0-9+.\-]*://[^/]*)", 1)
     step = exploded.where(~skip).withColumn("_nofrag", nofrag).withColumn(
         "_dorigin", dst_origin
@@ -120,9 +114,101 @@ def outlinks(
         F.col("_dorigin"),
         _collapse_dot_segments(F.expr("substring(_nofrag, length(_dorigin) + 1)")),
     )
+    return step.select("src", dst.alias("dst"), *extra_cols)
+
+
+def outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, html) -> (src, dst) edge list of resolved outbound links.
+
+    href values may be double-quoted, single-quoted or unquoted; see
+    :func:`_resolve_links` for the resolution semantics.
+    """
+    src, scheme, origin, directory = _page_context(pages, url_col)
+    raw = F.explode(
+        F.regexp_extract_all(F.coalesce(F.col(html_col), F.lit("")), F.lit(HREF_PATTERN), F.lit(1))
+    ).alias("_raw")
+    exploded = pages.select(src.alias("src"), scheme.alias("_scheme"),
+                            origin.alias("_origin"), directory.alias("_dir"), raw)
+    # quote strip is unconditional: an unquoted token cannot contain quotes
+    # (excluded by the char class), so only real delimiters are removed
+    exploded = exploded.withColumn(
+        "link", F.regexp_replace(F.col("_raw"), r"""^["']|["']$""", "")
+    )
+    return _resolve_links(exploded).where(F.col("dst") != F.col("src"))
+
+
+#: whole <a> elements (dotall for anchors spanning lines); inner markup and
+#: the href are re-extracted per element
+_ANCHOR_PATTERN = r"""(?is)<a\s[^>]*>.*?</a>"""
+
+
+def anchor_texts(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, html) -> (src, dst, anchor) — resolved outbound links WITH
+    their anchor text.
+
+    Anchor text is the training-data-grade link label (retrieval/ranking
+    corpora mine it as a query proxy; quality pipelines use it for link-spam
+    features).  Pure JVM: whole ``<a>`` elements are extracted dotall, the
+    href re-extracted per element (same quote variants as
+    :data:`HREF_PATTERN`), inner markup stripped and whitespace collapsed.
+    Anchors with empty text (image links) are kept with ``anchor = ''`` —
+    dropping them is the caller's choice, not the extractor's.
+    """
+    src, scheme, origin, directory = _page_context(pages, url_col)
+    raw = F.explode(
+        F.regexp_extract_all(
+            F.coalesce(F.col(html_col), F.lit("")), F.lit(_ANCHOR_PATTERN), F.lit(0)
+        )
+    ).alias("_a")
+    exploded = pages.select(src.alias("src"), scheme.alias("_scheme"),
+                            origin.alias("_origin"), directory.alias("_dir"), raw)
+    href = F.regexp_extract(F.col("_a"), HREF_PATTERN, 1)
+    inner = F.regexp_extract(F.col("_a"), r"(?is)<a\s[^>]*>(.*)</a>", 1)
+    text = F.trim(
+        F.regexp_replace(F.regexp_replace(inner, r"(?s)<[^>]*>", " "), r"\s+", " ")
+    )
+    exploded = exploded.withColumn(
+        "link", F.regexp_replace(href, r"""^["']|["']$""", "")
+    ).withColumn("anchor", text)
+    return _resolve_links(exploded, "anchor").where(F.col("dst") != F.col("src"))
+
+
+def sitemap_urls(
+    sitemaps: DataFrame, domain_col: str = "domain", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """sitemap.xml → (domain, loc, lastmod, priority, is_index) rows.
+
+    Parses both urlset entries (``<url>``) and sitemap-index entries
+    (``<sitemap>``, flagged ``is_index = true`` so the crawler knows to
+    fetch-and-recurse).  Pure JVM regex over the XML blocks — at crawl
+    scale this is a map-only projection per (domain, sitemap) row; absent
+    ``<lastmod>``/``<priority>`` yield NULL.
+    """
+    blocks = F.explode(
+        F.regexp_extract_all(
+            F.coalesce(F.col(xml_col), F.lit("")),
+            F.lit(r"(?is)<(?:url|sitemap)>.*?</(?:url|sitemap)>"),
+            F.lit(0),
+        )
+    ).alias("_b")
+    exploded = sitemaps.select(F.col(domain_col).alias("domain"), blocks)
+    loc = F.trim(F.regexp_extract(F.col("_b"), r"(?is)<loc>\s*(.*?)\s*</loc>", 1))
+    lastmod = F.regexp_extract(F.col("_b"), r"(?is)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    priority = F.regexp_extract(F.col("_b"), r"(?is)<priority>\s*(.*?)\s*</priority>", 1)
+    is_index = F.lower(F.col("_b")).startswith("<sitemap>")
     return (
-        step.select("src", dst.alias("dst"))
-        .where(F.col("dst") != F.col("src"))
+        exploded.select(
+            "domain",
+            loc.alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+            F.when(priority != "", priority.cast("double")).alias("priority"),
+            is_index.alias("is_index"),
+        )
+        .where(F.col("loc") != "")
     )
 
 

@@ -604,6 +604,50 @@ def test_outlinks_resolution(spark):
     ]
 
 
+def test_anchor_texts(spark):
+    from graby_spark.operators import graph
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example.com/dir/page.html",
+                '<a href="http://b.com/x">Read <b>more</b>\n here</a>'
+                "<a href='/sq'>single</a>"
+                '<a href="img.html"><img src="i.jpg"/></a>'
+                '<a href="#top">skip</a><a href="mailto:z@q.com">skip2</a>',
+            )
+        ],
+        "url string, html string",
+    )
+    got = {(r["dst"], r["anchor"]) for r in graph.anchor_texts(pages).collect()}
+    assert got == {
+        ("http://b.com/x", "Read more here"),       # tags stripped, ws collapsed
+        ("https://a.example.com/sq", "single"),
+        ("https://a.example.com/dir/img.html", ""),  # image link kept, empty anchor
+    }
+
+
+def test_sitemap_urls(spark):
+    from graby_spark.operators import graph
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> http://d.com/a </loc><lastmod>2024-03-01</lastmod>"
+        "<priority>0.8</priority></url>"
+        "<url><loc>http://d.com/b</loc></url>"
+        "<sitemap><loc>http://d.com/more.xml</loc></sitemap>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("d.com", xml)], "domain string, sitemap_xml string")
+    rows = {r["loc"]: r for r in graph.sitemap_urls(df).collect()}
+    assert set(rows) == {"http://d.com/a", "http://d.com/b", "http://d.com/more.xml"}
+    a = rows["http://d.com/a"]
+    assert a["lastmod"] == "2024-03-01" and a["priority"] == 0.8 and a["is_index"] is False
+    b = rows["http://d.com/b"]
+    assert b["lastmod"] is None and b["priority"] is None
+    assert rows["http://d.com/more.xml"]["is_index"] is True
+
+
 def test_pagerank_matches_reference_iteration(spark):
     """Star graph: leaves 1..9 -> 0, 0 -> 1.  Compare against a plain
     Python power iteration with the same rounding."""

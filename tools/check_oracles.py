@@ -46,8 +46,12 @@ def normalize(df):
 
 
 def main() -> int:
+    import json
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    json_path = os.environ.get("CHECK_ORACLES_JSON")
 
     entry = importlib.import_module("__spark_entry__")
     from graby_spark.session import get_spark
@@ -62,6 +66,18 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failed = []
+    results: dict[str, dict] = {}
+
+    def record(name, *, rows_match, schema_match, hash_match, spark_rows, oracle_rows, err):
+        results[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -71,21 +87,30 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name:28s} spark error: {exc}")
             failed.append(name)
+            record(name, rows_match=False, schema_match=False, hash_match=False,
+                   spark_rows=None, oracle_rows=None, err=f"spark error: {exc}")
             continue
         elapsed = time.time() - t0
         if name not in oracles:
             status = "ROWS " if len(got_df) >= 0 else "FAIL"
             print(f"{status} {name:28s} rows={len(got_df):6d}  ({elapsed:.1f}s)  [no oracle]")
+            record(name, rows_match=len(got_df) >= 0, schema_match=None, hash_match=None,
+                   spark_rows=len(got_df), oracle_rows=None, err="no oracle (rows-only check)")
             continue
         try:
             exp_df = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name:28s} oracle error: {exc}")
             failed.append(name)
+            record(name, rows_match=False, schema_match=False, hash_match=False,
+                   spark_rows=len(got_df), oracle_rows=None, err=f"oracle error: {exc}")
             continue
+        schema_match = sorted(got_df.columns) == sorted(exp_df.columns)
         if len(got_df) != len(exp_df):
             print(f"FAIL  {name:28s} rowcount {len(got_df)} != {len(exp_df)}")
             failed.append(name)
+            record(name, rows_match=False, schema_match=schema_match, hash_match=False,
+                   spark_rows=len(got_df), oracle_rows=len(exp_df), err="rowcount mismatch")
             continue
         g, e = normalize(got_df), normalize(exp_df)
         if g != e:
@@ -95,9 +120,18 @@ def main() -> int:
                 print(f"      spark : {g[bad]}")
                 print(f"      oracle: {e[bad]}")
             failed.append(name)
+            record(name, rows_match=True, schema_match=schema_match, hash_match=False,
+                   spark_rows=len(got_df), oracle_rows=len(exp_df),
+                   err=f"value mismatch at sorted row {bad}")
             continue
         print(f"OK    {name:28s} rows={len(got_df):6d}  ({elapsed:.1f}s)")
+        record(name, rows_match=True, schema_match=schema_match, hash_match=True,
+               spark_rows=len(got_df), oracle_rows=len(exp_df), err=None)
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    if json_path:
+        with open(json_path, "w", encoding="utf-8") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_path}")
     return 1 if failed else 0
 
 
