@@ -1304,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
         collapse = expr
         for _ in range(4):
             collapse = f"regexp_replace({collapse}, '/\\./', '/', 'g')"
+            collapse = f"regexp_replace({collapse}, '/\\./', '/', 'g')"
             collapse = f"regexp_replace({collapse}, '/\\.$', '/', 'g')"
             collapse = f"regexp_replace({collapse}, '/[^/]+/\\.\\./', '/', 'g')"
             collapse = f"regexp_replace({collapse}, '/[^/]+/\\.\\.$', '/', 'g')"

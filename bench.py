@@ -80,14 +80,18 @@ def run_extraction_job_table(
         repartition=False,
         columns=["url", "title", "language", "is_success", "bytes_in", "extract_ms"],
     )
-    start = time.perf_counter()
-    n = out.where("is_success").count()
-    secs = time.perf_counter() - start
+    n = [0]
+
+    def _count(df):
+        n[0] = df.where("is_success").count()
+
+    # best-of-2 each (same rationale as timed()): the first run after the
+    # warm-up absorbs session residue, and the run ORDER otherwise skews
+    # the projected-vs-allcols comparison
     out_full = run_extraction(spark, pages, pages_ruleset(), options=OPTS, repartition=False)
-    start = time.perf_counter()
-    out_full.where("is_success").count()
-    full_secs = time.perf_counter() - start
-    return secs, n, full_secs
+    secs = timed(lambda: _count(out))
+    full_secs = timed(lambda: _count(out_full))
+    return secs, n[0], full_secs
 
 
 def run_scaling(sf_dir: str) -> dict:

@@ -65,7 +65,11 @@ def _collapse_dot_segments(path: F.Column) -> F.Column:
     from eating the authority."""
     p = path
     for _ in range(_DOT_PASSES):
+        # '/./' twice: adjacent '/././' runs overlap, and a '.' segment
+        # left in place would be eaten as the [^/]+ of the '..' rules
+        # below ('/a/././..' must become '/', not '/a/')
         p = F.regexp_replace(p, r"/\./", "/")        # /./      -> /
+        p = F.regexp_replace(p, r"/\./", "/")
         p = F.regexp_replace(p, r"/\.$", "/")        # trailing /.
         p = F.regexp_replace(p, r"/[^/]+/\.\./", "/")  # /seg/../ -> /
         p = F.regexp_replace(p, r"/[^/]+/\.\.$", "/")  # trailing /seg/..

@@ -604,6 +604,60 @@ def test_outlinks_resolution(spark):
     ]
 
 
+def test_dot_segment_collapse_matches_rfc3986(spark):
+    """The bounded regexp unroll in graph._collapse_dot_segments equals
+    RFC 3986 §5.2.4 remove_dot_segments for absolute paths up to the
+    documented nesting bound (4 levels) — checked against a direct Python
+    transcription of the RFC algorithm over an exhaustive small grammar."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from graby_spark.operators.graph import _collapse_dot_segments
+
+    def rfc_remove_dot_segments(path: str) -> str:
+        out: list[str] = []
+        buf = path
+        while buf:
+            if buf.startswith("../"):
+                buf = buf[3:]
+            elif buf.startswith("./"):
+                buf = buf[2:]
+            elif buf.startswith("/./"):
+                buf = "/" + buf[3:]
+            elif buf == "/.":
+                buf = "/"
+            elif buf.startswith("/../"):
+                buf = "/" + buf[4:]
+                if out:
+                    out.pop()
+            elif buf == "/..":
+                buf = "/"
+                if out:
+                    out.pop()
+            elif buf in (".", ".."):
+                buf = ""
+            else:
+                i = buf.find("/", 1)
+                seg, buf = (buf, "") if i < 0 else (buf[:i], buf[i:])
+                out.append(seg)
+        return "".join(out)
+
+    segs = ["a", "bb", ".", ".."]
+    paths = set()
+    for n in (1, 2, 3, 4):
+        for combo in itertools.product(segs, repeat=n):
+            paths.add("/" + "/".join(combo))
+    paths = sorted(paths)
+    df = spark.createDataFrame([(p,) for p in paths], "p string")
+    got = {
+        r["p"]: r["c"]
+        for r in df.select("p", _collapse_dot_segments(F.col("p")).alias("c")).collect()
+    }
+    for p in paths:
+        assert got[p] == rfc_remove_dot_segments(p), p
+
+
 def test_anchor_texts(spark):
     from graby_spark.operators import graph
 
