@@ -404,6 +404,25 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/CCNet-style hashed linear quality classifier (map-only
+    JVM expression: token → md5 bucket → weight → mean → sigmoid)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.linear_quality_score(docs)
+
+
+def q_text_classifier_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-weights classifier path: explode + broadcast weight-table
+    probe + per-doc mean (the production fastText-scoring plan), with a
+    deterministic stopword-derived weight table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = [(t, 1.0) for t in textstats.STOPWORDS["en"]] + [
+        (t, -1.0) for t in textstats.STOPWORDS["fr"]
+    ]
+    weights = spark.createDataFrame(w, "token string, weight double")
+    return textstats.linear_quality_score_weighted(docs, weights)
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return textstats.language_id(docs).select(
@@ -1188,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
+        "text_classifier": q_text_classifier,
+        "text_classifier_weighted": q_text_classifier_weighted,
         "text_langid": q_text_langid,
         "text_logprob": q_text_logprob,
         "text_fingerprint": q_text_fingerprint,
@@ -2306,6 +2327,51 @@ SELECT doc_id,
        length(regexp_replace(trim(text), '[^0-9]', '', 'g')) AS digit_count
 FROM documents
 """,
+        "text_classifier": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, len(ts) AS n,
+    list_aggregate(list_transform(ts, t ->
+      ((('0x' || substr(md5(t), 1, 15))::BIGINT % 1048576)::DOUBLE / 1048575.0) * 2.0 - 1.0
+    ), 'sum') AS total
+  FROM toks
+)
+SELECT doc_id AS doc,
+       CAST(n AS BIGINT) AS n_tokens,
+       CASE WHEN n > 0 THEN round(total / n, 6) END AS logit,
+       CASE WHEN n > 0 THEN round(1.0 / (1.0 + exp(-(total / n))), 6) END AS prob,
+       coalesce(CASE WHEN n > 0 THEN round(1.0 / (1.0 + exp(-(total / n))), 6) >= 0.5 END, FALSE) AS keep
+FROM scored
+""",
+        "text_classifier_weighted": (
+            "WITH w(token, weight) AS (VALUES "
+            + ", ".join(
+                [f"('{t}', CAST(1.0 AS DOUBLE))" for t in textstats.STOPWORDS["en"]]
+                + [f"('{t}', CAST(-1.0 AS DOUBLE))" for t in textstats.STOPWORDS["fr"]]
+            )
+            + """),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+agg AS (
+  SELECT t.doc_id, count(*) AS n, sum(coalesce(w.weight, 0.0)) AS total
+  FROM toks t LEFT JOIN w USING (token)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id AS doc,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN a.n > 0 THEN round(a.total / a.n, 6) END AS logit,
+       CASE WHEN a.n > 0 THEN round(1.0 / (1.0 + exp(-(a.total / a.n))), 6) END AS prob,
+       coalesce(CASE WHEN a.n > 0 THEN round(1.0 / (1.0 + exp(-(a.total / a.n))), 6) >= 0.5 END, FALSE) AS keep
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+        ),
         "text_quality": f"""
 WITH t AS (
   SELECT doc_id,

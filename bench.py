@@ -258,6 +258,9 @@ def main() -> None:
         lambda: similarity.lsh_topk(emb, emb.where("vec_id < 50"), k=10).count()
     )
     queries["text_quality"] = timed(lambda: textstats.quality_score(docs).count())
+    queries["text_classifier"] = timed(
+        lambda: textstats.linear_quality_score(docs).count()
+    )
     queries["text_langid"] = timed(lambda: textstats.language_id(docs).count())
     queries["text_repetition"] = timed(lambda: textstats.repetition_stats(docs).count())
     queries["text_gopher"] = timed(lambda: textstats.gopher_quality_filter(docs).count())

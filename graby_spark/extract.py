@@ -1155,7 +1155,12 @@ def extract_one(
     # second pass is a no-op on already-replaced text, same as the
     # reference's double application.
     _trace_seed: list[str] | None = [] if options.trace else None
-    _pre_config = ruleset.for_page(host_of_url(effective_url), html)
+    _pre_host = host_of_url(effective_url)
+    _pre_config = ruleset.for_host(_pre_host)
+    if _pre_config.autodetect() and ruleset.fingerprint_configs_have_find_string():
+        # only when a fingerprint config could actually contribute
+        # find_string rules does the pre-pass pay the full-page scan
+        _pre_config = ruleset.for_page(_pre_host, html)
     if _pre_config.find_string and len(_pre_config.find_string) == len(
         _pre_config.replace_string
     ):

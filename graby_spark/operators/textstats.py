@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "token_stats",
     "quality_score",
+    "linear_quality_score",
+    "linear_quality_score_weighted",
     "language_id",
     "fingerprints",
     "unigram_logprob",
@@ -102,6 +104,111 @@ def quality_score(
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(score, 2).alias("quality"),
+    )
+
+
+def linear_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1 << 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """fastText/CCNet-style hashed linear text classifier, pure JVM.
+
+    The standard pretraining quality gate (CCNet, GPT-3's Wikipedia-vs-
+    CommonCrawl filter) is a linear model over hashed bag-of-words
+    features: score = sigmoid(mean of per-token weights).  At 100 TB the
+    scoring pass must be a map-only projection — here the whole model is
+    an expression: token → hash bucket (the cross-engine md5 trick) →
+    weight lookup → array mean → sigmoid, no Python, no shuffle, no
+    model file shipped per task.
+
+    This default "model" derives each bucket's weight deterministically
+    from the bucket hash itself (uniform in [-1, 1]) — a stand-in with
+    the exact production plan shape; swapping in trained weights means
+    broadcasting a weight map and substituting the lookup expression
+    (same plan, one broadcast join or a `F.element_at` on a literal map).
+
+    Returns (doc, n_tokens, logit, prob, keep); prob rounded to 6 dp for
+    cross-engine determinism; empty docs get NULL prob / keep = false.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    # bucket = md5-based 60-bit hash (cross-engine: DuckDB computes the
+    # identical value); weight = uniform in [-1, 1] from the bucket id
+    weight = lambda t: (  # noqa: E731
+        (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+            % F.lit(num_buckets)
+        ).cast("double")
+        / F.lit(float(num_buckets - 1))
+    ) * 2.0 - 1.0
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, weight), F.lit(0.0).cast("double"), lambda acc, v: acc + v
+    )
+    logit = F.when(n > 0, total / n)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n.cast("long").alias("n_tokens"),
+        F.round(logit, 6).alias("logit"),
+        prob.alias("prob"),
+        F.coalesce(prob >= threshold, F.lit(False)).alias("keep"),
+    )
+
+
+def linear_quality_score_weighted(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Trained-weights variant of :func:`linear_quality_score`.
+
+    ``weights`` is a (token, weight) DataFrame — a fastText/logistic
+    model's input layer collapsed to per-token scalars.  Plan shape for
+    100 TB: tokens explode once, probe the BROADCAST weight table (a
+    trained vocab is 1e5-1e6 rows — broadcast-sized by construction),
+    then one aggregation keyed by doc id computes the mean; the corpus
+    text never shuffles, only (doc, weight) pairs do.  Unknown tokens
+    take ``default_weight``.  Output contract matches
+    linear_quality_score: (doc, n_tokens, logit, prob, keep); docs with
+    no tokens get NULL logit/prob and keep = false.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+            )
+        ).alias("token"),
+    )
+    w = weights.select(F.col("token"), F.col("weight").cast("double"))
+    joined = toks.join(F.broadcast(w), "token", "left")
+    agg = joined.groupBy("doc").agg(
+        F.count("token").alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.col("token").isNotNull(),
+                F.coalesce(F.col("weight"), F.lit(float(default_weight))),
+            )
+        ).alias("total"),
+    )
+    n = F.col("n_tokens")
+    logit = F.when(n > 0, F.lit(float(bias)) + F.col("total") / n)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return agg.select(
+        "doc",
+        n.cast("long").alias("n_tokens"),
+        F.round(logit, 6).alias("logit"),
+        prob.alias("prob"),
+        F.coalesce(prob >= threshold, F.lit(False)).alias("keep"),
     )
 
 

@@ -330,6 +330,21 @@ class RuleSet:
                 return host
         return None
 
+    def fingerprint_configs_have_find_string(self) -> bool:
+        """True when any fingerprint pseudo-host's config carries
+        find_string rules.  Cached per ruleset: lets the extract_one
+        pre-replacement pass (HttpClient.php:217 analog) skip the per-page
+        fingerprint regex scan in the overwhelmingly common case where no
+        fingerprint config could contribute replacements anyway — the
+        host-keyed (memoized) lookup then suffices."""
+        cached = getattr(self, "_fp_find_string", None)
+        if cached is None:
+            cached = any(
+                self.for_host(fp_host).find_string for _, fp_host in FINGERPRINTS
+            )
+            self._fp_find_string = cached
+        return cached
+
     def for_page(self, host: str, html: str) -> SiteConfig:
         """Full join: host config + fingerprint config merge
         (ContentExtractor.php:74-101)."""

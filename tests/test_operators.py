@@ -658,6 +658,58 @@ def test_dot_segment_collapse_matches_rfc3986(spark):
         assert got[p] == rfc_remove_dot_segments(p), p
 
 
+def test_linear_quality_score(spark):
+    """Hashed linear classifier: deterministic, map-only (zero exchange),
+    NULL prob on empty docs, keep = prob >= threshold."""
+    from graby_spark.operators import textstats
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, None),
+        (4, "the quick brown fox jumps over the lazy dog"),  # same text, same score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in textstats.linear_quality_score(df).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["prob"] is not None and 0.0 <= out[1]["prob"] <= 1.0
+    assert out[1]["keep"] == (out[1]["prob"] >= 0.5)
+    assert out[1]["prob"] == out[4]["prob"]  # deterministic
+    for empty in (2, 3):
+        assert out[empty]["prob"] is None and out[empty]["keep"] is False
+    plan = (
+        textstats.linear_quality_score(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # map-only projection
+    assert "Python" not in plan    # whole model is a JVM expression
+
+
+def test_linear_quality_score_weighted(spark):
+    """Trained-weights path: broadcast weight-table probe, unknown tokens
+    take the default weight, empty docs survive with NULL prob."""
+    from graby_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "good good bad"), (2, "unknown words only"), (3, "")],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame(
+        [("good", 2.0), ("bad", -1.0)], "token string, weight double"
+    )
+    out = {r["doc"]: r for r in textstats.linear_quality_score_weighted(df, w).collect()}
+    # doc 1: mean(2, 2, -1) = 1.0 -> sigmoid(1.0) = 0.731059
+    assert out[1]["n_tokens"] == 3 and out[1]["logit"] == 1.0
+    assert abs(out[1]["prob"] - 0.731059) < 1e-6 and out[1]["keep"] is True
+    # doc 2: all unknown -> mean 0 -> 0.5 -> keep (>= threshold)
+    assert out[2]["logit"] == 0.0 and out[2]["prob"] == 0.5 and out[2]["keep"] is True
+    assert out[3]["prob"] is None and out[3]["keep"] is False
+    plan = (
+        textstats.linear_quality_score_weighted(df, w)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # weight table never shuffles the corpus
+
+
 def test_anchor_texts(spark):
     from graby_spark.operators import graph
 
