@@ -423,6 +423,15 @@ def q_text_classifier_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.linear_quality_score_weighted(docs, weights)
 
 
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape perplexity filter: unigram LM built from the even-id
+    half of the corpus (the stored reference model), odd-id half scored
+    against it via a broadcast vocab probe."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = textstats.build_unigram_lm(docs.where("doc_id % 2 = 0"))
+    return textstats.perplexity_score(docs.where("doc_id % 2 = 1"), lm)
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return textstats.language_id(docs).select(
@@ -1209,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_classifier": q_text_classifier,
         "text_classifier_weighted": q_text_classifier_weighted,
+        "text_perplexity": q_text_perplexity,
         "text_langid": q_text_langid,
         "text_logprob": q_text_logprob,
         "text_fingerprint": q_text_fingerprint,
@@ -2372,6 +2382,35 @@ SELECT d.doc_id AS doc,
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
         ),
+        "text_perplexity": """
+WITH ttoks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token
+  FROM documents WHERE doc_id % 2 = 0
+),
+vocab AS (SELECT token, count(*) AS tf FROM ttoks GROUP BY token),
+params AS (
+  SELECT (SELECT count(*) FROM ttoks) + 0.5 * ((SELECT count(*) FROM vocab) + 1) AS denom
+),
+lm AS (SELECT token, round(log10((tf + 0.5) / denom), 9) AS logp10 FROM vocab, params),
+unk AS (SELECT round(log10(0.5 / denom), 9) AS logp10 FROM params),
+stoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token
+  FROM documents WHERE doc_id % 2 = 1
+),
+agg AS (
+  SELECT s.doc_id, count(*) AS n,
+         sum(coalesce(l.logp10, (SELECT logp10 FROM unk))) AS total
+  FROM stoks s LEFT JOIN lm l USING (token)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id AS doc,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN a.n > 0 THEN round(a.total / a.n, 6) END AS mean_logp10,
+       CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN agg a USING (doc_id)
+""",
         "text_quality": f"""
 WITH t AS (
   SELECT doc_id,

@@ -23,6 +23,8 @@ __all__ = [
     "language_id",
     "fingerprints",
     "unigram_logprob",
+    "build_unigram_lm",
+    "perplexity_score",
     "repetition_stats",
     "gopher_quality_filter",
     "importance_weights",
@@ -338,6 +340,90 @@ def unigram_logprob(
         )
     )
     return scored
+
+
+def build_unigram_lm(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Add-k-smoothed unigram LM from a reference corpus →
+    (token, logp10) table, with the out-of-vocabulary mass stored under
+    the ``<unk>`` token.
+
+    This is the CCNet perplexity-filter shape: the LM is built ONCE from
+    a high-quality reference corpus (Wikipedia in the paper), persisted,
+    and every crawl batch scores against it — the corpus is never
+    re-aggregated per batch (the same store-once/probe-many pattern as
+    ``dedup.build_minhash_index``).  logp10(t) = log10((tf + k) /
+    (total + k·(V+1))); the V+1 reserves one smoothed slot for unseen
+    tokens.  Values rounded to 9 dp for cross-engine determinism.
+    """
+    toks = corpus.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+        ).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = toks.count()
+    v = vocab.count()
+    denom = float(total) + k * (v + 1)
+    lm = vocab.select(
+        "token", F.round(F.log10((F.col("tf") + F.lit(k)) / F.lit(denom)), 9).alias("logp10")
+    )
+    unk = corpus.sparkSession.range(1).select(
+        F.lit("<unk>").alias("token"),
+        F.round(F.log10(F.lit(k) / F.lit(denom)), 9).alias("logp10"),
+    )
+    return lm.unionByName(unk)
+
+
+def perplexity_score(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a stored :func:`build_unigram_lm` table:
+    (doc, n_tokens, mean_logp10, perplexity).
+
+    Plan shape: tokens explode once and probe the BROADCAST LM (a unigram
+    vocab is Zipf-bounded, far below the broadcast limit); one aggregation
+    keyed by doc.  OOV tokens take the model's ``<unk>`` probability
+    (fetched once driver-side — a bounded scalar, not a row loop).  Empty
+    documents emit NULL scores.  perplexity = 10^(−mean_logp10).
+    """
+    unk_rows = lm.where(F.col("token") == "<unk>").select("logp10").collect()
+    if not unk_rows:
+        raise ValueError("lm has no <unk> row — build it with build_unigram_lm")
+    unk_logp = float(unk_rows[0]["logp10"])
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    joined = toks.join(
+        F.broadcast(lm.where(F.col("token") != "<unk>")), "token", "left"
+    )
+    agg = joined.groupBy("doc").agg(
+        F.count("token").alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.col("token").isNotNull(),
+                F.coalesce(F.col("logp10"), F.lit(unk_logp)),
+            )
+        ).alias("total"),
+    )
+    n = F.col("n_tokens")
+    mean = F.when(n > 0, F.col("total") / n)
+    return agg.select(
+        "doc",
+        n.cast("long").alias("n_tokens"),
+        F.round(mean, 6).alias("mean_logp10"),
+        F.round(F.pow(F.lit(10.0), -mean), 3).alias("perplexity"),
+    )
 
 
 def repetition_stats(

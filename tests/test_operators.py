@@ -710,6 +710,47 @@ def test_linear_quality_score_weighted(spark):
     assert "BroadcastHashJoin" in plan  # weight table never shuffles the corpus
 
 
+def test_perplexity_score_against_stored_lm(spark, tmp_path):
+    """CCNet pattern: the LM is built once, persists, and batches score
+    against it; OOV tokens take the <unk> mass; gibberish scores far
+    worse (higher perplexity) than in-distribution text."""
+    import math
+
+    from graby_spark.operators import textstats
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat too") for i in range(4)],
+        "doc_id long, text string",
+    )
+    lm = textstats.build_unigram_lm(corpus)
+    # round-trips through storage (the production shape)
+    p = str(tmp_path / "lm.parquet")
+    lm.write.parquet(p)
+    stored = spark.read.parquet(p)
+
+    new = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "zyx qwv jkl"), (102, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in textstats.perplexity_score(new, stored).collect()}
+    assert out[100]["n_tokens"] == 3
+    assert out[101]["perplexity"] > out[100]["perplexity"]  # OOV-only is worst
+    assert out[102]["perplexity"] is None and out[102]["n_tokens"] == 0
+    # perplexity = 10^(-mean_logp10) at the published rounding
+    assert abs(out[100]["perplexity"] - round(10 ** -out[100]["mean_logp10"], 3)) < 1e-2
+    assert math.isfinite(out[101]["perplexity"])
+    # missing <unk> row is a loud error, not a silent wrong score
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textstats.perplexity_score(new, stored.where("token != '<unk>'"))
+    # the LM probe broadcasts — the scored corpus never shuffles its text
+    plan = (
+        textstats.perplexity_score(new, stored)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_anchor_texts(spark):
     from graby_spark.operators import graph
 
