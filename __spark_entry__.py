@@ -1055,6 +1055,10 @@ _WAV_HDR = (
     "52494646247D000057415645666D7420100000000100"
     "0100401F0000803E00000200100064617461007D0000"
 )
+#: ID3v2 tag (zero payload size -> audio at offset 10) + one MPEG1 Layer
+#: III frame header, bitrate index 9 = 128 kbps -> duration is
+#: floor((payload_bytes - 10) / 16) ms
+_MP3_HDR = "49443303000000000000FFFB9000"
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1079,11 +1083,12 @@ def q_media_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = docs.selectExpr(
         "doc_id as media_id",
-        "CASE doc_id % 5 "
+        "CASE doc_id % 6 "
         f"WHEN 0 THEN concat(X'{_PNG_HDR}', encode(text, 'UTF-8')) "
         f"WHEN 1 THEN concat(X'{_JPEG_HDR}', encode(text, 'UTF-8')) "
         f"WHEN 2 THEN concat(X'{_GIF_HDR}', encode(text, 'UTF-8')) "
         f"WHEN 3 THEN concat(X'{_WAV_HDR}', encode(text, 'UTF-8')) "
+        f"WHEN 4 THEN concat(X'{_MP3_HDR}', encode(text, 'UTF-8')) "
         "ELSE encode(text, 'UTF-8') END as payload",
     )
     out = multimodal.attach_media_metadata(media)
@@ -2485,17 +2490,21 @@ SELECT doc_id, source FROM t WHERE frac < rate AND keep2 = 0
 """,
         "media_mime_sniff": """
 SELECT doc_id AS media_id,
-       CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+       CASE doc_id % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
             WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+            WHEN 4 THEN 'audio/mpeg'
             ELSE 'application/octet-stream' END AS mime,
-       CASE doc_id % 5 WHEN 0 THEN octet_length(encode(text)) + 29
+       CASE doc_id % 6 WHEN 0 THEN octet_length(encode(text)) + 29
             WHEN 1 THEN octet_length(encode(text)) + 12
             WHEN 2 THEN octet_length(encode(text)) + 10
             WHEN 3 THEN octet_length(encode(text)) + 44
+            WHEN 4 THEN octet_length(encode(text)) + 14
             ELSE octet_length(encode(text)) END AS payload_bytes,
-       CASE doc_id % 5 WHEN 0 THEN 320 WHEN 1 THEN 128 WHEN 2 THEN 300 END AS width,
-       CASE doc_id % 5 WHEN 0 THEN 240 WHEN 1 THEN 64 WHEN 2 THEN 200 END AS height,
-       CASE doc_id % 5 WHEN 3 THEN 2000 END AS duration_ms
+       CASE doc_id % 6 WHEN 0 THEN 320 WHEN 1 THEN 128 WHEN 2 THEN 300 END AS width,
+       CASE doc_id % 6 WHEN 0 THEN 240 WHEN 1 THEN 64 WHEN 2 THEN 200 END AS height,
+       CASE doc_id % 6 WHEN 3 THEN 2000
+            WHEN 4 THEN CAST(floor((octet_length(encode(text)) + 4) / 16.0) AS BIGINT)
+            END AS duration_ms
 FROM documents
 """,
         "media_features": """

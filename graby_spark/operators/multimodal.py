@@ -57,8 +57,12 @@ _MAGIC = [
     (b"GIF8", "image/gif"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mpeg"),
+    (b"\xff\xfb", "audio/mpeg"),  # bare MPEG1 Layer III frame sync
     (b"\x00\x00\x00", "video/mp4"),
 ]
+
+#: MPEG1 Layer III bitrate table (kbps) by the 4-bit header index
+MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
 
 
 def jpeg_dims(data: bytes) -> tuple[int, int] | None:
@@ -152,15 +156,52 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
     byte_rate = le32(29)
     data_size = le32(41)
-    duration_ms = F.when(
+    wav_duration = F.when(
         wav_ok & (F.col("mime") == "audio/wav") & (byte_rate > 0),
         F.floor(data_size.cast("long") * 1000 / byte_rate).cast("int"),
+    )
+
+    # MP3 CBR duration estimate — real header math, no codec: skip an
+    # ID3v2 tag (synchsafe 28-bit size at bytes 7-10), read the first
+    # MPEG frame header, require MPEG1 Layer III frame sync, look the
+    # 4-bit bitrate index up in the standard table, then
+    # duration = audio_bytes * 8 / bitrate.  VBR streams (no Xing parse)
+    # and other MPEG versions stay NULL rather than guessing.
+    is_id3 = F.hex(F.substring(payload, 1, 3)) == "494433"
+    tag_end = F.when(
+        is_id3,
+        (be(7, 1) % 128) * 2097152
+        + (be(8, 1) % 128) * 16384
+        + (be(9, 1) % 128) * 128
+        + (be(10, 1) % 128)
+        + 10,
+    ).otherwise(F.lit(0))
+    out = out.withColumn("_mp3_tag", tag_end)
+    hdr = F.conv(
+        F.hex(F.expr(f"substring({payload_col}, _mp3_tag + 1, 4)")), 16, 10
+    ).cast("long")
+    sync_ok = (F.floor(hdr / 2097152) % 2048) == 2047  # 11 sync bits
+    mpeg1_l3 = ((F.floor(hdr / 524288) % 4) == 3) & ((F.floor(hdr / 131072) % 4) == 1)
+    br_idx = (F.floor(hdr / 4096) % 16).cast("int")
+    bitrate_kbps = F.element_at(
+        F.array(*[F.lit(b) for b in MP3_BITRATES]), br_idx + 1
+    )
+    mp3_duration = F.when(
+        (F.col("mime") == "audio/mpeg")
+        & (F.length(payload) >= F.col("_mp3_tag") + 4)
+        & sync_ok
+        & mpeg1_l3
+        & (bitrate_kbps > 0),
+        F.floor(
+            (F.length(payload) - F.col("_mp3_tag")).cast("long") * 8 * 1000
+            / (bitrate_kbps * 1000)
+        ).cast("int"),
     )
     return (
         out.withColumn("width", width)
         .withColumn("height", height)
-        .withColumn("duration_ms", duration_ms)
-        .drop("_jwh")
+        .withColumn("duration_ms", F.coalesce(wav_duration, mp3_duration))
+        .drop("_jwh", "_mp3_tag")
     )
 
 

@@ -28,7 +28,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         # HTML rows are large (50-500 KB at production scale); keep Arrow
         # batches small enough to bound Python-worker memory (SURVEY.md §4)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"),
+        )
         # extraction is CPU-heavy per byte: smaller input splits give the
         # scan/shuffle-write side enough tasks to keep every core busy
         # (default 128 MB splits starve a 32-core box on a sub-GB table)

@@ -284,6 +284,28 @@ def test_media_image_dims_from_headers(spark):
     assert multimodal.jpeg_dims(b"\xff\xd8\xff") is None
 
 
+def test_media_mp3_duration(spark):
+    """MP3 CBR duration from real header math: ID3v2 tag skip (synchsafe
+    size), MPEG1 Layer III sync + bitrate table; VBR/invalid headers and
+    free-format bitrate stay NULL."""
+    frame = bytes.fromhex("FFFB9000")  # MPEG1 L3, 128 kbps
+    id3 = b"ID3\x03\x00\x00\x00\x00\x00\x00"  # zero-size tag -> audio at 10
+    audio = b"x" * (128_000 // 8 * 2)  # 2 s of audio bytes at 128 kbps
+    rows = [
+        (1, id3 + frame + audio[4:]),          # tagged
+        (2, frame + audio[4:]),                # bare frame sync
+        (3, id3 + b"\x00\x00\x00\x00" + audio),  # tag but no sync -> NULL
+        (4, id3 + bytes.fromhex("FFFB0000") + audio),  # free-format bitrate -> NULL
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    res = {r["media_id"]: (r["mime"], r["duration_ms"])
+           for r in multimodal.attach_media_metadata(df).collect()}
+    assert res[1] == ("audio/mpeg", 2000)
+    assert res[2] == ("audio/mpeg", 2000)
+    assert res[3] == ("audio/mpeg", None)
+    assert res[4] == ("audio/mpeg", None)
+
+
 def test_media_features_deterministic(spark):
     rows = [(1, b"abc"), (2, b"abc"), (3, b"xyz")]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
