@@ -161,6 +161,14 @@ def anchor_texts(
     :data:`HREF_PATTERN`), inner markup stripped and whitespace collapsed.
     Anchors with empty text (image links) are kept with ``anchor = ''`` —
     dropping them is the caller's choice, not the extractor's.
+
+    Robustness note: the lazy ``<a…>.*?</a>`` scan is linear on well-formed
+    pages but degrades toward O(opens × page) on adversarial pages with
+    many UNCLOSED ``<a`` tags (each orphan open scans to end-of-page before
+    failing).  A crawl pipeline should keep its per-row input-size cap in
+    front of this operator (the extraction path's ``max_input_bytes``
+    analog); :func:`outlinks` (href-attribute-only, no element pairing) is
+    the robust choice when anchor labels aren't needed.
     """
     src, scheme, origin, directory = _page_context(pages, url_col)
     raw = F.explode(
@@ -410,6 +418,20 @@ def robots_filter(
     path = F.regexp_replace(
         F.col(url_col), r"^[a-z][a-z0-9+.\-]*://[^/]*", ""
     )
+    # wildcard translation: escape every RE2 metachar except '*', then
+    # '*' -> '.*', then re-anchor the (escaped) trailing '$'; mid-pattern
+    # '$' stays literal per Google's matcher.  Computed on the RULES side
+    # BEFORE the join so the translation materializes once per rule (the
+    # broadcast exchange), not once per (url, rule) candidate row.
+    esc = F.regexp_replace(F.col("path_prefix"), r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    rules = rules.withColumn("_esc", esc).withColumn(
+        "_rx",
+        F.concat(
+            F.lit("^"),
+            F.regexp_replace(F.expr("replace(_esc, '*', '.*')"), r"\\\$$", r"\$"),
+        ),
+    )
+    has_wild = F.col("path_prefix").contains("*") | F.col("path_prefix").endswith("$")
     # planner-chosen join strategy: rules are usually tiny (auto
     # broadcast) but tens of millions of domains' rules must be allowed
     # to fall back to a shuffle join instead of a forced-broadcast OOM
@@ -418,15 +440,6 @@ def robots_filter(
         F.col(domain_col).alias("domain"),
         path.alias("_path"),
     ).join(rules, "domain", "left")
-    # wildcard translation: escape every RE2 metachar except '*', then
-    # '*' -> '.*', then re-anchor the (escaped) trailing '$'; mid-pattern
-    # '$' stays literal per Google's matcher
-    has_wild = F.col("path_prefix").contains("*") | F.col("path_prefix").endswith("$")
-    esc = F.regexp_replace(F.col("path_prefix"), r"([.^$+?(){}\[\]\\|])", r"\\$1")
-    rx = F.expr("replace(_esc, '*', '.*')")
-    cand = cand.withColumn("_esc", esc).withColumn(
-        "_rx", F.concat(F.lit("^"), F.regexp_replace(rx, r"\\\$$", r"\$"))
-    )
     # non-matching rules are SCORED below matches, never filtered out — a
     # url whose domain has rules but none that match must still emit its
     # default-allow row
