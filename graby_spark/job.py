@@ -41,7 +41,14 @@ from pyspark.sql.types import (
 from .extract import ExtractOptions, extract_one
 from .siteconfig import RuleSet
 
-__all__ = ["EXTRACT_SCHEMA", "run_extraction", "resolve_multipage", "resolve_single_page", "attach_salt"]
+__all__ = [
+    "EXTRACT_SCHEMA",
+    "run_extraction",
+    "resolve_multipage",
+    "resolve_single_page",
+    "attach_salt",
+    "write_bucketed",
+]
 
 EXTRACT_SCHEMA = StructType(
     [
@@ -264,6 +271,34 @@ def run_extraction(
         _make_extract_batch(ruleset_bc, options, out_names), out_schema
     )
     return extracted
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = 64,
+    key: str = "url",
+) -> None:
+    """Persist a table bucketed (and sorted) by ``key`` so downstream
+    equi-joins on that key are CO-LOCATED — no exchange on either side.
+
+    This is the 100 TB shape for the engine's recurring url-keyed joins
+    (multipage/single-page resolution against the pages table, incremental
+    dedup probes against a stored index, crawl-increment diffs): bucket
+    both sides by url once at write time and every later join is a local
+    sort-merge per bucket.  Spark only honors bucket metadata through the
+    catalog, hence ``saveAsTable`` with an explicit ``path`` (external
+    table) rather than a bare parquet write.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    )
 
 
 def resolve_single_page(

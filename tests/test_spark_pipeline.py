@@ -144,6 +144,33 @@ def test_manifest_write_and_resume(spark, extracted, tmp_path_factory):
     assert len(urls) == 500 and len(set(urls)) == 500  # no dup, no missing
 
 
+def test_bucketed_join_is_exchange_free(spark, extracted, tmp_path_factory):
+    """write_bucketed: two tables bucketed+sorted on url join WITHOUT any
+    exchange on either side (the co-located join shape for the engine's
+    recurring url-keyed joins at corpus scale)."""
+    from graby_spark.job import write_bucketed
+
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    pages = build_pages_df(spark, SF_DIR).select("url", "warc_ts", "lang")
+    meta = extracted.select("url", "title", "is_success")
+    write_bucketed(pages, "t_pages_b", os.path.join(base, "pages"), buckets=8)
+    write_bucketed(meta, "t_meta_b", os.path.join(base, "meta"), buckets=8)
+    try:
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_pages_b").join(spark.table("t_meta_b"), "url")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle either side
+            assert joined.count() == 500
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pages_b")
+        spark.sql("DROP TABLE IF EXISTS t_meta_b")
+
+
 def test_manifest_snapshot_time_travel(spark, extracted, tmp_path_factory):
     """Iceberg read-at-snapshot model: a reader/resume pinned at snapshot N
     is reproducible while snapshot N+1 lands."""
