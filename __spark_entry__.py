@@ -432,6 +432,28 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.perplexity_score(docs.where("doc_id % 2 = 1"), lm)
 
 
+def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed model-based quality gate: hashed linear classifier +
+    stored-LM perplexity filter joined per doc; keep = classifier pass AND
+    perplexity below the gate.  Each side is its own doc-keyed aggregate;
+    the join is by id (never text)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = textstats.build_unigram_lm(docs.where("doc_id % 2 = 0"))
+    cls = textstats.linear_quality_score(docs).select(
+        "doc", F.col("prob").alias("cls_prob"), F.col("keep").alias("cls_keep")
+    )
+    ppl = textstats.perplexity_score(docs, lm).select("doc", "perplexity")
+    return cls.join(ppl, "doc").select(
+        "doc",
+        "cls_prob",
+        "perplexity",
+        (
+            F.col("cls_keep")
+            & F.coalesce(F.col("perplexity") <= 8000.0, F.lit(False))
+        ).alias("keep"),
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return textstats.language_id(docs).select(
@@ -1224,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier": q_text_classifier,
         "text_classifier_weighted": q_text_classifier_weighted,
         "text_perplexity": q_text_perplexity,
+        "pipeline_quality": q_pipeline_quality,
         "text_langid": q_text_langid,
         "text_logprob": q_text_logprob,
         "text_fingerprint": q_text_fingerprint,
@@ -2415,6 +2438,55 @@ SELECT d.doc_id AS doc,
        CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN agg a USING (doc_id)
+""",
+        "pipeline_quality": """
+WITH ctoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+cls AS (
+  SELECT doc_id, len(ts) AS n,
+    list_aggregate(list_transform(ts, t ->
+      ((('0x' || substr(md5(t), 1, 15))::BIGINT % 1048576)::DOUBLE / 1048575.0) * 2.0 - 1.0
+    ), 'sum') AS total
+  FROM ctoks
+),
+cls2 AS (
+  SELECT doc_id,
+         CASE WHEN n > 0 THEN round(1.0 / (1.0 + exp(-(total / n))), 6) END AS cls_prob,
+         coalesce(CASE WHEN n > 0 THEN round(1.0 / (1.0 + exp(-(total / n))), 6) >= 0.5 END, FALSE) AS cls_keep
+  FROM cls
+),
+ttoks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token
+  FROM documents WHERE doc_id % 2 = 0
+),
+vocab AS (SELECT token, count(*) AS tf FROM ttoks GROUP BY token),
+params AS (
+  SELECT (SELECT count(*) FROM ttoks) + 0.5 * ((SELECT count(*) FROM vocab) + 1) AS denom
+),
+lm AS (SELECT token, round(log10((tf + 0.5) / denom), 9) AS logp10 FROM vocab, params),
+unk AS (SELECT round(log10(0.5 / denom), 9) AS logp10 FROM params),
+stoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+pagg AS (
+  SELECT s.doc_id, count(*) AS n,
+         sum(coalesce(l.logp10, (SELECT logp10 FROM unk))) AS total
+  FROM stoks s LEFT JOIN lm l USING (token)
+  GROUP BY s.doc_id
+),
+ppl AS (
+  SELECT d.doc_id,
+         CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
+  FROM documents d LEFT JOIN pagg a USING (doc_id)
+)
+SELECT c.doc_id AS doc, c.cls_prob, p.perplexity,
+       (c.cls_keep AND coalesce(p.perplexity <= 8000.0, FALSE)) AS keep
+FROM cls2 c JOIN ppl p USING (doc_id)
 """,
         "text_quality": f"""
 WITH t AS (
