@@ -796,12 +796,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CRLF ending + inline comment planted on the '*' group's first rule so
 # the RFC-9309 line handling is oracle-exercised, not just unit-tested
 _ROBOTS_SYNTH = (
-    "concat('User-agent: bot1', chr(10), 'Disallow: /b1', chr(10), chr(10),"
+    "concat('User-agent: bot1', chr(10), 'Disallow: /b1', chr(10),"
+    " 'Crawl-delay: 99', chr(10), chr(10),"
     " case when {h} then concat('User-agent: helper', chr(10)) else '' end,"
     " 'User-agent: *', chr(13), chr(10), 'Disallow: /private # members only', chr(13), chr(10),"
     " 'Allow: /private/ok', chr(10), 'Disallow:', chr(10),"
     " 'Disallow: /*?', chr(10), 'Allow: /*4$', chr(10),"
-    " case when {h} then concat('Disallow: /public', chr(10)) else '' end)"
+    " 'Crawl-delay: 2', chr(10),"
+    " case when {h} then concat('Disallow: /public', chr(10), 'Crawl-delay: 7.5', chr(10)) else '' end,"
+    " 'Sitemap: http://', domain, '/sitemap.xml', chr(10),"
+    " case when {h} then concat('Sitemap: http://', domain, '/s2.xml', chr(10)) else '' end)"
 )
 _ROBOTS_PATH_SYNTH = (
     "case doc_id % 5 when 0 then concat('/private/doc', cast(doc_id as {c}))"
@@ -839,6 +843,19 @@ def q_graph_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source as domain",
     )
     return graph.robots_filter(urls, rules)
+
+
+def q_graph_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduler-facing robots directives: group-scoped Crawl-delay (the
+    bot1 group's value must not leak into the '*' verdict) + global
+    Sitemap collection."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    domains = docs.select(F.col("source").alias("domain")).distinct()
+    robots = domains.selectExpr(
+        "domain",
+        f"{_ROBOTS_SYNTH.format(h=_SPARK_MD5_PARITY)} as robots_txt",
+    )
+    return graph.robots_directives(robots)
 
 
 def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_prior": q_domain_prior,
         "graph_frontier": q_graph_frontier,
         "graph_robots": q_graph_robots,
+        "graph_robots_directives": q_graph_robots_directives,
         "source_warc": q_source_warc,
         "dedup_incremental": q_dedup_incremental,
         "extract_lite": q_extract_lite,
@@ -1788,6 +1806,16 @@ pairs AS (
   FROM shn n JOIN shc c ON TRUE
 )
 SELECT new_doc, corpus_doc, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.9
+""",
+        "graph_robots_directives": f"""
+WITH domains AS (SELECT DISTINCT source AS domain FROM documents)
+SELECT domain,
+       CASE WHEN {_DUCK_MD5_PARITY} THEN 7.5 ELSE 2.0 END AS crawl_delay,
+       CASE WHEN {_DUCK_MD5_PARITY}
+            THEN 'http://' || domain || '/s2.xml,http://' || domain || '/sitemap.xml'
+            ELSE 'http://' || domain || '/sitemap.xml' END AS sitemaps,
+       CAST(CASE WHEN {_DUCK_MD5_PARITY} THEN 2 ELSE 1 END AS BIGINT) AS n_sitemaps
+FROM domains
 """,
         "graph_robots": f"""
 WITH domains AS (SELECT DISTINCT source AS domain FROM documents),

@@ -38,6 +38,7 @@ __all__ = [
     "frontier_schedule",
     "parse_robots",
     "robots_filter",
+    "robots_directives",
     "HREF_PATTERN",
 ]
 
@@ -385,6 +386,80 @@ def parse_robots(
             "rule",
             "path_prefix",
             F.length("path_prefix").cast("long").alias("prefix_len"),
+        )
+    )
+
+
+def robots_directives(
+    robots: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt → (domain, crawl_delay, sitemaps, n_sitemaps) — the
+    scheduler-facing directives the allow/disallow parser ignores.
+
+    ``Crawl-delay`` is group-scoped like the access rules (the same
+    RFC 9309 stacked-user-agent group recovery as :func:`parse_robots` —
+    lag marks group starts, a running sum numbers them, values kept from
+    groups containing ``*``; the max across those groups wins when a
+    domain lists several).  ``Sitemap`` is global per the sitemaps
+    protocol, collected from anywhere in the file; emitted as a
+    deterministic comma-joined sorted string so the operator is exactly
+    oracle-comparable.  One row per input domain (no-directive domains
+    keep NULL delay / empty sitemap list).
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
+        ).alias("idx", "line"),
+    ).select(
+        "domain",
+        "idx",
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+    )
+    lower = F.lower(F.col("line"))
+    ua = F.when(lower.startswith("user-agent:"), F.trim(F.expr("substring(line, 12)")))
+    delay = F.when(
+        lower.startswith("crawl-delay:"),
+        F.trim(F.expr("substring(line, 13)")).cast("double"),
+    )
+    sitemap = F.when(lower.startswith("sitemap:"), F.trim(F.expr("substring(line, 9)")))
+
+    tagged = lines.select(
+        "domain", "idx", ua.alias("ua"), delay.alias("delay")
+    ).where(F.col("ua").isNotNull() | F.col("delay").isNotNull())
+    w = Window.partitionBy("domain").orderBy("idx")
+    is_ua = F.col("ua").isNotNull()
+    grouped = tagged.withColumn(
+        "_start", is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    ).withColumn("gid", F.sum(F.col("_start").cast("int")).over(w))
+    star_groups = grouped.where(F.col("ua") == "*").select("domain", "gid").distinct()
+    delays = (
+        grouped.where(F.col("delay").isNotNull())
+        .join(star_groups, ["domain", "gid"])
+        .groupBy("domain")
+        .agg(F.max("delay").alias("crawl_delay"))
+    )
+    sitemaps = (
+        lines.select("domain", sitemap.alias("sm"))
+        .where(F.col("sm").isNotNull() & (F.col("sm") != ""))
+        .groupBy("domain")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("sm"))).alias("sitemaps"),
+            F.count("*").alias("n_sitemaps"),
+        )
+    )
+    return (
+        robots.select(F.col(domain_col).alias("domain"))
+        .distinct()
+        .join(delays, "domain", "left")
+        .join(sitemaps, "domain", "left")
+        .select(
+            "domain",
+            "crawl_delay",
+            F.coalesce("sitemaps", F.lit("")).alias("sitemaps"),
+            F.coalesce("n_sitemaps", F.lit(0)).cast("long").alias("n_sitemaps"),
         )
     )
 

@@ -1035,6 +1035,31 @@ def test_robots_wildcard_rules(spark):
     assert out["http://a.com/plain"]["matched_rule"] == "default"
 
 
+def test_robots_directives(spark):
+    """Group-scoped Crawl-delay (other-bot groups never leak into '*'),
+    max across '*' groups, global Sitemap collection, empty-robots rows
+    keep NULL delay / empty sitemap list."""
+    from graby_spark.operators import graph
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: bot1\nCrawl-delay: 99\nDisallow: /x\n\n"
+             "User-agent: *\nDisallow: /y\nCrawl-delay: 2\nCrawl-delay: 5\n"
+             "Sitemap: http://a.com/b.xml\nSitemap: http://a.com/a.xml\n"),
+            ("b.com", "User-agent: *\nDisallow: /\n"),
+            ("c.com", ""),
+        ],
+        "domain string, robots_txt string",
+    )
+    out = {r["domain"]: r for r in graph.robots_directives(robots).collect()}
+    assert out["a.com"]["crawl_delay"] == 5.0  # max of the '*' group; 99 excluded
+    assert out["a.com"]["sitemaps"] == "http://a.com/a.xml,http://a.com/b.xml"
+    assert out["a.com"]["n_sitemaps"] == 2
+    assert out["b.com"]["crawl_delay"] is None and out["b.com"]["n_sitemaps"] == 0
+    assert out["c.com"]["crawl_delay"] is None and out["c.com"]["sitemaps"] == ""
+
+
 def test_incremental_minhash_against_index(spark):
     """New batch probes a stored corpus index: re-crawled copies are
     caught, fresh docs are not, and the corpus is never re-shingled."""
