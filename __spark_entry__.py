@@ -794,7 +794,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # matcher is oracle-exercised.  {h} is the engine's md5-parity expression
 # over `domain`.
 # CRLF ending + inline comment planted on the '*' group's first rule so
-# the RFC-9309 line handling is oracle-exercised, not just unit-tested
+# the RFC-9309 line handling is oracle-exercised, not just unit-tested.
+# The tail adds a rules-only '*' group immediately followed by an
+# agent-specific Crawl-delay group (ADVICE r03 medium): an access-rule
+# line ends user-agent stacking, so tailbot's delay 63 must NOT leak into
+# the '*' verdict — the pre-fix lag-over-ua/delay-rows-only engine would
+# stack tailbot with '*' and report 63.
 _ROBOTS_SYNTH = (
     "concat('User-agent: bot1', chr(10), 'Disallow: /b1', chr(10),"
     " 'Crawl-delay: 99', chr(10), chr(10),"
@@ -805,7 +810,9 @@ _ROBOTS_SYNTH = (
     " 'Crawl-delay: 2', chr(10),"
     " case when {h} then concat('Disallow: /public', chr(10), 'Crawl-delay: 7.5', chr(10)) else '' end,"
     " 'Sitemap: http://', domain, '/sitemap.xml', chr(10),"
-    " case when {h} then concat('Sitemap: http://', domain, '/s2.xml', chr(10)) else '' end)"
+    " case when {h} then concat('Sitemap: http://', domain, '/s2.xml', chr(10)) else '' end,"
+    " 'User-agent: *', chr(10), 'Disallow: /tail', chr(10),"
+    " 'User-agent: tailbot', chr(10), 'Crawl-delay: 63', chr(10))"
 )
 _ROBOTS_PATH_SYNTH = (
     "case doc_id % 5 when 0 then concat('/private/doc', cast(doc_id as {c}))"
@@ -1397,7 +1404,7 @@ def oracle_sql() -> dict[str, str]:
 WITH pages AS (SELECT {url} AS url, {html} AS html FROM documents),
 links AS (
   SELECT url AS src,
-         unnest(regexp_extract_all(html, '(?i)href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)', 1)) AS rawlink
+         unnest(regexp_extract_all(html, '(?i)(^|[^\\w:-])href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)', 2)) AS rawlink
   FROM pages
 ),
 stripped AS (
@@ -1442,7 +1449,7 @@ els AS (
 ),
 parts AS (
   SELECT src,
-    regexp_replace(regexp_extract(el, '(?i)href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)', 1), '^["'']|["'']$', '', 'g') AS link,
+    regexp_replace(regexp_extract(el, '(?i)(^|[^\\w:-])href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)', 2), '^["'']|["'']$', '', 'g') AS link,
     trim(regexp_replace(regexp_replace(regexp_extract(el, '(?is)<a\\s[^>]*>(.*)</a>', 1), '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
   FROM els
 ),

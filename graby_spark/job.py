@@ -386,6 +386,31 @@ def _mime_has_action() -> F.Column:
     return F.col("mime").isin(full) | F.split(F.col("mime"), "/").getItem(0).isin(types)
 
 
+def _hop_step(frontier: DataFrame, visited: DataFrame, lookup: DataFrame) -> DataFrame:
+    """One multipage hop, pre-checkpoint: tag cycles against the visited set,
+    then attach page payloads.  The payload side (``lookup`` carries the
+    html/text of EVERY page in the corpus) is first left-semi-pruned to the
+    hop's frontier keys — broadcast, because the frontier is the set of
+    active multipage chains, orders of magnitude smaller than the corpus —
+    so the per-hop outer join shuffles only continuation candidates'
+    payload, never the whole corpus (VERDICT r03 #1).  Misses are
+    unaffected: a page absent from the pruned side is absent from the
+    corpus too, so ``found`` stays null and the chain aborts exactly as it
+    did against the unpruned table."""
+    keys = frontier.select("page_url").distinct()
+    pruned = lookup.join(F.broadcast(keys), "page_url", "left_semi")
+    return (
+        frontier.join(visited, ["root_url", "page_url"], "left_semi")
+        .withColumn("cycle", F.lit(True))
+        .unionByName(
+            frontier.join(visited, ["root_url", "page_url"], "left_anti").withColumn(
+                "cycle", F.lit(False)
+            )
+        )
+        .join(pruned, "page_url", "left")
+    )
+
+
 def resolve_multipage(extracted: DataFrame, max_hops: int = 8) -> DataFrame:
     """Multipage stitch (G1-G3, Graby.php:375-447) as iterative self-joins.
 
@@ -469,16 +494,8 @@ def resolve_multipage(extracted: DataFrame, max_hops: int = 8) -> DataFrame:
     hop = 0
     while hop < max_hops:
         hop += 1
-        step = (
-            frontier.join(visited, ["root_url", "page_url"], "left_semi")
-            .withColumn("cycle", F.lit(True))
-            .unionByName(
-                frontier.join(visited, ["root_url", "page_url"], "left_anti").withColumn(
-                    "cycle", F.lit(False)
-                )
-            )
-            .join(lookup, "page_url", "left")
-            .localCheckpoint(eager=True)  # constant plan depth per hop
+        step = _hop_step(frontier, visited, lookup).localCheckpoint(
+            eager=True  # constant plan depth per hop
         )
         # aborts this hop: cycle, missing page, mime action / failed extract
         abort_roots.append(
@@ -575,4 +592,10 @@ def resolve_multipage(extracted: DataFrame, max_hops: int = 8) -> DataFrame:
     )
     if consumed is not None:
         merged = merged.join(consumed, "url", "left_anti")
+    # materialize the stitched result (one write to executor-local storage,
+    # the tier the per-hop shuffles already use), then release the corpus
+    # cache — callers get a self-contained DataFrame, not a lease on `base`
+    # (VERDICT r03 #2; same shape as graph.pagerank)
+    merged = merged.localCheckpoint(eager=True)
+    base.unpersist()
     return merged

@@ -473,11 +473,16 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    pairs = (
         cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    # materialize the (small) verified-pair set, then release the signature
+    # cache — no lease outlives the call (VERDICT r03 #2)
+    pairs = pairs.localCheckpoint(eager=True)
+    hashes.unpersist()
+    return pairs
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -526,6 +531,7 @@ def duplicate_clusters(
     b_col: str = "doc_b",
     max_iter: int = 20,
     star_after: int = 4,
+    star_max_iter: int = 30,
     stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (doc, canonical).
@@ -544,6 +550,11 @@ def duplicate_clusters(
     finishes in ~15 star rounds (pinned by test).  Every round is
     ``localCheckpoint``-ed so plan depth stays constant and the
     convergence check reads materialized data.
+
+    ``max_iter`` bounds the min-label phase; ``star_max_iter`` bounds the
+    star phase separately (ADVICE r03: the star phase used to run
+    ``max(max_iter, 30)`` rounds, silently ignoring small caller bounds —
+    each phase now honors its own documented parameter).
 
     ``stats`` (optional dict) receives {"minlabel_rounds", "star_rounds"}
     for observability/tests.
@@ -603,7 +614,7 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
-    for _ in range(max(max_iter, 30)):
+    for _ in range(star_max_iter):
         if stats is not None:
             stats["star_rounds"] += 1
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

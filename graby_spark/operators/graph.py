@@ -40,13 +40,22 @@ __all__ = [
     "robots_filter",
     "robots_directives",
     "HREF_PATTERN",
+    "HREF_GROUP",
 ]
 
 #: matches double-quoted, single-quoted AND unquoted href values (real
-#: crawl HTML uses all three constantly — r02 VERDICT recall gap); group 1
-#: keeps the surrounding quotes, stripped afterwards, because
-#: regexp_extract_all takes a single group index across the alternatives
-HREF_PATTERN = r"""(?i)href\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)"""
+#: crawl HTML uses all three constantly — r02 VERDICT recall gap).  Group 1
+#: is a CONSUMED boundary (start-of-string or a non-[\w:-] char) rather
+#: than a lookbehind, so attribute names merely ending in href
+#: (``data-href=``, ``xlink:href=``) no longer produce edges (ADVICE r03)
+#: while the pattern stays RE2-compatible for the DuckDB oracle mirror
+#: (RE2 has no lookbehind).  Group 2 keeps the surrounding quotes,
+#: stripped afterwards, because regexp_extract_all takes a single group
+#: index across the alternatives.
+HREF_PATTERN = r"""(?i)(^|[^\w:-])href\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)"""
+
+#: the capture group of :data:`HREF_PATTERN` holding the href value
+HREF_GROUP = 2
 
 # schemes that never navigate to a fetchable document
 _SKIP_PREFIXES = ("#", "mailto:", "javascript:", "data:", "tel:")
@@ -132,7 +141,7 @@ def outlinks(
     """
     src, scheme, origin, directory = _page_context(pages, url_col)
     raw = F.explode(
-        F.regexp_extract_all(F.coalesce(F.col(html_col), F.lit("")), F.lit(HREF_PATTERN), F.lit(1))
+        F.regexp_extract_all(F.coalesce(F.col(html_col), F.lit("")), F.lit(HREF_PATTERN), F.lit(HREF_GROUP))
     ).alias("_raw")
     exploded = pages.select(src.alias("src"), scheme.alias("_scheme"),
                             origin.alias("_origin"), directory.alias("_dir"), raw)
@@ -179,7 +188,7 @@ def anchor_texts(
     ).alias("_a")
     exploded = pages.select(src.alias("src"), scheme.alias("_scheme"),
                             origin.alias("_origin"), directory.alias("_dir"), raw)
-    href = F.regexp_extract(F.col("_a"), HREF_PATTERN, 1)
+    href = F.regexp_extract(F.col("_a"), HREF_PATTERN, HREF_GROUP)
     inner = F.regexp_extract(F.col("_a"), r"(?is)<a\s[^>]*>(.*)</a>", 1)
     text = F.trim(
         F.regexp_replace(F.regexp_replace(inner, r"(?s)<[^>]*>", " "), r"\s+", " ")
@@ -426,9 +435,17 @@ def robots_directives(
     )
     sitemap = F.when(lower.startswith("sitemap:"), F.trim(F.expr("substring(line, 9)")))
 
+    # Allow/Disallow lines carry no directive value here but MUST stay in
+    # the lag stream: an access-rule line ends user-agent stacking
+    # (RFC 9309 §2.1), so a `User-agent:` that follows only rule lines
+    # starts a NEW group.  Dropping rule rows before the lag made
+    # `User-agent: *` + `Disallow: /a` + `User-agent: badbot` +
+    # `Crawl-delay: 99` leak badbot's delay into the `*` group
+    # (ADVICE r03, medium).
+    is_rule = lower.startswith("allow:") | lower.startswith("disallow:")
     tagged = lines.select(
-        "domain", "idx", ua.alias("ua"), delay.alias("delay")
-    ).where(F.col("ua").isNotNull() | F.col("delay").isNotNull())
+        "domain", "idx", ua.alias("ua"), delay.alias("delay"), is_rule.alias("is_rule")
+    ).where(F.col("ua").isNotNull() | F.col("delay").isNotNull() | F.col("is_rule"))
     w = Window.partitionBy("domain").orderBy("idx")
     is_ua = F.col("ua").isNotNull()
     grouped = tagged.withColumn(

@@ -340,6 +340,40 @@ def test_simhash_pairs(spark, docs):
     assert (1, 4) not in pairs  # unrelated doc
 
 
+def test_simhash_pairs_releases_cache_lease(spark, docs):
+    """VERDICT r03 #2: simhash_pairs materializes the verified pairs and
+    unpersists its signature cache — no storage lease survives the result."""
+    import gc
+    import time
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
+    pairs = dedup.simhash_pairs(docs, max_hamming=8)
+    assert pairs.count() > 0
+    del pairs
+    deadline = time.time() + 60
+    leftover = None
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        leftover = {info.id() for info in jsc.getRDDStorageInfo()} - before
+        if not leftover:
+            break
+        time.sleep(0.5)
+    assert not leftover
+
+
+def test_duplicate_clusters_star_bound_respected(spark):
+    """ADVICE r03: star_max_iter bounds the star phase (it used to run
+    max(max_iter, 30) rounds, ignoring small caller bounds)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    dedup.duplicate_clusters(pairs, star_after=1, star_max_iter=2, stats=stats).count()
+    assert stats["star_rounds"] == 2
+
+
 def test_pack_sequences_budget(spark):
     from graby_spark.operators import packing
 
@@ -623,6 +657,41 @@ def test_outlinks_resolution(spark):
         "https://a.example.com/sq/1",            # single-quoted href
         "https://a.example.com/up.html",         # ../ collapsed
         "https://c.com/y",  # protocol-relative inherits the page scheme
+    ]
+
+
+def test_outlinks_href_attribute_boundary(spark):
+    """ADVICE r03: attribute names merely ENDING in href (data-href=,
+    xlink:href=, ng-href=) are not link edges; a real href after such an
+    attribute on the same tag still is."""
+    from graby_spark.operators import graph
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example.com/p",
+                '<a data-href="/fake1">x</a>'
+                '<use xlink:href="/fake2"/>'
+                '<a ng-href="/fake3" href="/real1">y</a>'
+                '<a HREF="/real2">z</a>',
+            )
+        ],
+        "url string, html string",
+    )
+    dsts = sorted(r["dst"] for r in graph.outlinks(pages).collect())
+    assert dsts == [
+        "https://a.example.com/real1",
+        "https://a.example.com/real2",
+    ]
+    # the boundary char is CONSUMED, not looked behind (RE2/duckdb parity):
+    # adjacent hrefs separated by one space must both match
+    pages2 = spark.createDataFrame(
+        [("https://a.example.com/p", '<a href="/one" href="/two">')],
+        "url string, html string",
+    )
+    assert sorted(r["dst"] for r in graph.outlinks(pages2).collect()) == [
+        "https://a.example.com/one",
+        "https://a.example.com/two",
     ]
 
 
@@ -1058,6 +1127,35 @@ def test_robots_directives(spark):
     assert out["a.com"]["n_sitemaps"] == 2
     assert out["b.com"]["crawl_delay"] is None and out["b.com"]["n_sitemaps"] == 0
     assert out["c.com"]["crawl_delay"] is None and out["c.com"]["sitemaps"] == ""
+
+
+def test_robots_directives_rule_lines_end_stacking(spark):
+    """ADVICE r03 (medium): an Allow/Disallow line ends user-agent
+    stacking (RFC 9309 §2.1).  A `User-agent:` separated from the prior
+    group only by access rules starts a NEW group, so an agent-specific
+    Crawl-delay following the '*' group's rules must not leak into the
+    '*' verdict."""
+    from graby_spark.operators import graph
+
+    robots = spark.createDataFrame(
+        [
+            # the exact ADVICE example: '*' has rules but no delay;
+            # badbot's delay must NOT become the '*' verdict
+            ("leak.com", "User-agent: *\nDisallow: /a\nUser-agent: badbot\nCrawl-delay: 99\n"),
+            # '*' group WITH a delay, then a rules-separated bot group:
+            # only the '*' delay counts
+            ("mix.com",
+             "User-agent: *\nDisallow: /a\nCrawl-delay: 3\n"
+             "User-agent: fast\nDisallow: /b\nCrawl-delay: 0.5\n"),
+            # genuine stacking (no rule between the UA lines) still works
+            ("stack.com", "User-agent: gbot\nUser-agent: *\nCrawl-delay: 4\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    out = {r["domain"]: r["crawl_delay"] for r in graph.robots_directives(robots).collect()}
+    assert out["leak.com"] is None
+    assert out["mix.com"] == 3.0
+    assert out["stack.com"] == 4.0
 
 
 def test_incremental_minhash_against_index(spark):

@@ -469,12 +469,80 @@ def test_multipage_frontier_plan_depth_constant(spark):
     pages = spark.createDataFrame(rows, schema)
     merged = resolve_multipage(run_extraction(spark, pages, pages_ruleset(), options=OPTS))
     plan = merged._jdf.queryExecution().optimizedPlan().toString()
-    # every hop's step is checkpointed: the stitched plan scans materialized
-    # rdds, not a re-derived 6-deep join tree
-    assert plan.count("LogicalRDD") >= 5
+    # every hop's step is checkpointed, and since r04 the stitched result
+    # itself is too (so the corpus cache can be released before return):
+    # the returned plan is a materialized rdd scan, not a 6-deep join tree
+    assert "LogicalRDD" in plan
+    assert "Join" not in plan
     row = merged.collect()[0]
     assert row["page_count"] == 6
     assert row["text"] == "w1 w2 w3 w4 w5 w6"
+
+
+def test_multipage_hop_prunes_payload_side(spark):
+    """VERDICT r03 #1: the per-hop payload join must read a frontier-pruned
+    lookup (broadcast left-semi on the frontier's keys), so only
+    continuation candidates' html/text ever shuffles — never the whole
+    corpus."""
+    from graby_spark.job import _hop_step
+    import pyspark.sql.functions as F
+
+    lookup = spark.createDataFrame(
+        [(f"http://s/{i}", True, f"<p>{i}</p>", f"t{i}", None, False) for i in range(20)],
+        "page_url string, found boolean, page_html string, page_text string, "
+        "next_abs string, bad_page boolean",
+    )
+    frontier = spark.createDataFrame(
+        [("http://s/0", "http://s/1")], "root_url string, page_url string"
+    )
+    visited = spark.createDataFrame(
+        [("http://s/0", "http://s/0")], "root_url string, page_url string"
+    )
+    step = _hop_step(frontier, visited, lookup)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    # the semi prune must survive into the physical plan, below the outer
+    # payload join, with the frontier-key side broadcast
+    assert "LeftSemi" in plan
+    semi_idx = plan.index("LeftSemi")
+    assert "BroadcastExchange" in plan[semi_idx:]
+    got = {r["page_url"]: r for r in step.collect()}
+    assert got["http://s/1"]["found"] is True
+    assert got["http://s/1"]["page_html"] == "<p>1</p>"
+
+
+def test_multipage_releases_cache_lease(spark):
+    """VERDICT r03 #2: resolve_multipage materializes its result and
+    unpersists the corpus cache before returning — no storage lease
+    outlives the returned DataFrame."""
+    import gc
+    import time
+
+    rows = [_mp_page("http://serial.example.com/lease/p1", "lw1", "/lease/p2"),
+            _mp_page("http://serial.example.com/lease/p2", "lw2", None)]
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string, "
+        "content_type string, http_status int"
+    )
+    pages = spark.createDataFrame(rows, schema)
+    jsc = spark.sparkContext._jsc.sc()
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
+    merged = resolve_multipage(run_extraction(spark, pages, pages_ruleset(), options=OPTS))
+    assert merged.count() == 1
+    # the only NEW persisted blocks are checkpoint rdds referenced by
+    # `merged` (and possibly not-yet-GC'd hop steps); once the result is
+    # dropped the ContextCleaner must drain everything this call added —
+    # in particular the corpus `base` cache must already be unpersisted
+    del merged
+    deadline = time.time() + 60
+    leftover = None
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        leftover = {info.id() for info in jsc.getRDDStorageInfo()} - before
+        if not leftover:
+            break
+        time.sleep(0.5)
+    assert not leftover
 
 
 def test_stream_dedup_matches_batch_twin(spark, tmp_path_factory):
