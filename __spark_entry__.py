@@ -433,6 +433,16 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.perplexity_score(docs.where("doc_id % 2 = 1"), lm)
 
 
+def q_text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM perplexity (VERDICT r03 #6): bigram+unigram
+    model built from the even-id half, odd-id half scored with
+    bigram-if-seen / alpha-backoff-to-unigram semantics; the oracle replays
+    the full LM build and backoff in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = textstats.build_bigram_lm(docs.where("doc_id % 2 = 0"))
+    return textstats.perplexity_score_backoff(docs.where("doc_id % 2 = 1"), lm)
+
+
 def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed model-based quality gate: hashed linear classifier +
     stored-LM perplexity filter joined per doc; keep = classifier pass AND
@@ -1315,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier": q_text_classifier,
         "text_classifier_weighted": q_text_classifier_weighted,
         "text_perplexity": q_text_perplexity,
+        "text_perplexity_bigram": q_text_perplexity_bigram,
         "pipeline_quality": q_pipeline_quality,
         "text_langid": q_text_langid,
         "text_logprob": q_text_logprob,
@@ -2516,6 +2527,60 @@ agg AS (
 SELECT d.doc_id AS doc,
        CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
        CASE WHEN a.n > 0 THEN round(a.total / a.n, 6) END AS mean_logp10,
+       CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN agg a USING (doc_id)
+""",
+        # -0.3979400086720376 is python repr(log10(0.4)) — the engine embeds
+        # the same pre-computed literal so no libm log10 call can disagree
+        "text_perplexity_bigram": """
+WITH cdocs AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS ts
+  FROM documents WHERE doc_id % 2 = 0
+),
+ttoks AS (SELECT unnest(ts) AS token FROM cdocs),
+vocab AS (SELECT token, count(*) AS tf FROM ttoks GROUP BY token),
+params AS (
+  SELECT (SELECT count(*) FROM ttoks) + 0.5 * ((SELECT count(*) FROM vocab) + 1) AS denom
+),
+uni AS (SELECT token, round(log10((tf + 0.5) / denom), 9) AS uni_logp FROM vocab, params),
+unk AS (SELECT round(log10(0.5 / denom), 9) AS logp10 FROM params),
+bigr AS (
+  SELECT u.context AS context, u.token AS token FROM (
+    SELECT unnest(list_transform(ts[2:], (t, i) -> struct_pack(context := ts[i], token := t))) AS u
+    FROM cdocs WHERE len(ts) >= 2
+  )
+),
+bic AS (SELECT context, token, count(*) AS c FROM bigr GROUP BY context, token),
+ctx AS (SELECT context, count(*) AS cc FROM bigr GROUP BY context),
+bi AS (SELECT bic.context, bic.token, round(log10(bic.c * 1.0 / ctx.cc), 9) AS bi_logp
+       FROM bic JOIN ctx USING (context)),
+sdocs AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS ts
+  FROM documents WHERE doc_id % 2 = 1
+),
+stoks AS (
+  SELECT doc_id, u.token AS token, u.context AS context FROM (
+    SELECT doc_id,
+           unnest(list_transform(ts, (t, i) -> struct_pack(
+             token := t,
+             context := CASE WHEN i = 1 THEN NULL ELSE ts[i - 1] END))) AS u
+    FROM sdocs
+  )
+),
+agg AS (
+  SELECT s.doc_id, count(*) AS n,
+         sum(CASE WHEN b.bi_logp IS NOT NULL THEN b.bi_logp
+                  WHEN s.context IS NULL THEN coalesce(u.uni_logp, (SELECT logp10 FROM unk))
+                  ELSE -0.3979400086720376 + coalesce(u.uni_logp, (SELECT logp10 FROM unk)) END) AS total
+  FROM stoks s
+  LEFT JOIN bi b ON s.context = b.context AND s.token = b.token
+  LEFT JOIN uni u ON s.token = u.token
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id AS doc,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN a.n > 0 THEN round(a.total / a.n, 6) END AS mean_logs10,
        CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN agg a USING (doc_id)

@@ -959,6 +959,55 @@ def test_perplexity_score_against_stored_lm(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bigram_backoff_hand_computed(spark, tmp_path):
+    """Stupid-backoff semantics pinned against hand-computed values:
+    bigram hit → log10(c_bi/c_ctx); miss with context → log10(alpha) +
+    unigram; first token → plain unigram; OOV → <unk>."""
+    import math
+
+    from graby_spark.operators import textstats
+
+    corpus = spark.createDataFrame(
+        [(0, "a b a b a c")], "doc_id long, text string"
+    )
+    lm = textstats.build_bigram_lm(corpus)  # k = 0.5
+    p = str(tmp_path / "bilm.parquet")
+    lm.write.parquet(p)
+    stored = spark.read.parquet(p)
+
+    rows = {(r["context"], r["token"]): r["logp10"] for r in stored.collect()}
+    # corpus bigrams: a>b x2, b>a x2, a>c x1; contexts: a x3, b x2
+    assert rows[("a", "b")] == round(math.log10(2 / 3), 9)
+    assert rows[("b", "a")] == round(math.log10(2 / 2), 9)
+    assert rows[("a", "c")] == round(math.log10(1 / 3), 9)
+    # unigram rows: tf a=3 b=2 c=1, total 6, V=3 -> denom 6 + 0.5*4 = 8
+    assert rows[(None, "a")] == round(math.log10(3.5 / 8.0), 9)
+    assert rows[(None, "<unk>")] == round(math.log10(0.5 / 8.0), 9)
+
+    # scored doc "b a c z": b first (unigram), a via bigram hit (b>a),
+    # c backoff (a>c IS a bigram -> hit), z OOV backoff after c
+    new = spark.createDataFrame([(1, "b a c z")], "doc_id long, text string")
+    out = textstats.perplexity_score_backoff(new, stored).collect()[0]
+    la = math.log10(0.4)
+    expected = (
+        rows[(None, "b")]          # first token: plain unigram
+        + rows[("b", "a")]         # bigram hit
+        + rows[("a", "c")]         # bigram hit
+        + la + rows[(None, "<unk>")]  # OOV under context 'c' -> backoff
+    ) / 4
+    assert out["n_tokens"] == 4
+    assert out["mean_logs10"] == round(expected, 6)
+    assert out["perplexity"] == round(10 ** -expected, 3)
+    # both LM probes broadcast; the scored text never shuffles
+    plan = (
+        textstats.perplexity_score_backoff(new, stored)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_anchor_texts(spark):
     from graby_spark.operators import graph
 
