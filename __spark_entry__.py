@@ -973,6 +973,67 @@ def q_graph_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.sitemap_urls(sitemaps)
 
 
+# sitemap candidates for the composed crawl planner: a priority page, a
+# bare page, and three robots-sensitive paths (/private/* and /search?q=*
+# are disallowed for every domain; /public/* only on md5-parity domains)
+_FRONTIER_SITEMAP_SYNTH = (
+    "concat('<?xml version=\"1.0\"?><urlset>',"
+    " '<url><loc>http://', domain, '/a</loc><priority>0.8</priority></url>',"
+    " '<url><loc>http://', domain, '/b</loc></url>',"
+    " '<url><loc>http://', domain, '/private/x</loc></url>',"
+    " '<url><loc>http://', domain, '/search?q=1</loc></url>',"
+    " '<url><loc>http://', domain, '/public/z</loc></url>',"
+    " '</urlset>')"
+)
+
+
+def q_pipeline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl planner (VERDICT r03 #7): sitemap_urls supplies
+    candidates, robots_filter (RFC 9309 longest-match with wildcards)
+    gates them, robots_directives' group-scoped Crawl-delay joins in, and
+    frontier_schedule assigns politeness waves; not_before_ms =
+    (wave − 1) · crawl_delay — the earliest polite fetch time for the
+    wave.  Each operator already has its own oracle; this query pins the
+    JOIN of the three, which is what a real crawl scheduler runs.
+
+    Scale shape: candidates and rules are domain-keyed (planner-chosen
+    join, broadcast when small); the only window partitions by domain.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    domains = docs.select(F.col("source").alias("domain")).distinct()
+    sitemaps = domains.selectExpr(
+        "domain", f"{_FRONTIER_SITEMAP_SYNTH} as sitemap_xml"
+    )
+    cands = (
+        graph.sitemap_urls(sitemaps)
+        .where(~F.col("is_index"))
+        .select(
+            "domain",
+            F.col("loc").alias("url"),
+            F.coalesce("priority", F.lit(0.5)).alias("score"),
+        )
+    )
+    robots = domains.selectExpr(
+        "domain", f"{_ROBOTS_SYNTH.format(h=_SPARK_MD5_PARITY)} as robots_txt"
+    )
+    verdicts = graph.robots_filter(cands, graph.parse_robots(robots))
+    allowed = cands.join(
+        verdicts.where(F.col("allowed")).select("url", "domain"), ["url", "domain"]
+    )
+    sched = graph.frontier_schedule(allowed)
+    delays = graph.robots_directives(robots).select("domain", "crawl_delay")
+    return sched.join(delays, "domain", "left").select(
+        "url",
+        "domain",
+        "score",
+        "wave",
+        "crawl_delay",
+        ((F.col("wave") - 1) * F.coalesce("crawl_delay", F.lit(0.0)) * 1000)
+        .cast("long")
+        .alias("not_before_ms"),
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (10 checkpointed power iterations) over a
     deterministic modular link graph with hub edges onto nodes 0-6."""
@@ -1348,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_frontier": q_graph_frontier,
         "graph_robots": q_graph_robots,
         "graph_robots_directives": q_graph_robots_directives,
+        "pipeline_frontier": q_pipeline_frontier,
         "source_warc": q_source_warc,
         "dedup_incremental": q_dedup_incremental,
         "extract_lite": q_extract_lite,
@@ -1870,6 +1932,22 @@ pairs AS (
   FROM shn n JOIN shc c ON TRUE
 )
 SELECT new_doc, corpus_doc, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.9
+""",
+        "pipeline_frontier": f"""
+WITH domains AS (SELECT DISTINCT source AS domain FROM documents),
+waves AS (
+  SELECT domain, 'http://' || domain || '/a' AS url, 0.8 AS score, 1 AS wave FROM domains
+  UNION ALL
+  SELECT domain, 'http://' || domain || '/b', 0.5, 2 FROM domains
+  UNION ALL
+  SELECT domain, 'http://' || domain || '/public/z', 0.5, 3 FROM domains
+  WHERE NOT ({_DUCK_MD5_PARITY})
+)
+SELECT url, domain, score,
+       CAST(wave AS BIGINT) AS wave,
+       CASE WHEN {_DUCK_MD5_PARITY} THEN 7.5 ELSE 2.0 END AS crawl_delay,
+       CAST((wave - 1) * (CASE WHEN {_DUCK_MD5_PARITY} THEN 7.5 ELSE 2.0 END) * 1000 AS BIGINT) AS not_before_ms
+FROM waves
 """,
         "graph_robots_directives": f"""
 WITH domains AS (SELECT DISTINCT source AS domain FROM documents)

@@ -22,7 +22,63 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["brute_force_topk", "lsh_signatures", "lsh_topk", "ivf_topk"]
+__all__ = [
+    "brute_force_topk",
+    "lsh_signatures",
+    "lsh_topk",
+    "ivf_topk",
+    "make_clustered_embeddings",
+]
+
+
+def make_clustered_embeddings(
+    spark,
+    n: int = 2000,
+    dim: int = 32,
+    n_clusters: int = 16,
+    sigma: float = 0.05,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic Gaussian-mixture embedding fixture (VERDICT r03 #5).
+
+    The driver testdata embeddings are isotropic random vectors — no
+    cluster structure, so any bucketed ANN's recall is capped near its
+    scan fraction there (documented in tools/ann_recall.py).  Real
+    embedding corpora are clustered; this generator plants that structure
+    so recall targets are meaningful: unit-norm cluster centers from one
+    seeded draw (broadcast), each vector = center[id % n_clusters] +
+    sigma·N(0, I) with a per-id seeded RNG, so any row is reproducible
+    independently of partitioning — the generation is distributed
+    (mapInPandas over ``spark.range``), never a driver loop.
+
+    Returns (vec_id, cluster, embedding array<float>).
+    """
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(centers)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for batch in batches:
+            rows = []
+            for i in batch["id"]:
+                i = int(i)
+                r = np.random.default_rng(seed * 1_000_003 + i)
+                c = i % n_clusters
+                v = cents[c] + sigma * r.standard_normal(dim)
+                rows.append(
+                    {
+                        "vec_id": i,
+                        "cluster": c,
+                        "embedding": v.astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["vec_id", "cluster", "embedding"])
+
+    return spark.range(n).mapInPandas(
+        fn, "vec_id long, cluster int, embedding array<float>"
+    )
 
 
 def _unit(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
