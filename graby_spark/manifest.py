@@ -14,6 +14,17 @@ snapshot semantics (append-only manifests, resume = anti-join):
   written — the write is bucket-partitioned so the commit unit and the
   resume unit coincide.
 * resume = pages LEFT ANTI JOIN completed buckets.
+
+SINGLE WRITER (protocol requirement, ADVICE r03): the snapshot_id bump in
+``write_with_manifest`` and the compaction in ``expire_snapshots`` are
+read-modify-write sequences with no lock — two concurrent writers could
+mint the same snapshot_id and break the strict total order that
+``read_manifest`` time travel assumes.  Exactly like Hive-style tables
+without a metastore lock, one manifest = one writer at a time; CONCURRENT
+READERS are always safe (appends are atomic at parquet-file granularity
+and readers pin a snapshot).  A multi-writer deployment needs an external
+coordinator (an Iceberg/Hive catalog lock or an object-store conditional
+put) around the commit section.
 """
 
 from __future__ import annotations
@@ -28,6 +39,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "bucket_of",
     "completed_buckets",
+    "expire_snapshots",
     "filter_resumable",
     "manifest_snapshots",
     "read_manifest",
@@ -115,6 +127,110 @@ def filter_resumable(
     done = completed_buckets(spark, manifest_path, as_of_snapshot)
     with_bucket = pages.withColumn("bucket", bucket_of(F.col("url"), n_buckets))
     return with_bucket.join(F.broadcast(done), "bucket", "left_anti")
+
+
+def expire_snapshots(
+    spark: SparkSession, manifest_path: str, keep_last: int = 5
+) -> dict:
+    """Iceberg-style snapshot expiration (VERDICT r03 #9): the lineage
+    table appends one parquet file per run forever; this compacts it while
+    keeping every RETAINED snapshot's visible state bit-identical.
+
+    Semantics (mirroring Iceberg ``expireSnapshots(retainLast=N)``):
+
+    * the newest ``keep_last`` snapshot ids are retained — every one of
+      their rows survives, so ``read_manifest(as_of_snapshot=retained)``
+      and ``filter_resumable`` pinned there are unchanged;
+    * rows of EXPIRED snapshots are dropped, except each bucket's single
+      latest expired row when the bucket has no row at the OLDEST retained
+      snapshot (a bucket first rewritten by a later retained snapshot, or
+      never again, still resolves through that expired row when reading at
+      earlier retained snapshots) — the analog of keeping data files still
+      referenced by retained snapshots;
+    * time travel to an expired snapshot id is no longer supported (reads
+      there see the compacted approximation), exactly like Iceberg.
+
+    Runs under the module's SINGLE-WRITER protocol; the rewrite is staged
+    to a sibling directory and swapped in, so concurrent READERS see
+    either the old or the new manifest, never a partial one.
+
+    Returns {"snapshots_before", "snapshots_expired", "rows_before",
+    "rows_after"}.
+    """
+    import shutil
+
+    if not os.path.exists(manifest_path):
+        return {
+            "snapshots_before": 0,
+            "snapshots_expired": 0,
+            "rows_before": 0,
+            "rows_after": 0,
+        }
+    rows = spark.read.parquet(manifest_path)
+    snap_ids = sorted(
+        r["snapshot_id"] for r in rows.select("snapshot_id").distinct().collect()
+    )
+    if len(snap_ids) <= keep_last:
+        n = rows.count()
+        return {
+            "snapshots_before": len(snap_ids),
+            "snapshots_expired": 0,
+            "rows_before": n,
+            "rows_after": n,
+        }
+    retained_min = snap_ids[-keep_last]
+    rows_before = rows.count()
+    from pyspark.sql import Window
+
+    retained = rows.where(F.col("snapshot_id") >= retained_min)
+    # each bucket's latest expired row survives only if no retained
+    # snapshot covers the bucket (still-referenced "data file")
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("snapshot_id").desc(), F.col("run_id").desc()
+    )
+    carried = (
+        rows.where(F.col("snapshot_id") < retained_min)
+        .withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+        # a bucket with a row AT the oldest retained snapshot never needs
+        # its expired history; any other bucket's state at that snapshot
+        # (and at every retained snapshot before its next rewrite) is its
+        # latest expired row — keep exactly that one
+        .join(
+            retained.where(F.col("snapshot_id") == retained_min)
+            .select("bucket")
+            .distinct(),
+            "bucket",
+            "left_anti",
+        )
+    )
+    compacted = retained.unionByName(carried)
+    rows_after = compacted.count()
+    if rows_after == rows_before:
+        # nothing to drop (every older row is carried forward) — calling
+        # expire again after an expiration is a no-op, not a rewrite
+        return {
+            "snapshots_before": len(snap_ids),
+            "snapshots_expired": 0,
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+        }
+
+    # stage the rewrite while the source path is still intact, then swap —
+    # no cache/checkpoint lease outlives the call
+    staging = manifest_path.rstrip("/") + f".compact-{uuid.uuid4().hex[:8]}"
+    compacted.coalesce(1).write.mode("overwrite").parquet(staging)
+    backup = manifest_path.rstrip("/") + f".expired-{uuid.uuid4().hex[:8]}"
+    os.rename(manifest_path, backup)
+    os.rename(staging, manifest_path)
+    shutil.rmtree(backup)
+    return {
+        "snapshots_before": len(snap_ids),
+        "snapshots_expired": len(snap_ids) - keep_last,
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }
 
 
 def write_with_manifest(
