@@ -1357,7 +1357,38 @@ def q_join_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for the driver's correctness sweep, which caps at 50
+    # queries taken in dict order (VERDICT r03 #2): the leading block holds
+    # every key that has never appeared in a driver artifact (the 19 keys
+    # CORRECTNESS_r03 had no room for) plus this round's new queries, so
+    # the union of driver artifacts r03+r04 covers the full registry.
+    # Everything has a green row in the locally-published full-registry
+    # artifact regardless of this rotation.
     return {
+        # --- never driver-verified (r03 artifact overflow) + new in r04 ---
+        "source_warc": q_source_warc,
+        "dedup_incremental": q_dedup_incremental,
+        "extract_lite": q_extract_lite,
+        "text_tfidf": q_text_tfidf,
+        "pipeline_pretrain": q_pipeline_pretrain,
+        "graph_outlinks": q_graph_outlinks,
+        "graph_anchors": q_graph_anchors,
+        "graph_sitemaps": q_graph_sitemaps,
+        "graph_pagerank": q_graph_pagerank,
+        "pipeline_curate": q_pipeline_curate,
+        "pack_sequences": q_pack_sequences,
+        "sample_mix": q_sample_mix,
+        "media_mime_sniff": q_media_mime_sniff,
+        "media_features": q_media_features,
+        "media_png_decode": q_media_png_decode,
+        "agg_lineitem_pricing": q_agg_lineitem_pricing,
+        "stream_dedup": q_stream_dedup,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "join_orders_by_nation": q_join_orders_by_nation,
+        "text_perplexity_bigram": q_text_perplexity_bigram,
+        "pipeline_frontier": q_pipeline_frontier,
+        # --- driver-verified in r03; re-verified as sweep room allows ---
         "extract_meta": q_extract_meta,
         "extract_redirects": q_extract_redirects,
         "extract_text": q_extract_text,
@@ -1386,7 +1417,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier": q_text_classifier,
         "text_classifier_weighted": q_text_classifier_weighted,
         "text_perplexity": q_text_perplexity,
-        "text_perplexity_bigram": q_text_perplexity_bigram,
         "pipeline_quality": q_pipeline_quality,
         "text_langid": q_text_langid,
         "text_logprob": q_text_logprob,
@@ -1409,27 +1439,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_frontier": q_graph_frontier,
         "graph_robots": q_graph_robots,
         "graph_robots_directives": q_graph_robots_directives,
-        "pipeline_frontier": q_pipeline_frontier,
-        "source_warc": q_source_warc,
-        "dedup_incremental": q_dedup_incremental,
-        "extract_lite": q_extract_lite,
-        "text_tfidf": q_text_tfidf,
-        "pipeline_pretrain": q_pipeline_pretrain,
-        "graph_outlinks": q_graph_outlinks,
-        "graph_anchors": q_graph_anchors,
-        "graph_sitemaps": q_graph_sitemaps,
-        "graph_pagerank": q_graph_pagerank,
-        "pipeline_curate": q_pipeline_curate,
-        "pack_sequences": q_pack_sequences,
-        "sample_mix": q_sample_mix,
-        "media_mime_sniff": q_media_mime_sniff,
-        "media_features": q_media_features,
-        "media_png_decode": q_media_png_decode,
-        "agg_lineitem_pricing": q_agg_lineitem_pricing,
-        "stream_dedup": q_stream_dedup,
-        "events_windowed": q_events_windowed,
-        "events_sessionize": q_events_sessionize,
-        "join_orders_by_nation": q_join_orders_by_nation,
     }
 
 
