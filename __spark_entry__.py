@@ -1272,6 +1272,83 @@ def q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF decode on the correctness gate: formula palette GIFs
+    (palette entry (k, c) = (id·7 + k·3 + c) % 256, flat index j =
+    (id·13 + j) % ncol, odd ids interlaced so the de-weave path runs,
+    LZW-compressed by the independent encode_gif) decoded by
+    multimodal.gif_pixel_stats; the oracle replays the palette-expanded
+    pixel mean closed-form.  Unrounded mean — exact in float64."""
+    _ship(spark)
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 7 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_gif(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.multimodal import encode_gif
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            w, h, ncol = 3 + mid % 6, 2 + mid % 5, 4 + mid % 5
+            pal = (
+                (mid * 7 + np.arange(ncol * 3)) % 256
+            ).astype(np.uint8).reshape(ncol, 3)
+            idx = ((mid * 13 + np.arange(w * h)) % ncol).astype(np.uint8).reshape(h, w)
+            out.append(encode_gif(idx, palette=pal, interlace=bool(mid % 2)))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_gif("media_id")
+    )
+    out = multimodal.gif_pixel_stats(media)
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_pixel",
+    )
+
+
+def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV PCM decode on the correctness gate: formula clips (flat
+    sample j = ((id·17 + j)·97) % 4001 − 2000, varying frame count /
+    channels / rate) written by encode_wav, decoded by
+    multimodal.wav_sample_stats; the oracle replays mean and RMS
+    closed-form (integer sums exact in float64, IEEE sqrt identical)."""
+    _ship(spark)
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 7 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_wav(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.multimodal import encode_wav
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            n, ch = 20 + mid % 50, 1 + mid % 2
+            rate = 8000 + (mid % 3) * 4000
+            flat = ((mid * 17 + np.arange(n * ch)) * 97) % 4001 - 2000
+            out.append(encode_wav(flat.astype(np.int16).reshape(n, ch), rate))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_wav("media_id")
+    )
+    out = multimodal.wav_sample_stats(media)
+    return out.select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("channels").cast("long").alias("channels"),
+        "mean_sample",
+        "rms",
+    )
+
+
 def q_agg_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation — the classic hash-agg plan check."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -1381,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mime_sniff": q_media_mime_sniff,
         "media_features": q_media_features,
         "media_png_decode": q_media_png_decode,
+        "media_gif_decode": q_media_gif_decode,
+        "media_wav_decode": q_media_wav_decode,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "stream_dedup": q_stream_dedup,
         "events_windowed": q_events_windowed,
@@ -2829,6 +2908,41 @@ SELECT media_id,
          list_transform(range(w * h * c),
                         j -> CAST((media_id * 31 + j) % 256 AS DOUBLE)),
          'avg') AS mean_pixel
+FROM m
+""",
+        "media_gif_decode": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h, 4 + doc_id % 5 AS ncol
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       list_aggregate(
+         list_transform(range(w * h * 3),
+                        q -> CAST((media_id * 7 + ((media_id * 13 + (q // 3)) % ncol) * 3 + (q % 3)) % 256 AS DOUBLE)),
+         'avg') AS mean_pixel
+FROM m
+""",
+        "media_wav_decode": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         20 + doc_id % 50 AS n, 1 + doc_id % 2 AS ch,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT media_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(ch AS BIGINT) AS channels,
+       list_aggregate(
+         list_transform(range(n * ch),
+                        j -> CAST(((media_id * 17 + j) * 97) % 4001 - 2000 AS DOUBLE)),
+         'avg') AS mean_sample,
+       sqrt(list_aggregate(
+         list_transform(range(n * ch),
+                        j -> CAST((((media_id * 17 + j) * 97) % 4001 - 2000) AS DOUBLE) ** 2),
+         'avg')) AS rms
 FROM m
 """,
         "embedding_near_dups": """

@@ -4,16 +4,24 @@ Images / audio / video ride through the pipeline as ``binary`` columns with
 a metadata struct; decode / feature-extract / resize / frame-sample are
 Arrow-batched ``mapInPandas`` stages.
 
-PNG decode is REAL (``decode_png``: chunk walk, IDAT inflate with stdlib
-zlib, per-scanline unfilter per the PNG spec §9 — no external codec
-needed), and ``encode_png`` writes valid PNGs, so image plumbing is
-pixel-exact end-to-end for the most common lossless web format.  JPEG/GIF
-decode stays STUBBED (a DCT/LZW codec is not feasible offline and no image
-library exists in this container): for those the Spark side — schema,
-batch shape, partitioning, UDF signatures — is real and tested; the decode
-stub is a deterministic fake (byte-level statistics) clearly marked, and
-``decode_image`` raises ``NotImplementedError`` when ``strict=True`` so a
-real codec can be dropped in.
+PNG, GIF and WAV decode are REAL, stdlib-only:
+
+* ``decode_png`` — chunk walk, IDAT inflate with zlib, per-scanline
+  unfilter per PNG spec §9, palette expansion; ``encode_png`` writes
+  valid PNGs (independent spec implementation — the pair cross-checks).
+* ``decode_gif`` — logical screen + color tables, extension skipping,
+  appendix-F variable-width LZW (KwKwK, 4095-entry cap, clear codes),
+  interlace de-weave; ``encode_gif`` is the matching encoder.
+* ``decode_wav`` — RIFF chunk walk, 8/16-bit PCM to an (frames,
+  channels) sample array; ``encode_wav`` the canonical writer.
+
+So image/audio plumbing is pixel-/sample-exact end-to-end for the common
+lossless web formats.  JPEG decode stays STUBBED (a DCT codec is the one
+piece not feasible without a library here): its Spark side — schema,
+batch shape, partitioning, UDF signatures — is real and tested; the
+decode stub is a deterministic fake (byte-level statistics) clearly
+marked, and ``decode_image`` raises ``NotImplementedError`` when
+``strict=True`` so a real codec can be dropped in.
 """
 
 from __future__ import annotations
@@ -48,6 +56,12 @@ __all__ = [
     "decode_png",
     "encode_png",
     "png_pixel_stats",
+    "decode_gif",
+    "encode_gif",
+    "gif_pixel_stats",
+    "decode_wav",
+    "encode_wav",
+    "wav_sample_stats",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -381,18 +395,450 @@ def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
     )
 
 
+def gif_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Real GIF decode → per-image stats:
+    (media_id, width, height, mean_pixel) — the RGB mean over every sample
+    of the palette-expanded first frame, unrounded for the same
+    cross-engine-exactness reason as :func:`png_pixel_stats`."""
+    src = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_pixel", DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                arr = decode_gif(bytes(payload or b""))
+                h, w, _ = arr.shape
+                out.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "mean_pixel": float(arr.astype(np.float64).mean()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "mean_pixel"])
+
+    return src.mapInPandas(fn, schema)
+
+
+def wav_sample_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Real WAV PCM decode → per-clip sample statistics:
+    (media_id, sample_rate, n_frames, channels, mean_sample, rms).
+
+    ``mean_sample`` (plain mean over every sample) and ``rms`` are left
+    unrounded — integer sums/sums-of-squares are exact in float64 and the
+    division/sqrt are IEEE-identical across engines, so a closed-form
+    oracle can replay them bit-for-bit (same rationale as
+    :func:`png_pixel_stats`).  Arrow-batched ``mapInPandas``."""
+    src = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("mean_sample", DoubleType()),
+            StructField("rms", DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                rate, samples = decode_wav(bytes(payload or b""))
+                flat = samples.astype(np.float64)
+                out.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_frames": samples.shape[0],
+                        "channels": samples.shape[1],
+                        "mean_sample": float(flat.mean()),
+                        "rms": float(np.sqrt((flat * flat).mean())),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_frames",
+                    "channels",
+                    "mean_sample",
+                    "rms",
+                ],
+            )
+
+    return src.mapInPandas(fn, schema)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """GIF-variant LZW (GIF89a spec appendix F): variable code width
+    starting at min_code_size+1 bits, little-endian bit packing, clear and
+    end-of-information codes, dictionary capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # dictionary as (prefix_index, last_byte); roots are single bytes
+    prefix: list[int] = []
+    suffix: list[int] = []
+
+    def reset_dict():
+        nonlocal prefix, suffix, next_code, width
+        prefix = [-1] * clear + [-1, -1]
+        suffix = list(range(clear)) + [0, 0]
+        next_code = end + 1
+        width = min_code_size + 1
+
+    next_code = 0
+    width = 0
+    reset_dict()
+    acc = 0
+    nbits = 0
+    prev = -1
+    first_byte = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset_dict()
+                prev = -1
+                continue
+            if code == end:
+                return out
+            if prev < 0:
+                if code >= len(suffix):
+                    raise ValueError("invalid initial LZW code")
+                out.append(suffix[code])
+                first_byte = suffix[code]
+                prev = code
+                continue
+            if code < next_code:
+                # known code: expand
+                chain = []
+                c = code
+                while c >= 0:
+                    chain.append(suffix[c])
+                    c = prefix[c]
+                chain.reverse()
+                first_byte = chain[0]
+                out.extend(chain)
+            elif code == next_code:
+                # the KwKwK case
+                chain = []
+                c = prev
+                while c >= 0:
+                    chain.append(suffix[c])
+                    c = prefix[c]
+                chain.reverse()
+                first_byte = chain[0]
+                out.extend(chain)
+                out.append(first_byte)
+            else:
+                raise ValueError("LZW code out of range")
+            if next_code < 4096:
+                prefix.append(prev)
+                suffix.append(first_byte)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = code
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+#: Adam7-style GIF interlace passes: (start_row, step)
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """REAL GIF decode with the stdlib only: header + logical screen
+    descriptor, global/local color tables, extension-block skipping, the
+    first image descriptor's LZW-compressed indices (appendix-F variable-
+    width LZW, including the KwKwK case and 4095-entry cap), interlace
+    de-weaving, palette lookup.
+
+    Returns the first frame as (height, width, 3) uint8 RGB, positioned on
+    the logical screen (frames smaller than the screen are composed onto a
+    background-color canvas, like a viewer's first paint).  Transparency
+    is ignored (returns the palette color).  Truncated/corrupt streams
+    raise ``ValueError``.
+    """
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    packed = data[10]
+    bg_index = data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        if len(gct) < n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(data):
+                raise ValueError("truncated image descriptor")
+            left = int.from_bytes(data[pos : pos + 2], "little")
+            top = int.from_bytes(data[pos + 2 : pos + 4], "little")
+            w = int.from_bytes(data[pos + 4 : pos + 6], "little")
+            h = int.from_bytes(data[pos + 6 : pos + 8], "little")
+            ipacked = data[pos + 8]
+            pos += 9
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(
+                    data[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(lzw), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data underrun")
+            rows = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: de-weave the 4 passes
+                ordered = np.zeros_like(rows)
+                src = 0
+                for start, step in _GIF_PASSES:
+                    for y in range(start, h, step):
+                        ordered[y] = rows[src]
+                        src += 1
+                rows = ordered
+            if int(rows.max(initial=0)) >= len(table):
+                raise ValueError("GIF palette index out of range")
+            frame = table[rows]
+            if (left, top, w, h) == (0, 0, sw, sh):
+                return frame
+            canvas_color = (
+                table[bg_index] if gct is not None and bg_index < len(table) else 0
+            )
+            canvas = np.full((sh, sw, 3), canvas_color, dtype=np.uint8)
+            canvas[top : top + h, left : left + w] = frame
+            return canvas
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"invalid GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(
+    arr: np.ndarray, palette: np.ndarray | None = None, interlace: bool = False
+) -> bytes:
+    """Valid single-frame GIF89a from an (h, w) uint8 INDEX array and a
+    palette (n, 3) — or from an (h, w, 3) RGB array whose distinct colors
+    (≤ 256) become the palette.  LZW-compresses per the spec (an
+    independent implementation, so the encode/decode pair cross-checks
+    itself like the PNG codec)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3:
+        flat = a.reshape(-1, 3)
+        palette, idx = np.unique(flat, axis=0, return_inverse=True)
+        if len(palette) > 256:
+            raise ValueError("more than 256 distinct colors")
+        a = idx.astype(np.uint8).reshape(a.shape[:2])
+    if palette is None:
+        raise ValueError("index-array input requires a palette")
+    h, w = a.shape
+    # palette size: power of two ≥ max(2, len(palette))
+    bits = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    n = 1 << bits
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag+size, bg 0, no aspect
+    out += pal.tobytes()
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    rows = a
+    if interlace:
+        weaved = [rows[y] for start, step in _GIF_PASSES for y in range(start, h, step)]
+        rows = np.stack(weaved) if weaved else rows
+    pixels = rows.flatten().tolist()
+    min_code = max(2, bits)
+    out.append(min_code)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = [clear]
+    table = {(i,): i for i in range(1 << min_code)}
+    next_code = end + 1
+    buf: tuple[int, ...] = ()
+    for p in pixels:
+        cand = buf + (p,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append(table[buf])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:
+            codes.append(clear)
+            table = {(i,): i for i in range(1 << min_code)}
+            next_code = end + 1
+        buf = (p,)
+    if buf:
+        codes.append(table[buf])
+    codes.append(end)
+    # pack codes little-endian at the width the DECODER will be using
+    bitstream = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+    emitted_next = end + 1
+    first_after_clear = True
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            bitstream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            emitted_next = end + 1
+            width = min_code + 1
+            first_after_clear = True
+        elif c != end:
+            # the decoder grows its dict AFTER consuming this code — except
+            # for the first code after a clear, which only seeds its prefix
+            if first_after_clear:
+                first_after_clear = False
+            elif emitted_next < 4096:
+                emitted_next += 1
+                if emitted_next == (1 << width) and width < 12:
+                    width += 1
+    if nbits:
+        bitstream.append(acc & 0xFF)
+    for i in range(0, len(bitstream), 255):
+        chunk = bitstream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """REAL WAV PCM decode with the stdlib only: proper RIFF chunk walk
+    (fmt/data located by id, not fixed offsets), 8-bit unsigned and 16-bit
+    signed little-endian PCM, any channel count.
+
+    Returns ``(sample_rate, samples)`` with samples shaped
+    (n_frames, n_channels) as int32 (8-bit input is re-centered to signed
+    by subtracting 128).  Non-PCM formats and other bit depths raise
+    ``NotImplementedError``; corrupt streams raise ``ValueError``."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV stream")
+    pos = 12
+    fmt = None
+    frames = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            frames = body
+            if fmt is not None:
+                break
+    if fmt is None or frames is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise NotImplementedError(f"WAV format {audio_format} unsupported (PCM only)")
+    if n_channels < 1:
+        raise ValueError("invalid channel count")
+    if bits == 16:
+        arr = np.frombuffer(
+            frames[: len(frames) - (len(frames) % (2 * n_channels))], dtype="<i2"
+        ).astype(np.int32)
+    elif bits == 8:
+        arr = (
+            np.frombuffer(
+                frames[: len(frames) - (len(frames) % n_channels)], dtype=np.uint8
+            ).astype(np.int32)
+            - 128
+        )
+    else:
+        raise NotImplementedError(f"{bits}-bit WAV unsupported (8/16 only)")
+    return sample_rate, arr.reshape(-1, n_channels)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Canonical 16-bit PCM WAV from an (n_frames[, n_channels]) int array."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n_channels = a.shape[1]
+    payload = a.astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    hdr = bytearray(b"RIFF")
+    hdr += (36 + len(payload)).to_bytes(4, "little")
+    hdr += b"WAVEfmt " + (16).to_bytes(4, "little")
+    hdr += (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
+    hdr += sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+    hdr += (n_channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    hdr += b"data" + len(payload).to_bytes(4, "little")
+    return bytes(hdr) + payload
+
+
 def decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
-    """Image decode dispatch.  PNG is decoded FOR REAL (:func:`decode_png`,
-    stdlib zlib — returns float32 (h, w, channels)).  JPEG/GIF remain
-    STUBBED — no codec exists in this container: strict=True raises (the
-    drop-in point for a real decoder); otherwise a deterministic fake 8x8
-    grayscale "image" derived from the payload digest keeps downstream
-    feature plumbing testable end-to-end."""
+    """Image decode dispatch.  PNG and GIF are decoded FOR REAL
+    (:func:`decode_png` / :func:`decode_gif`, stdlib only — returns
+    float32 (h, w, channels)).  JPEG remains STUBBED — a DCT codec is the
+    one piece not feasible without a library here: strict=True raises
+    (the drop-in point for a real decoder); otherwise a deterministic
+    fake 8x8 grayscale "image" derived from the payload digest keeps
+    downstream feature plumbing testable end-to-end."""
     data = payload or b""
     if data[:8] == _PNG_SIG:
         return decode_png(data).astype(np.float32)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data).astype(np.float32)
     if strict:
-        raise NotImplementedError("non-PNG image codecs are unavailable in this environment")
+        raise NotImplementedError("JPEG decode is unavailable in this environment")
     digest = hashlib.sha256(data).digest()
     return np.frombuffer(digest * 2, dtype=np.uint8).reshape(8, 8).astype(np.float32)
 
@@ -431,6 +877,8 @@ def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = 
                 data = bytes(payload or b"")
                 if data[:8] == _PNG_SIG:
                     feats = _grid16(decode_png(data).astype(np.float32))
+                elif data[:6] in (b"GIF87a", b"GIF89a"):
+                    feats = _grid16(decode_gif(data).astype(np.float32))
                 else:
                     img = decode_image(data)
                     feats = (img.flatten().reshape(16, 4).mean(axis=1) / 255.0).astype(

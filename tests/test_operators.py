@@ -399,6 +399,156 @@ def test_png_decode_loud_on_unsupported():
         multimodal.decode_png(b"GIF89a")
 
 
+def test_gif_roundtrip_pixel_exact():
+    """Real GIF decode: appendix-F variable-width LZW (width growth, the
+    KwKwK case, the 4095-entry dictionary cap + clear-code reset),
+    interlace de-weave, palette lookup — round-tripped against the
+    independent encode_gif across palette sizes and shapes."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for (h, w, ncol) in [(1, 1, 1), (2, 3, 2), (8, 8, 4), (16, 16, 7), (40, 30, 256), (5, 200, 3)]:
+        pal = np.unique(rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8), axis=0)
+        idx = rng.integers(0, len(pal), size=(h, w), dtype=np.uint8)
+        rgb = pal[idx]
+        for inter in (False, True):
+            back = multimodal.decode_gif(multimodal.encode_gif(rgb, interlace=inter))
+            assert back.shape == (h, w, 3)
+            assert np.array_equal(back, rgb), (h, w, ncol, inter)
+    # dictionary-cap stress: 300x300 random 8-color forces a mid-stream
+    # clear-code reset at 4096 entries
+    pal8 = np.unique(rng.integers(0, 256, size=(8, 3), dtype=np.uint8), axis=0)
+    big = pal8[rng.integers(0, len(pal8), size=(300, 300))]
+    assert np.array_equal(multimodal.decode_gif(multimodal.encode_gif(big)), big)
+    # solid image is the KwKwK-heavy shape
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    solid = pal4[np.zeros((50, 50), dtype=np.uint8)]
+    assert np.array_equal(multimodal.decode_gif(multimodal.encode_gif(solid)), solid)
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(b"GIF89a\x00")
+
+
+def test_gif_decode_hand_built_stream():
+    """Byte-level pin for the LZW decoder: a GIF whose compressed stream
+    is assembled by hand (codes packed manually at 3-bit width) decodes to
+    the exact hand-computed pixels — not just encoder self-consistency."""
+    import numpy as np
+
+    # 2x2, palette of 4 grays, pixels [0,1,2,3]; min_code=2: clear=4 end=5.
+    # Decoder dict growth: after consuming '1' it holds 7 entries, after
+    # '2' it hits 8 == 1<<3 and the read width becomes 4 bits — so the
+    # stream is [4@3, 0@3, 1@3, 2@3, 3@4, 5@4], packed little-endian
+    codes = [(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)]
+    acc = nbits = 0
+    stream = bytearray()
+    for c, width in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    pal = bytes(v for k in (0, 85, 170, 255) for v in (k, k, k))
+    gif = (
+        b"GIF89a"
+        + (2).to_bytes(2, "little") * 2
+        + bytes([0x81, 0, 0])  # GCT present, 4 entries
+        + pal
+        + b"\x2c" + b"\x00" * 4 + (2).to_bytes(2, "little") * 2 + b"\x00"
+        + bytes([2, len(stream)]) + bytes(stream) + b"\x00\x3b"
+    )
+    out = multimodal.decode_gif(gif)
+    exp = np.array([[[0] * 3, [85] * 3], [[170] * 3, [255] * 3]], dtype=np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_wav_roundtrip_sample_exact():
+    """Real WAV PCM decode: RIFF chunk walk (including a non-canonical
+    layout with an injected LIST chunk), 16-bit and 8-bit paths, mono and
+    multi-channel, sample-exact against encode_wav."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for (n, ch, rate) in [(1, 1, 8000), (100, 1, 16000), (37, 2, 44100), (250, 3, 22050)]:
+        s = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+        r, back = multimodal.decode_wav(multimodal.encode_wav(s, rate))
+        assert r == rate and back.shape == (n, ch)
+        assert np.array_equal(back, s.astype(np.int32))
+    # non-canonical layout: LIST chunk between fmt and data
+    s = rng.integers(-100, 100, size=(10, 1)).astype(np.int16)
+    d = multimodal.encode_wav(s, 8000)
+    fmt_end = 12 + 8 + 16
+    inj = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    d2 = d[:fmt_end] + inj + d[fmt_end:]
+    d2 = b"RIFF" + (len(d2) - 8).to_bytes(4, "little") + d2[8:]
+    r, back = multimodal.decode_wav(d2)
+    assert np.array_equal(back, s.astype(np.int32))
+    # 8-bit unsigned recenters to signed
+    body = bytes([0, 128, 255, 64])
+    w8 = (
+        b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+        + (8000).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little") + b"data" + len(body).to_bytes(4, "little") + body
+    )
+    r, back = multimodal.decode_wav(w8)
+    assert back.flatten().tolist() == [-128, 0, 127, -64]
+    # loud on unsupported: float WAV (format 3) and 24-bit
+    with pytest.raises(NotImplementedError):
+        bad = bytearray(multimodal.encode_wav(s, 8000))
+        bad[20] = 3  # IEEE float format tag
+        multimodal.decode_wav(bytes(bad))
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_gif_wav_stats_spark(spark):
+    """The mapInPandas decode stages return exact stats for planted
+    formula GIFs/WAVs (the driver-query shape at unit scale)."""
+    import numpy as np
+
+    gif_rows, wav_rows = [], []
+    for mid in range(6):
+        w, h, ncol = 3 + mid % 6, 2 + mid % 5, 4 + mid % 5
+        pal = ((mid * 7 + np.arange(ncol * 3)) % 256).astype(np.uint8).reshape(ncol, 3)
+        idx = ((mid * 13 + np.arange(w * h)) % ncol).astype(np.uint8).reshape(h, w)
+        gif_rows.append(
+            (mid, bytearray(multimodal.encode_gif(idx, palette=pal, interlace=bool(mid % 2))))
+        )
+        n, ch = 20 + mid % 50, 1 + mid % 2
+        flat = ((mid * 17 + np.arange(n * ch)) * 97) % 4001 - 2000
+        wav_rows.append(
+            (mid, bytearray(multimodal.encode_wav(flat.astype(np.int16).reshape(n, ch), 8000)))
+        )
+    gdf = spark.createDataFrame(gif_rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.gif_pixel_stats(gdf).collect()}
+    for mid in range(6):
+        w, h, ncol = 3 + mid % 6, 2 + mid % 5, 4 + mid % 5
+        exp = sum(
+            (mid * 7 + ((mid * 13 + q // 3) % ncol) * 3 + q % 3) % 256
+            for q in range(w * h * 3)
+        ) / (w * h * 3)
+        r = got[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_pixel"] == exp
+    wdf = spark.createDataFrame(wav_rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.wav_sample_stats(wdf).collect()}
+    for mid in range(6):
+        n, ch = 20 + mid % 50, 1 + mid % 2
+        vals = [((mid * 17 + j) * 97) % 4001 - 2000 for j in range(n * ch)]
+        r = got[mid]
+        assert (r["sample_rate"], r["n_frames"], r["channels"]) == (8000, n, ch)
+        assert r["mean_sample"] == sum(vals) / len(vals)
+        import math
+
+        assert r["rms"] == math.sqrt(sum(v * v for v in vals) / len(vals))
+
+
 def test_png_pixel_stats_spark(spark):
     """The mapInPandas decode stage returns exact per-image stats for
     planted formula PNGs (sample j of image id = (id*31 + j) % 256)."""
