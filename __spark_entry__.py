@@ -1311,6 +1311,50 @@ def q_media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG decode on the correctness gate.  JPEG is lossy,
+    so the oracle uses the one shape where the DCT math is EXACT: 8x8
+    BLOCK-CONSTANT grayscale images under a unit quantization table (a
+    constant block's DCT is DC-only; quant 1 preserves it; the IDCT
+    returns the constant bit-for-bit).  Block k of image id carries value
+    (id·11 + k) % 256, so the decoded mean is closed-form.  The full
+    entropy pipeline (Huffman DC/AC, zigzag, bit unstuffing) is on the
+    hot path of this value-exact check."""
+    _ship(spark)
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 7 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_jpeg(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.jpeg import encode_jpeg
+
+        ones = np.ones((8, 8))
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            nbx, nby = 1 + mid % 3, 1 + mid % 2
+            blocks = ((mid * 11 + np.arange(nby * nbx)) % 256).astype(np.uint8).reshape(
+                nby, nbx
+            )
+            img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+            out.append(encode_jpeg(img, quant_luma=ones))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_jpeg("media_id")
+    )
+    out = multimodal.image_pixel_stats(media)
+    return out.select(
+        "media_id",
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "mean_pixel",
+    )
+
+
 def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV PCM decode on the correctness gate: formula clips (flat
     sample j = ((id·17 + j)·97) % 4001 − 2000, varying frame count /
@@ -1460,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_decode": q_media_png_decode,
         "media_gif_decode": q_media_gif_decode,
         "media_wav_decode": q_media_wav_decode,
+        "media_jpeg_decode": q_media_jpeg_decode,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "stream_dedup": q_stream_dedup,
         "events_windowed": q_events_windowed,
@@ -2921,6 +2966,23 @@ SELECT media_id,
        list_aggregate(
          list_transform(range(w * h * 3),
                         q -> CAST((media_id * 7 + ((media_id * 13 + (q // 3)) % ncol) * 3 + (q % 3)) % 256 AS DOUBLE)),
+         'avg') AS mean_pixel
+FROM m
+""",
+        "media_jpeg_decode": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         1 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT media_id,
+       'jpeg' AS format,
+       CAST(nbx * 8 AS BIGINT) AS width,
+       CAST(nby * 8 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       list_aggregate(
+         list_transform(range(nbx * nby),
+                        k -> CAST((media_id * 11 + k) % 256 AS DOUBLE)),
          'avg') AS mean_pixel
 FROM m
 """,

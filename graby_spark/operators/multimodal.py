@@ -4,7 +4,7 @@ Images / audio / video ride through the pipeline as ``binary`` columns with
 a metadata struct; decode / feature-extract / resize / frame-sample are
 Arrow-batched ``mapInPandas`` stages.
 
-PNG, GIF and WAV decode are REAL, stdlib-only:
+PNG, GIF, JPEG and WAV decode are REAL, stdlib+numpy only:
 
 * ``decode_png`` — chunk walk, IDAT inflate with zlib, per-scanline
   unfilter per PNG spec §9, palette expansion; ``encode_png`` writes
@@ -14,14 +14,14 @@ PNG, GIF and WAV decode are REAL, stdlib-only:
   interlace de-weave; ``encode_gif`` is the matching encoder.
 * ``decode_wav`` — RIFF chunk walk, 8/16-bit PCM to an (frames,
   channels) sample array; ``encode_wav`` the canonical writer.
+* ``operators.jpeg.decode_jpeg`` — baseline sequential JPEG in pure
+  numpy (Huffman entropy decode, dequant, 8x8 IDCT, chroma upsample,
+  YCbCr→RGB); ``encode_jpeg`` the matching encoder.
 
-So image/audio plumbing is pixel-/sample-exact end-to-end for the common
-lossless web formats.  JPEG decode stays STUBBED (a DCT codec is the one
-piece not feasible without a library here): its Spark side — schema,
-batch shape, partitioning, UDF signatures — is real and tested; the
-decode stub is a deterministic fake (byte-level statistics) clearly
-marked, and ``decode_image`` raises ``NotImplementedError`` when
-``strict=True`` so a real codec can be dropped in.
+So image/audio decode is REAL end-to-end for every common web format
+(PNG/GIF/JPEG/WAV).  Only genuinely unknown payload formats fall back to
+a clearly-marked deterministic fake (or raise under ``strict=True``), so
+feature plumbing stays testable for arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -62,6 +62,7 @@ __all__ = [
     "decode_wav",
     "encode_wav",
     "wav_sample_stats",
+    "image_pixel_stats",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -825,22 +826,80 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
-    """Image decode dispatch.  PNG and GIF are decoded FOR REAL
-    (:func:`decode_png` / :func:`decode_gif`, stdlib only — returns
-    float32 (h, w, channels)).  JPEG remains STUBBED — a DCT codec is the
-    one piece not feasible without a library here: strict=True raises
-    (the drop-in point for a real decoder); otherwise a deterministic
-    fake 8x8 grayscale "image" derived from the payload digest keeps
-    downstream feature plumbing testable end-to-end."""
+    """Image decode dispatch — PNG, GIF and baseline JPEG are all decoded
+    FOR REAL (:func:`decode_png` / :func:`decode_gif` /
+    :func:`graby_spark.operators.jpeg.decode_jpeg`; stdlib + numpy only).
+    Returns float32 (h, w, channels).
+
+    For payloads that are none of these formats, strict=True raises (the
+    drop-in point for further decoders — e.g. WebP); otherwise a
+    deterministic fake 8x8 grayscale "image" derived from the payload
+    digest keeps downstream feature plumbing testable end-to-end for
+    arbitrary bytes."""
     data = payload or b""
     if data[:8] == _PNG_SIG:
         return decode_png(data).astype(np.float32)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data).astype(np.float32)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data).astype(np.float32)
     if strict:
-        raise NotImplementedError("JPEG decode is unavailable in this environment")
+        raise NotImplementedError("no decoder for this payload format")
     digest = hashlib.sha256(data).digest()
     return np.frombuffer(digest * 2, dtype=np.uint8).reshape(8, 8).astype(np.float32)
+
+
+def image_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Real image decode (PNG / GIF / baseline JPEG, dispatched by magic)
+    → (media_id, format, width, height, channels, mean_pixel); unrounded
+    mean for cross-engine exactness like :func:`png_pixel_stats`."""
+    src = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("mean_pixel", DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                data = bytes(payload or b"")
+                if data[:8] == _PNG_SIG:
+                    fmt = "png"
+                elif data[:6] in (b"GIF87a", b"GIF89a"):
+                    fmt = "gif"
+                elif data[:2] == b"\xff\xd8":
+                    fmt = "jpeg"
+                else:
+                    fmt = "unknown"
+                arr = decode_image(data, strict=True)
+                h, w, c = arr.shape
+                out.append(
+                    {
+                        "media_id": mid,
+                        "format": fmt,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "mean_pixel": float(arr.astype(np.float64).mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "format", "width", "height", "channels", "mean_pixel"],
+            )
+
+    return src.mapInPandas(fn, schema)
 
 
 def _grid16(img: np.ndarray) -> np.ndarray:
@@ -879,6 +938,10 @@ def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = 
                     feats = _grid16(decode_png(data).astype(np.float32))
                 elif data[:6] in (b"GIF87a", b"GIF89a"):
                     feats = _grid16(decode_gif(data).astype(np.float32))
+                elif data[:2] == b"\xff\xd8":
+                    from .jpeg import decode_jpeg
+
+                    feats = _grid16(decode_jpeg(data).astype(np.float32))
                 else:
                     img = decode_image(data)
                     feats = (img.flatten().reshape(16, 4).mean(axis=1) / 255.0).astype(

@@ -315,10 +315,12 @@ def test_media_features_deterministic(spark):
 
 
 def test_media_decode_strict_raises():
-    # non-PNG formats have no codec in this container: strict must raise
+    # unknown payload formats have no decoder: strict must raise; a
+    # CORRUPT known format (jpeg magic, garbage body) raises ValueError
+    # from the real decoder instead of silently faking
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"payload", strict=True)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff jpeg", strict=True)
 
 
