@@ -396,8 +396,12 @@ def _hop_step(frontier: DataFrame, visited: DataFrame, lookup: DataFrame) -> Dat
     payload, never the whole corpus (VERDICT r03 #1).  Misses are
     unaffected: a page absent from the pruned side is absent from the
     corpus too, so ``found`` stays null and the chain aborts exactly as it
-    did against the unpruned table."""
-    keys = frontier.select("page_url").distinct()
+    did against the unpruned table.  The keys are deliberately NOT
+    distinct-ed: a left-semi probe only tests existence, so duplicates
+    (several chains converging on one page — rare in practice) cost a few
+    duplicate broadcast rows, while a distinct would cost a whole extra
+    shuffle exchange every hop."""
+    keys = frontier.select("page_url")
     pruned = lookup.join(F.broadcast(keys), "page_url", "left_semi")
     return (
         frontier.join(visited, ["root_url", "page_url"], "left_semi")
@@ -429,6 +433,11 @@ def resolve_multipage(extracted: DataFrame, max_hops: int = 8) -> DataFrame:
     continuation content and appends the ``<em>This article appears to
     continue…`` placeholder to the root content instead.  Merge is a
     groupBy(root) with an ordered collect_list.
+
+    Scale shape (r04): each hop's payload join reads a frontier-pruned
+    lookup (see :func:`_hop_step`) so only continuation candidates' html/
+    text shuffles, and the stitched result is materialized so the corpus
+    cache is released before return — no storage lease outlives the call.
     """
     base = (
         extracted.select(
