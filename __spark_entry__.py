@@ -1355,6 +1355,132 @@ def q_media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode→resize→re-encode normalization stage: formula PNGs
+    resized to a fixed 4x3 with nearest-neighbor floor mapping (integer
+    arithmetic — the oracle replays the exact sample selection and mean
+    closed-form)."""
+    _ship(spark)
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 7 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_png(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.multimodal import encode_png
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            w, h, c = 3 + mid % 6, 2 + mid % 5, [1, 3, 4][mid % 3]
+            arr = (
+                ((mid * 31 + np.arange(w * h * c)) % 256)
+                .astype(np.uint8)
+                .reshape(h, w, c)
+            )
+            out.append(encode_png(arr))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_png("media_id")
+    )
+    out = multimodal.resize_images(media, out_width=4, out_height=3, method="nearest")
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "mean_pixel",
+    )
+
+
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed features over really-decoded PCM: per-16-frame windows of
+    channel 0 with RMS and zero-crossing counts, both replayed closed-form
+    by the oracle (channel-0 frame t of clip id is flat sample t·ch)."""
+    _ship(spark)
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 7 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_wav(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.multimodal import encode_wav
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            n, ch = 20 + mid % 50, 1 + mid % 2
+            flat = ((mid * 17 + np.arange(n * ch)) * 97) % 4001 - 2000
+            out.append(encode_wav(flat.astype(np.int16).reshape(n, ch), 8000))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_wav("media_id")
+    )
+    out = multimodal.audio_features(media, window=16)
+    return out.select(
+        "media_id",
+        F.col("window").cast("long").alias("window"),
+        F.col("n").cast("long").alias("n"),
+        "rms",
+        F.col("zcr").cast("long").alias("zcr"),
+    )
+
+
+def q_media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full animated pipeline on the correctness gate: formula
+    animated GIFs (3-6 frames, 250 ms delays) → REAL frame sampling
+    (decode_gif_frames composition + 500 ms schedule → frames 0, 2, 4) →
+    the sampled canvases re-decoded from their lossless PNG bytes into
+    per-frame pixel means, replayed closed-form by the oracle."""
+    _ship(spark)
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 13 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_anim(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.multimodal import encode_gif_anim
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            w, h, ncol = 6 + mid % 5, 4 + mid % 3, 4 + mid % 5
+            nframes = 3 + mid % 4
+            pal = (
+                (mid * 7 + np.arange(ncol * 3)) % 256
+            ).astype(np.uint8).reshape(ncol, 3)
+            frames = [
+                ((mid * 13 + f * 5 + np.arange(w * h)) % ncol)
+                .astype(np.uint8)
+                .reshape(h, w)
+                for f in range(nframes)
+            ]
+            out.append(encode_gif_anim(frames, pal, delays_ms=[250] * nframes))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_anim("media_id")
+    )
+    sampled = multimodal.sample_frames(media, every_ms=500, max_frames=3).withColumn(
+        "fk", F.col("media_id") * 10 + F.col("frame_no")
+    )
+    stats = multimodal.png_pixel_stats(
+        sampled.select(F.col("fk").alias("media_id"), F.col("frame").alias("payload")),
+    ).select(F.col("media_id").alias("fk"), "mean_pixel")
+    return (
+        sampled.select("fk", "media_id", "frame_no", "ts_ms")
+        .join(stats, "fk")
+        .select(
+            "media_id",
+            F.col("frame_no").cast("long").alias("frame_no"),
+            F.col("ts_ms").cast("long").alias("ts_ms"),
+            "mean_pixel",
+        )
+    )
+
+
 def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV PCM decode on the correctness gate: formula clips (flat
     sample j = ((id·17 + j)·97) % 4001 − 2000, varying frame count /
@@ -1505,6 +1631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif_decode": q_media_gif_decode,
         "media_wav_decode": q_media_wav_decode,
         "media_jpeg_decode": q_media_jpeg_decode,
+        "media_resize": q_media_resize,
+        "media_audio_features": q_media_audio_features,
+        "media_gif_frames": q_media_gif_frames,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "stream_dedup": q_stream_dedup,
         "events_windowed": q_events_windowed,
@@ -2968,6 +3097,63 @@ SELECT media_id,
                         q -> CAST((media_id * 7 + ((media_id * 13 + (q // 3)) % ncol) * 3 + (q % 3)) % 256 AS DOUBLE)),
          'avg') AS mean_pixel
 FROM m
+""",
+        "media_resize": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         3 + doc_id % 6 AS sw, 2 + doc_id % 5 AS sh,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT media_id,
+       CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+       CAST(c AS BIGINT) AS channels,
+       list_aggregate(
+         list_transform(range(3 * 4 * c),
+           q -> CAST((media_id * 31 +
+                      (((q // (4 * c)) * sh // 3) * sw + (((q // c) % 4) * sw // 4)) * c
+                      + (q % c)) % 256 AS DOUBLE)),
+         'avg') AS mean_pixel
+FROM m
+""",
+        "media_audio_features": """
+WITH m AS (
+  SELECT doc_id AS media_id, 20 + doc_id % 50 AS nn, 1 + doc_id % 2 AS ch
+  FROM documents WHERE doc_id % 7 = 0
+),
+wins AS (
+  SELECT media_id, nn, ch, unnest(range((nn + 15) // 16)) AS w FROM m
+)
+SELECT media_id,
+       CAST(w AS BIGINT) AS window,
+       CAST(least(16, nn - w * 16) AS BIGINT) AS n,
+       sqrt(list_aggregate(
+         list_transform(range(least(16, nn - w * 16)),
+           k -> CAST(((media_id * 17 + (w * 16 + k) * ch) * 97) % 4001 - 2000 AS DOUBLE) ** 2),
+         'avg')) AS rms,
+       CAST(coalesce(list_aggregate(
+         list_transform(range(least(16, nn - w * 16) - 1),
+           k -> CASE WHEN ((((media_id * 17 + (w * 16 + k + 1) * ch) * 97) % 4001 - 2000) >= 0)
+                      != ((((media_id * 17 + (w * 16 + k) * ch) * 97) % 4001 - 2000) >= 0)
+                THEN 1 ELSE 0 END),
+         'sum'), 0) AS BIGINT) AS zcr
+FROM wins
+""",
+        "media_gif_frames": """
+WITH m AS (
+  SELECT doc_id AS media_id, 6 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+         4 + doc_id % 5 AS ncol, 3 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 13 = 0
+),
+fr AS (SELECT media_id, w, h, ncol, nf, unnest([0, 2, 4]) AS f FROM m)
+SELECT media_id,
+       CAST(f AS BIGINT) AS frame_no,
+       CAST(f * 250 AS BIGINT) AS ts_ms,
+       list_aggregate(
+         list_transform(range(w * h * 3),
+           q -> CAST((media_id * 7 + 3 * ((media_id * 13 + f * 5 + (q // 3)) % ncol) + (q % 3)) % 256 AS DOUBLE)),
+         'avg') AS mean_pixel
+FROM fr WHERE f < nf
 """,
         "media_jpeg_decode": """
 WITH m AS (

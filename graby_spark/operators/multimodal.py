@@ -57,12 +57,16 @@ __all__ = [
     "encode_png",
     "png_pixel_stats",
     "decode_gif",
+    "decode_gif_frames",
     "encode_gif",
+    "encode_gif_anim",
     "gif_pixel_stats",
     "decode_wav",
     "encode_wav",
     "wav_sample_stats",
     "image_pixel_stats",
+    "resize_images",
+    "audio_features",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -432,6 +436,104 @@ def gif_pixel_stats(
     return src.mapInPandas(fn, schema)
 
 
+def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Floor-mapping nearest neighbor: out[y, x] = src[y*h//out_h,
+    x*w//out_w] — integer arithmetic only, so a SQL oracle can replay the
+    exact sample selection."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[np.ix_(ys, xs)]
+
+
+def _resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pixel-center bilinear (align_corners=False convention): source
+    coordinate (y + 0.5)·h/out_h − 0.5, edge-clamped."""
+    h, w = img.shape[:2]
+    fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(int)
+    x0 = np.floor(fx).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    p = img.astype(np.float64)
+    top = p[np.ix_(y0, x0)] * (1 - wx) + p[np.ix_(y0, x1)] * wx
+    bot = p[np.ix_(y1, x0)] * (1 - wx) + p[np.ix_(y1, x1)] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_images(
+    df: DataFrame,
+    out_width: int,
+    out_height: int,
+    method: str = "bilinear",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode (PNG/GIF/JPEG, real) → resize → re-encode as PNG: the
+    standard vision-pipeline normalization stage (every encoder wants a
+    fixed input resolution).
+
+    ``method``: "nearest" (integer floor mapping — SQL-oracle-replayable
+    sample selection) or "bilinear" (pixel-center align_corners=False).
+    Returns (media_id, width, height, channels, resized_png, mean_pixel)
+    with the mean over the RESIZED image, unrounded.  One Arrow-batched
+    ``mapInPandas`` stage; payloads cross to Python once; the resized
+    payload returns PNG-encoded (lossless, so downstream stages —
+    features, dedup on visual bytes — see exactly what this stage
+    computed)."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method {method!r}")
+    src = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("resized_png", BinaryType()),
+            StructField("mean_pixel", DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                img = decode_image(bytes(payload or b""), strict=True).astype(np.uint8)
+                if method == "nearest":
+                    res = _resize_nearest(img, out_height, out_width)
+                else:
+                    res = np.clip(
+                        np.round(_resize_bilinear(img, out_height, out_width)), 0, 255
+                    ).astype(np.uint8)
+                out.append(
+                    {
+                        "media_id": mid,
+                        "width": out_width,
+                        "height": out_height,
+                        "channels": res.shape[2],
+                        "resized_png": encode_png(res),
+                        "mean_pixel": float(res.astype(np.float64).mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "resized_png",
+                    "mean_pixel",
+                ],
+            )
+
+    return src.mapInPandas(fn, schema)
+
+
 def wav_sample_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
@@ -482,6 +584,59 @@ def wav_sample_stats(
                     "rms",
                 ],
             )
+
+    return src.mapInPandas(fn, schema)
+
+
+def audio_features(
+    df: DataFrame,
+    window: int = 400,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Real decoded-audio features per fixed-size window — the audio twin
+    of video frame sampling: one output row per window of ``window``
+    frames of CHANNEL 0, with (media_id, window, n, rms, zcr).
+
+    ``rms`` is the root-mean-square sample amplitude; ``zcr`` counts sign
+    flips ((s[t] >= 0) != (s[t-1] >= 0)) between CONSECUTIVE frames inside
+    the window (window-boundary pairs belong to the later window's
+    predecessor and are not counted — the convention a closed-form oracle
+    can replay).  Values unrounded: integer sums of squares are exact in
+    float64 and IEEE sqrt is engine-identical.  Row explosion happens
+    Python-side inside one Arrow-batched ``mapInPandas`` — payload crosses
+    once, only fixed-width feature rows return."""
+    src = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("window", IntegerType()),
+            StructField("n", IntegerType()),
+            StructField("rms", DoubleType()),
+            StructField("zcr", IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                _, samples = decode_wav(bytes(payload or b""))
+                ch0 = samples[:, 0].astype(np.float64)
+                n = len(ch0)
+                for w in range((n + window - 1) // window):
+                    seg = ch0[w * window : (w + 1) * window]
+                    pos = seg >= 0
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "window": w,
+                            "n": len(seg),
+                            "rms": float(np.sqrt((seg * seg).mean())),
+                            "zcr": int(np.count_nonzero(pos[1:] != pos[:-1])),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "window", "n", "rms", "zcr"])
 
     return src.mapInPandas(fn, schema)
 
@@ -570,18 +725,22 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray
 _GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """REAL GIF decode with the stdlib only: header + logical screen
-    descriptor, global/local color tables, extension-block skipping, the
-    first image descriptor's LZW-compressed indices (appendix-F variable-
-    width LZW, including the KwKwK case and 4095-entry cap), interlace
-    de-weaving, palette lookup.
+def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list[tuple[int, np.ndarray]]:
+    """REAL animated-GIF decode with the stdlib only: header + logical
+    screen descriptor, global/local color tables, graphic-control
+    extensions (delay, transparency, disposal), EVERY image descriptor's
+    LZW-compressed indices (appendix-F variable-width LZW, including the
+    KwKwK case and 4095-entry cap), interlace de-weaving, palette lookup
+    and frame composition onto the logical screen.
 
-    Returns the first frame as (height, width, 3) uint8 RGB, positioned on
-    the logical screen (frames smaller than the screen are composed onto a
-    background-color canvas, like a viewer's first paint).  Transparency
-    is ignored (returns the palette color).  Truncated/corrupt streams
-    raise ``ValueError``.
+    Returns ``[(delay_ms, canvas), ...]`` — the composed (screen_h,
+    screen_w, 3) uint8 RGB canvas as a viewer would show it after each
+    frame.  Disposal methods: 0/1 leave the canvas, 2 restores the frame
+    rect to the background color, 3 restores the pre-frame canvas.
+    Transparent pixels leave the underlying canvas visible.
+    ``max_frames`` stops the (sequential) decode early — frame sampling
+    of a long animation never pays for the tail.  Truncated/corrupt
+    streams raise ``ValueError``.
     """
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
@@ -599,11 +758,25 @@ def decode_gif(data: bytes) -> np.ndarray:
         if len(gct) < n:
             raise ValueError("truncated global color table")
         pos += 3 * n
+    bg_color = (
+        gct[bg_index] if gct is not None and bg_index < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.full((sh, sw, 3), bg_color, dtype=np.uint8)
+    frames: list[tuple[int, np.ndarray]] = []
+    delay_ms = 0
+    transparent: int | None = None
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
-        if block == 0x21:  # extension: label + sub-blocks
+        if block == 0x21:  # extension
+            label = data[pos]
             pos += 1
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                gce = data[pos + 1 : pos + 1 + data[pos]]
+                disposal = (gce[0] >> 2) & 0x07
+                delay_ms = int.from_bytes(gce[1:3], "little") * 10
+                transparent = gce[3] if gce[0] & 0x01 else None
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
@@ -632,6 +805,7 @@ def decode_gif(data: bytes) -> np.ndarray:
                 ln = data[pos]
                 lzw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1  # block terminator
             idx = _gif_lzw_decode(bytes(lzw), min_code, w * h)
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data underrun")
@@ -646,58 +820,47 @@ def decode_gif(data: bytes) -> np.ndarray:
                 rows = ordered
             if int(rows.max(initial=0)) >= len(table):
                 raise ValueError("GIF palette index out of range")
-            frame = table[rows]
-            if (left, top, w, h) == (0, 0, sw, sh):
-                return frame
-            canvas_color = (
-                table[bg_index] if gct is not None and bg_index < len(table) else 0
-            )
-            canvas = np.full((sh, sw, 3), canvas_color, dtype=np.uint8)
-            canvas[top : top + h, left : left + w] = frame
-            return canvas
+            saved = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + h, left : left + w]
+            frame_rgb = table[rows]
+            if transparent is not None:
+                mask = rows != transparent
+                region[mask] = frame_rgb[mask]
+            else:
+                region[:, :] = frame_rgb
+            frames.append((delay_ms, canvas.copy()))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            # post-frame disposal prepares the canvas for the NEXT frame
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = bg_color
+            elif disposal == 3 and saved is not None:
+                canvas = saved
+            disposal = 0
+            transparent = None
         elif block == 0x3B:  # trailer
             break
+        elif block == 0x00:
+            continue  # stray block terminator (tolerated, like viewers do)
         else:
             raise ValueError(f"invalid GIF block 0x{block:02x}")
-    raise ValueError("GIF contains no image data")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
 
 
-def encode_gif(
-    arr: np.ndarray, palette: np.ndarray | None = None, interlace: bool = False
-) -> bytes:
-    """Valid single-frame GIF89a from an (h, w) uint8 INDEX array and a
-    palette (n, 3) — or from an (h, w, 3) RGB array whose distinct colors
-    (≤ 256) become the palette.  LZW-compresses per the spec (an
-    independent implementation, so the encode/decode pair cross-checks
-    itself like the PNG codec)."""
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 3:
-        flat = a.reshape(-1, 3)
-        palette, idx = np.unique(flat, axis=0, return_inverse=True)
-        if len(palette) > 256:
-            raise ValueError("more than 256 distinct colors")
-        a = idx.astype(np.uint8).reshape(a.shape[:2])
-    if palette is None:
-        raise ValueError("index-array input requires a palette")
-    h, w = a.shape
-    # palette size: power of two ≥ max(2, len(palette))
-    bits = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
-    n = 1 << bits
-    pal = np.zeros((n, 3), dtype=np.uint8)
-    pal[: len(palette)] = palette
-    out = bytearray(b"GIF89a")
-    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag+size, bg 0, no aspect
-    out += pal.tobytes()
-    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out += bytes([0x40 if interlace else 0x00])
-    rows = a
-    if interlace:
-        weaved = [rows[y] for start, step in _GIF_PASSES for y in range(start, h, step)]
-        rows = np.stack(weaved) if weaved else rows
+def decode_gif(data: bytes) -> np.ndarray:
+    """First frame of :func:`decode_gif_frames` as (h, w, 3) uint8 RGB —
+    the still-image view of a GIF payload."""
+    return decode_gif_frames(data, max_frames=1)[0][1]
+
+
+def _gif_image_data(rows: np.ndarray, bits: int) -> bytes:
+    """min-code byte + LZW-compressed, sub-blocked pixel data for one
+    frame's (already weaved) index rows."""
     pixels = rows.flatten().tolist()
     min_code = max(2, bits)
-    out.append(min_code)
+    out = bytearray([min_code])
     clear, end = 1 << min_code, (1 << min_code) + 1
     codes = [clear]
     table = {(i,): i for i in range(1 << min_code)}
@@ -752,7 +915,78 @@ def encode_gif(
         chunk = bitstream[i : i + 255]
         out.append(len(chunk))
         out += chunk
-    out += b"\x00\x3b"
+    out.append(0)  # block terminator
+    return bytes(out)
+
+
+def encode_gif_anim(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delays_ms: list[int] | None = None,
+) -> bytes:
+    """Animated GIF89a from full-canvas (h, w) uint8 INDEX frames sharing
+    one palette: a graphic-control extension (delay, disposal none, no
+    transparency) precedes each image descriptor.  The composition-free
+    shape — every frame repaints the whole canvas — which is exactly what
+    a frame-sampling pipeline wants to round-trip."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape
+    bits = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    n = 1 << bits
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += pal.tobytes()
+    for i, frame in enumerate(frames):
+        if frame.shape != (h, w):
+            raise ValueError("all frames must share the canvas size")
+        delay = (delays_ms[i] if delays_ms else 100) // 10
+        out += bytes([0x21, 0xF9, 4, 0x00]) + delay.to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += b"\x00"
+        out += _gif_image_data(np.asarray(frame, dtype=np.uint8), bits)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def encode_gif(
+    arr: np.ndarray, palette: np.ndarray | None = None, interlace: bool = False
+) -> bytes:
+    """Valid single-frame GIF89a from an (h, w) uint8 INDEX array and a
+    palette (n, 3) — or from an (h, w, 3) RGB array whose distinct colors
+    (≤ 256) become the palette.  LZW-compresses per the spec (an
+    independent implementation, so the encode/decode pair cross-checks
+    itself like the PNG codec)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3:
+        flat = a.reshape(-1, 3)
+        palette, idx = np.unique(flat, axis=0, return_inverse=True)
+        if len(palette) > 256:
+            raise ValueError("more than 256 distinct colors")
+        a = idx.astype(np.uint8).reshape(a.shape[:2])
+    if palette is None:
+        raise ValueError("index-array input requires a palette")
+    h, w = a.shape
+    # palette size: power of two ≥ max(2, len(palette))
+    bits = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    n = 1 << bits
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag+size, bg 0, no aspect
+    out += pal.tobytes()
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    rows = a
+    if interlace:
+        weaved = [rows[y] for start, step in _GIF_PASSES for y in range(start, h, step)]
+        rows = np.stack(weaved) if weaved else rows
+    out += _gif_image_data(rows, bits)
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -1008,10 +1242,19 @@ def sample_frames(
     every_ms: int = 1000,
     max_frames: int = 4,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame.
+    """Frame sampling: one output row per sampled frame.
 
-    Frame decode is stubbed (slices of the payload digest); row explosion,
-    frame indices and timestamps are the real contract."""
+    For animated GIF payloads (the web's ubiquitous short-video format)
+    the sampling is REAL: frames are decoded and composed by
+    :func:`decode_gif_frames`, their timestamps accumulate the per-frame
+    delays, one frame is kept per ``every_ms`` elapsed (always including
+    frame 0) up to ``max_frames``, and the sampled canvas returns
+    PNG-encoded (lossless — downstream stages see exactly the composed
+    pixels).  For other/unknown payloads the frame bytes are the
+    documented deterministic stub (slices of the payload digest) at fixed
+    ``every_ms`` spacing — no container parser for true video formats
+    exists here; row explosion, indices and timestamps remain the real
+    contract."""
     src = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
     schema = StructType(
         [
@@ -1027,6 +1270,26 @@ def sample_frames(
             out = []
             for mid, payload in zip(batch["media_id"], batch["payload"]):
                 data = bytes(payload or b"")
+                if data[:6] in (b"GIF87a", b"GIF89a"):
+                    ts = 0
+                    next_sample = 0
+                    kept = 0
+                    for fno, (delay, canvas) in enumerate(decode_gif_frames(data)):
+                        if kept >= max_frames:
+                            break
+                        if ts >= next_sample:
+                            out.append(
+                                {
+                                    "media_id": mid,
+                                    "frame_no": fno,
+                                    "ts_ms": ts,
+                                    "frame": encode_png(canvas),
+                                }
+                            )
+                            kept += 1
+                            next_sample = ts + every_ms
+                        ts += delay
+                    continue
                 digest = hashlib.sha256(data).digest()
                 n = min(max_frames, max(len(data) // 64, 1))
                 for i in range(n):

@@ -596,6 +596,101 @@ def test_sample_frames(spark):
     assert [f["frame_no"] for f in sorted(frames, key=lambda f: f["ts_ms"])] == [0, 1, 2, 3]
 
 
+def test_sample_frames_real_gif(spark):
+    """Animated-GIF payloads get REAL frame sampling: decoded, composed,
+    scheduled by accumulated delays, returned as lossless PNG."""
+    import numpy as np
+
+    pal = np.array([[0, 0, 0], [50, 100, 150], [200, 210, 220], [5, 6, 7]], dtype=np.uint8)
+    frames = [np.full((4, 6), f, dtype=np.uint8) for f in range(4)]
+    data = multimodal.encode_gif_anim(frames, pal, delays_ms=[250] * 4)
+    df = spark.createDataFrame([(7, bytearray(data))], "media_id long, payload binary")
+    got = sorted(
+        multimodal.sample_frames(df, every_ms=500, max_frames=3).collect(),
+        key=lambda r: r["ts_ms"],
+    )
+    # 250ms frames, 500ms schedule: frames 0 and 2 sampled (frame 4 absent)
+    assert [(r["frame_no"], r["ts_ms"]) for r in got] == [(0, 0), (2, 500)]
+    for r, f in zip(got, (0, 2)):
+        canvas = multimodal.decode_png(bytes(r["frame"]))
+        assert np.array_equal(canvas, np.broadcast_to(pal[f], (4, 6, 3)))
+
+
+def test_gif_anim_roundtrip_and_disposal():
+    """Multi-frame decode: delays, composition, max_frames early stop, and
+    transparency leaving the prior canvas visible."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    pal = np.unique(rng.integers(0, 256, size=(8, 3), dtype=np.uint8), axis=0)
+    frames = [rng.integers(0, len(pal), size=(10, 12), dtype=np.uint8) for _ in range(5)]
+    data = multimodal.encode_gif_anim(frames, pal, delays_ms=[100, 200, 50, 300, 100])
+    decoded = multimodal.decode_gif_frames(data)
+    assert [d for d, _ in decoded] == [100, 200, 50, 300, 100]
+    for (_, canvas), idx in zip(decoded, frames):
+        assert np.array_equal(canvas, pal[idx])
+    assert len(multimodal.decode_gif_frames(data, max_frames=2)) == 2
+    assert np.array_equal(multimodal.decode_gif(data), pal[frames[0]])
+
+    # transparency: patch frame 2's GCE to mark index 1 transparent — the
+    # fully-index-1 second frame then leaves frame 1's canvas untouched
+    pal2 = np.array([[10, 10, 10], [200, 200, 200]], dtype=np.uint8)
+    idx1 = np.zeros((4, 4), dtype=np.uint8)
+    idx2 = np.full((4, 4), 1, dtype=np.uint8)
+    ba = bytearray(multimodal.encode_gif_anim([idx1, idx2], pal2))
+    gces = [i for i in range(len(ba) - 1) if ba[i] == 0x21 and ba[i + 1] == 0xF9]
+    ba[gces[1] + 3] |= 0x01
+    ba[gces[1] + 6] = 1
+    decoded = multimodal.decode_gif_frames(bytes(ba))
+    assert np.array_equal(decoded[1][1], pal2[idx1])
+
+
+def test_resize_images_spark(spark):
+    """Nearest floor-mapping resize is sample-exact; bilinear preserves
+    constants; both re-encode losslessly to PNG."""
+    import numpy as np
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    flat = np.full((6, 5, 3), 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_png(img[:, :, None]))),
+            (2, bytearray(multimodal.encode_png(flat))),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in multimodal.resize_images(df, 4, 4, "nearest").collect()}
+    exp = img[np.ix_([0, 2, 4, 6], [0, 2, 4, 6])]
+    back = multimodal.decode_png(bytes(got[1]["resized_png"]))
+    assert np.array_equal(back[:, :, 0], exp)
+    assert got[1]["mean_pixel"] == float(exp.astype(np.float64).mean())
+    got2 = {r["media_id"]: r for r in multimodal.resize_images(df, 10, 3, "bilinear").collect()}
+    b2 = multimodal.decode_png(bytes(got2[2]["resized_png"]))
+    assert b2.shape == (3, 10, 3) and np.all(b2 == 77)
+    with pytest.raises(ValueError):
+        multimodal.resize_images(df, 4, 4, "lanczos")
+
+
+def test_audio_features_spark(spark):
+    """Windowed RMS/ZCR from really-decoded PCM, hand-computed."""
+    import math
+
+    import numpy as np
+
+    s = np.array([100, -100, 50, -50, 0, 10, -10, 20, 30], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_wav(s, 8000)))], "media_id long, payload binary"
+    )
+    got = sorted(
+        multimodal.audio_features(df, window=4).collect(), key=lambda r: r["window"]
+    )
+    assert [(r["window"], r["n"]) for r in got] == [(0, 4), (1, 4), (2, 1)]
+    w0 = s[:4].astype(float)
+    assert got[0]["rms"] == math.sqrt(float((w0 * w0).mean()))
+    # signs: + - + -  -> 3 flips; window 1: 0,10,-10,20 -> +,+,-,+ -> 2
+    assert got[0]["zcr"] == 3 and got[1]["zcr"] == 2 and got[2]["zcr"] == 0
+
+
 def test_embedding_near_dups_lsh_matches_bruteforce(spark, embeddings):
     brute = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dups(embeddings, threshold=0.99).collect()}
     lsh = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dups_lsh(embeddings, threshold=0.99, dim=16).collect()}
