@@ -1481,6 +1481,43 @@ def q_media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ISO BMFF metadata on the correctness gate: formula moov/mvhd/
+    tkhd skeletons (varying dims + durations) parsed by the box walker in
+    attach_media_metadata; closed-form oracle."""
+    _ship(spark)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 7 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_mp4(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.multimodal import encode_mp4_skeleton
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            out.append(
+                encode_mp4_skeleton(
+                    160 + (mid % 5) * 16,
+                    90 + (mid % 3) * 30,
+                    1000 + (mid * 7) % 60000,
+                )
+            )
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_mp4("media_id")
+    )
+    out = multimodal.attach_media_metadata(media)
+    return out.select(
+        "media_id",
+        "mime",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
 def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV PCM decode on the correctness gate: formula clips (flat
     sample j = ((id·17 + j)·97) % 4001 − 2000, varying frame count /
@@ -1632,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_decode": q_media_wav_decode,
         "media_jpeg_decode": q_media_jpeg_decode,
         "media_resize": q_media_resize,
+        "media_mp4_meta": q_media_mp4_meta,
         "media_audio_features": q_media_audio_features,
         "media_gif_frames": q_media_gif_frames,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
@@ -3097,6 +3135,14 @@ SELECT media_id,
                         q -> CAST((media_id * 7 + ((media_id * 13 + (q // 3)) % ncol) * 3 + (q % 3)) % 256 AS DOUBLE)),
          'avg') AS mean_pixel
 FROM m
+""",
+        "media_mp4_meta": """
+SELECT doc_id AS media_id,
+       'video/mp4' AS mime,
+       CAST(160 + (doc_id % 5) * 16 AS BIGINT) AS width,
+       CAST(90 + (doc_id % 3) * 30 AS BIGINT) AS height,
+       CAST(1000 + (doc_id * 7) % 60000 AS BIGINT) AS duration_ms
+FROM documents WHERE doc_id % 7 = 0
 """,
         "media_resize": """
 WITH m AS (

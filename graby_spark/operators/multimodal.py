@@ -67,6 +67,8 @@ __all__ = [
     "image_pixel_stats",
     "resize_images",
     "audio_features",
+    "mp4_metadata",
+    "encode_mp4_skeleton",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -151,20 +153,44 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
             lambda p: list(jpeg_dims(bytes(p or b"")) or []) or None
         )
 
+    # ISO BMFF is identified structurally (an 'ftyp' box at offset 4), not
+    # by the weak leading-size-byte magic
+    is_bmff = F.expr(f"substring({payload_col}, 5, 4)") == F.lit(b"ftyp")
+    mime = F.when(is_bmff, F.lit("video/mp4")).otherwise(mime)
+
+    @F.pandas_udf(_Arr(IntegerType()))
+    def _mp4_whd(payloads: pd.Series) -> pd.Series:
+        def parse(p):
+            try:
+                m = mp4_metadata(bytes(p or b""))
+            except ValueError:
+                return None
+            return [m["width"] or 0, m["height"] or 0, m["duration_ms"] or 0]
+
+        return payloads.map(parse)
+
     out = df.withColumn("mime", mime).withColumn("payload_bytes", F.length(payload))
     out = out.withColumn(
         "_jwh",
         F.when(F.col("mime") == "image/jpeg", _jpeg_wh(payload)),
+    ).withColumn(
+        "_mp4",
+        F.when(is_bmff, _mp4_whd(payload)),
+    )
+    mp4_dim = lambda i: F.when(  # noqa: E731 — 0 means "absent" in the UDF
+        F.element_at("_mp4", i) > 0, F.element_at("_mp4", i)
     )
     width = (
         F.when(png_ok & (F.col("mime") == "image/png"), be(17, 4))
         .when(gif_ok & (F.col("mime") == "image/gif"), w_gif)
         .when(F.col("mime") == "image/jpeg", F.element_at("_jwh", 1))
+        .when(F.col("mime") == "video/mp4", mp4_dim(1))
     )
     height = (
         F.when(png_ok & (F.col("mime") == "image/png"), be(21, 4))
         .when(gif_ok & (F.col("mime") == "image/gif"), h_gif)
         .when(F.col("mime") == "image/jpeg", F.element_at("_jwh", 2))
+        .when(F.col("mime") == "video/mp4", mp4_dim(2))
     )
     # WAV duration from the canonical RIFF layout (PCM fmt chunk directly
     # after WAVE, data chunk at offset 37): declared data size / byte rate.
@@ -227,11 +253,15 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
             / (bitrate_kbps * 1000)
         ).cast("int"),
     )
+    mp4_duration = F.when(
+        (F.col("mime") == "video/mp4") & (F.element_at("_mp4", 3) > 0),
+        F.element_at("_mp4", 3),
+    )
     return (
         out.withColumn("width", width)
         .withColumn("height", height)
-        .withColumn("duration_ms", F.coalesce(wav_duration, mp3_duration))
-        .drop("_jwh", "_mp3_tag")
+        .withColumn("duration_ms", F.coalesce(wav_duration, mp3_duration, mp4_duration))
+        .drop("_jwh", "_mp3_tag", "_mp4")
     )
 
 
@@ -246,12 +276,14 @@ def decode_png(data: bytes) -> np.ndarray:
     concatenated-IDAT zlib inflate, per-scanline unfilter (None/Sub/Up/
     Average/Paeth, PNG spec §9), palette expansion via PLTE lookup.
 
-    Returns (height, width, channels) uint8 — channels 1 (gray),
-    2 (gray+alpha), 3 (RGB, incl. expanded palettes) or 4 (RGBA).
+    Returns (height, width, channels) — uint8 for depth-8 streams (incl.
+    expanded palettes), uint16 for depth-16; channels 1 (gray),
+    2 (gray+alpha), 3 (RGB) or 4 (RGBA).
 
-    Scope: bit depth 8, non-interlaced — the overwhelmingly common shape
-    for web PNGs.  16-bit, sub-byte depths and Adam7 raise
-    ``NotImplementedError`` (loud, not a fake), truncated/corrupt streams
+    Scope: bit depths 8 and 16, interlace methods none AND Adam7 (pass
+    extraction with per-pass unfiltering — each pass filters as an
+    independent image per spec §8.2).  Sub-byte depths raise
+    ``NotImplementedError`` (loud, not a fake); truncated/corrupt streams
     raise ``ValueError``.
     """
     if data[:8] != _PNG_SIG:
@@ -279,21 +311,77 @@ def decode_png(data: bytes) -> np.ndarray:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, ctype, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlacing unsupported")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8/16 only)")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"invalid PNG color type {ctype}")
+    if ctype == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is invalid")
     channels = _PNG_CHANNELS[ctype]
+    sb = depth // 8  # bytes per sample
+    bpp = channels * sb
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
+    if interlace == 0:
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        out = _png_unfilter(raw, 0, height, stride, bpp)[0]
+        flat = out.reshape(height, width * channels * sb)
+    else:  # Adam7
+        flat = np.zeros((height, width * bpp), dtype=np.uint8)
+        pix = flat.reshape(height, width, bpp)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, p = _png_unfilter(raw, p, ph, pw * bpp, bpp)
+            pix[y0::dy, x0::dx] = rows.reshape(ph, pw, bpp)
+        if p != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    if depth == 16:
+        arr16 = flat.reshape(height, width, channels, 2)
+        arr = (
+            arr16[..., 0].astype(np.uint16) * 256 + arr16[..., 1].astype(np.uint16)
+        )
+        return arr  # (h, w, channels) uint16, big-endian samples combined
+    arr = flat.reshape(height, width, channels)
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(arr.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        arr = pal[arr[:, :, 0]]
+    return arr
+
+
+#: Adam7 passes: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, p: int, height: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``height`` scanlines of ``stride`` bytes starting at
+    offset ``p`` (PNG spec §9 — filtering is byte-level regardless of
+    sample size, so 8- and 16-bit share this).  Returns the (height,
+    stride) byte grid and the offset past the consumed scanlines."""
+    if len(raw) < p + height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
-    bpp = channels  # bytes per pixel at depth 8
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    p = 0
     for y in range(height):
         f = raw[p]
         row = np.frombuffer(raw[p + 1 : p + 1 + stride], dtype=np.uint8).copy()
@@ -325,15 +413,7 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = cur
         prev = cur
-    arr = out.reshape(height, width, channels)
-    if ctype == 3:
-        if plte is None or len(plte) % 3:
-            raise ValueError("palette PNG without valid PLTE")
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        if int(arr.max(initial=0)) >= len(pal):
-            raise ValueError("palette index out of range")
-        arr = pal[arr[:, :, 0]]
-    return arr
+    return out, p
 
 
 def _png_chunk(typ: bytes, payload: bytes) -> bytes:
@@ -345,25 +425,17 @@ def _png_chunk(typ: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """Valid 8-bit non-interlaced PNG from a (h, w[, channels]) uint8 array
-    (channels 1/2/3/4 → color type 0/4/2/6).  ``filters`` picks the filter
-    type per scanline (default: cycle 0..4, so a round-trip exercises every
-    unfilter path); filtering follows PNG spec §9 exactly — the inverse of
-    :func:`decode_png`, written against the spec independently so the pair
-    cross-checks itself."""
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        a = a[:, :, None]
-    h, w, channels = a.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    stride = w * channels
-    bpp = channels
-    flat = a.reshape(h, stride).astype(np.int32)
+def _png_filter_rows(
+    flat: np.ndarray, bpp: int, filters: list[int] | None
+) -> bytes:
+    """Filter a (h, stride) byte grid per spec §9, one chosen filter byte
+    per scanline (default: cycle 0..4)."""
+    h = flat.shape[0]
+    stride = flat.shape[1]
     lines = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        f = (filters[y % len(filters)] if filters else y % 5) if h else 0
+        f = filters[y % len(filters)] if filters else y % 5
         cur = flat[y]
         left = np.zeros(stride, dtype=np.int32)
         left[bpp:] = cur[:-bpp]
@@ -387,15 +459,59 @@ def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
         lines.append(f)
         lines += (enc & 0xFF).astype(np.uint8).tobytes()
         prev = cur
+    return bytes(lines)
+
+
+def encode_png(
+    arr: np.ndarray, filters: list[int] | None = None, interlace: bool = False
+) -> bytes:
+    """Valid PNG from a (h, w[, channels]) array — uint8 → depth 8,
+    uint16 → depth 16 (big-endian samples); channels 1/2/3/4 → color type
+    0/4/2/6; ``interlace=True`` writes Adam7 (each pass filtered as an
+    independent image per spec §8.2).  ``filters`` picks the filter type
+    per scanline (default: cycle 0..4, so a round-trip exercises every
+    unfilter path); filtering follows PNG spec §9 exactly — the inverse
+    of :func:`decode_png`, written against the spec independently so the
+    pair cross-checks itself."""
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    a = a.astype(np.uint16 if depth == 16 else np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, channels = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    sb = depth // 8
+    bpp = channels * sb
+    if depth == 16:
+        by = np.zeros((h, w, channels, 2), dtype=np.uint8)
+        by[..., 0] = a >> 8
+        by[..., 1] = a & 0xFF
+        pix = by.reshape(h, w, bpp)
+    else:
+        pix = a.reshape(h, w, bpp)
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pix[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += _png_filter_rows(
+                sub.reshape(sub.shape[0], sub.shape[1] * bpp).astype(np.int32),
+                bpp,
+                filters,
+            )
+        body = bytes(lines)
+    else:
+        body = _png_filter_rows(pix.reshape(h, w * bpp).astype(np.int32), bpp, filters)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, ctype, 0, 0, 0])
+        + bytes([depth, ctype, 0, 0, 1 if interlace else 0])
     )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -586,6 +702,107 @@ def wav_sample_stats(
             )
 
     return src.mapInPandas(fn, schema)
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the ISO BMFF boxes in
+    data[start:end] — u32 size, 4CC type, size==1 → 64-bit largesize,
+    size==0 → to end of enclosure."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("invalid mp4 box size")
+        yield typ, body, pos + size
+        pos += size
+
+
+def mp4_metadata(data: bytes) -> dict:
+    """REAL ISO BMFF (MP4/MOV) metadata from the box tree — no codec:
+    walks ftyp/moov, reads mvhd (timescale + duration, version 0 and 1)
+    and every trak's tkhd (16.16 fixed-point width/height; the video
+    track is the one with nonzero dims).
+
+    Returns {"brand", "duration_ms", "width", "height"} (missing pieces
+    None).  Raises ``ValueError`` for non-BMFF or corrupt streams."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF stream")
+    brand = data[8:12].decode("latin-1")
+    out: dict = {"brand": brand, "duration_ms": None, "width": None, "height": None}
+    for typ, b, e in _mp4_boxes(data, 0, len(data)):
+        if typ != b"moov":
+            continue
+        for t2, b2, e2 in _mp4_boxes(data, b, e):
+            if t2 == b"mvhd":
+                ver = data[b2]
+                if ver == 1:
+                    ts = int.from_bytes(data[b2 + 20 : b2 + 24], "big")
+                    dur = int.from_bytes(data[b2 + 24 : b2 + 32], "big")
+                else:
+                    ts = int.from_bytes(data[b2 + 12 : b2 + 16], "big")
+                    dur = int.from_bytes(data[b2 + 16 : b2 + 20], "big")
+                if ts:
+                    out["duration_ms"] = dur * 1000 // ts
+            elif t2 == b"trak":
+                for t3, b3, e3 in _mp4_boxes(data, b2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    ver = data[b3]
+                    off = b3 + (88 if ver == 1 else 76)
+                    w = int.from_bytes(data[off : off + 4], "big") >> 16
+                    h = int.from_bytes(data[off + 4 : off + 8], "big") >> 16
+                    if w and h:  # the video track
+                        out["width"], out["height"] = w, h
+    return out
+
+
+def encode_mp4_skeleton(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Minimal valid ISO BMFF metadata skeleton (ftyp + moov{mvhd,
+    trak{tkhd}} + empty mdat) — what a metadata pipeline fixture needs;
+    carries no coded media."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+    dur = duration_ms * timescale // 1000
+    mvhd = (
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # creation/modification
+        + timescale.to_bytes(4, "big")
+        + dur.to_bytes(4, "big")
+        + b"\x00\x01\x00\x00"  # rate 1.0
+        + b"\x01\x00"  # volume 1.0
+        + bytes(10)
+        + bytes(36)  # identity matrix slot (zeros fine for a skeleton)
+        + bytes(24)  # predefined
+        + (2).to_bytes(4, "big")  # next track id
+    )
+    tkhd = (
+        bytes(4)
+        + bytes(8)
+        + (1).to_bytes(4, "big")  # track id
+        + bytes(4)
+        + dur.to_bytes(4, "big")
+        + bytes(8)
+        + bytes(8)  # layer/alt-group/volume/reserved
+        + bytes(36)
+        + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big")
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    ftyp = box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    return ftyp + moov + box(b"mdat", b"")
 
 
 def audio_features(

@@ -306,6 +306,27 @@ def test_media_mp3_duration(spark):
     assert res[4] == ("audio/mpeg", None)
 
 
+def test_media_mp4_metadata(spark):
+    """ISO BMFF box-tree metadata (mvhd duration, tkhd dims) is parsed
+    for real; structural 'ftyp' identification replaces the weak
+    leading-byte magic; corrupt BMFF yields NULLs, not fakes."""
+    from graby_spark.operators.multimodal import encode_mp4_skeleton, mp4_metadata
+
+    ok = encode_mp4_skeleton(640, 360, 12345)
+    m = mp4_metadata(ok)
+    assert (m["width"], m["height"], m["duration_ms"]) == (640, 360, 12345)
+    rows = [
+        (1, bytearray(ok)),
+        (2, bytearray(b"\x00\x00\x00\x14ftypgarbage-not-boxes!")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.attach_media_metadata(df).collect()}
+    assert got[1]["mime"] == "video/mp4"
+    assert (got[1]["width"], got[1]["height"], got[1]["duration_ms"]) == (640, 360, 12345)
+    assert got[2]["mime"] == "video/mp4"  # structurally ftyp, but corrupt:
+    assert got[2]["width"] is None and got[2]["duration_ms"] is None
+
+
 def test_media_features_deterministic(spark):
     rows = [(1, b"abc"), (2, b"abc"), (3, b"xyz")]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
@@ -381,24 +402,54 @@ def test_png_decode_hand_built_stream():
 
 
 def test_png_decode_loud_on_unsupported():
-    """16-bit and interlaced PNGs raise NotImplementedError (no silent
-    fakes); corrupt streams raise ValueError."""
+    """Sub-byte depths raise NotImplementedError (no silent fakes);
+    corrupt/mislabeled streams raise ValueError."""
     import numpy as np
 
     arr = np.zeros((2, 2, 1), dtype=np.uint8)
     good = multimodal.encode_png(arr)
-    deep = bytearray(good)
-    deep[24] = 16  # IHDR bit depth
+    shallow = bytearray(good)
+    shallow[24] = 4  # IHDR bit depth: sub-byte
     with pytest.raises(NotImplementedError):
+        multimodal.decode_png(bytes(shallow))
+    # flipping depth/interlace WITHOUT re-encoding makes the data length
+    # wrong for the declared layout — a loud ValueError, not a fake
+    deep = bytearray(good)
+    deep[24] = 16
+    with pytest.raises(ValueError):
         multimodal.decode_png(bytes(deep))
     inter = bytearray(good)
-    inter[28] = 1  # IHDR interlace
-    with pytest.raises(NotImplementedError):
+    inter[28] = 1
+    with pytest.raises(ValueError):
         multimodal.decode_png(bytes(inter))
     with pytest.raises(ValueError):
         multimodal.decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
     with pytest.raises(ValueError):
         multimodal.decode_png(b"GIF89a")
+
+
+def test_png_adam7_and_16bit_roundtrip():
+    """Adam7 interlace (per-pass unfiltering, empty-pass edge cases) and
+    16-bit depth (byte-level filtering, big-endian sample recombination)
+    round-trip pixel-exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    for (h, w, c) in [(1, 1, 1), (6, 5, 3), (7, 4, 4), (9, 9, 1), (3, 10, 3)]:
+        arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        back = multimodal.decode_png(multimodal.encode_png(arr, interlace=True))
+        assert np.array_equal(back, arr), (h, w, c)
+    for (h, w, c) in [(1, 1, 1), (4, 5, 3), (7, 3, 4)]:
+        arr = rng.integers(0, 65536, size=(h, w, c), dtype=np.uint16)
+        for inter in (False, True):
+            back = multimodal.decode_png(multimodal.encode_png(arr, interlace=inter))
+            assert back.dtype == np.uint16 and np.array_equal(back, arr)
+    # tiny canvases where several Adam7 passes are empty
+    for (h, w) in [(1, 1), (2, 2), (8, 1), (1, 8)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(
+            multimodal.decode_png(multimodal.encode_png(arr, interlace=True)), arr
+        )
 
 
 def test_gif_roundtrip_pixel_exact():
