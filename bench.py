@@ -273,6 +273,43 @@ def main() -> None:
     queries["dedup_paragraphs"] = timed(lambda: dedup.paragraph_dedup(para_docs).count())
     queries["text_pii"] = timed(lambda: pii.pii_scrub(docs).count())
 
+    # real media decode throughput: encode+decode 20k formula PNGs
+    # (16-48 px sides, gray/RGB) in one mapInPandas pipeline — generation
+    # and the stdlib-zlib decoder are both in the timed path; the stage is
+    # embarrassingly parallel
+    from graby_spark.operators import multimodal
+
+    def _media_decode_run():
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        @F.pandas_udf("binary")
+        def gen_png(ids):
+            import pandas as pd
+            from graby_spark.operators.multimodal import encode_png
+
+            out = []
+            for mid in ids:
+                mid = int(mid)
+                w, h, c = 16 + mid % 33, 16 + mid % 17, [1, 3][mid % 2]
+                arr = (
+                    ((mid * 31 + np.arange(w * h * c)) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w, c)
+                )
+                out.append(encode_png(arr))
+            return pd.Series(out)
+
+        media = (
+            spark.range(20000)
+            .repartition(64)
+            .select(F.col("id").alias("media_id"))
+            .withColumn("payload", gen_png("media_id"))
+        )
+        return multimodal.png_pixel_stats(media).count()
+
+    queries["media_decode_png"] = timed(_media_decode_run)
+
     # iterative shuffle benchmark: 10 checkpointed PageRank iterations over
     # the deterministic modular graph (~1.75 edges/doc)
     def _pagerank_run():

@@ -155,3 +155,94 @@ def test_plain_text_matches_regex_twin(text):
     ws = re.compile(r"[ \t\r\n]+")
     expected = ws.sub(" ", tag.sub(" ", text)).strip()
     assert _plain_text(text) == expected
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.sampled_from([1, 2, 3, 4]),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+def test_png_roundtrip_property(h, w, c, interlace, rnd):
+    """encode_png∘decode_png is the identity for any uint8 array, any
+    shape/channel-count, interlaced or not (independent per-spec filter
+    and unfilter implementations)."""
+    import numpy as np
+
+    from graby_spark.operators.multimodal import decode_png, encode_png
+
+    arr = np.array(
+        [rnd.randrange(256) for _ in range(h * w * c)], dtype=np.uint8
+    ).reshape(h, w, c)
+    back = decode_png(encode_png(arr, interlace=interlace))
+    assert np.array_equal(back, arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(1, 6),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+def test_gif_roundtrip_property(h, w, ncol, interlace, rnd):
+    """encode_gif∘decode_gif is the identity for any palette image (the
+    LZW pair including width growth and the KwKwK case)."""
+    import numpy as np
+
+    from graby_spark.operators.multimodal import decode_gif, encode_gif
+
+    pal = np.array(
+        sorted({tuple(rnd.randrange(256) for _ in range(3)) for _ in range(ncol)}),
+        dtype=np.uint8,
+    )
+    idx = np.array(
+        [rnd.randrange(len(pal)) for _ in range(h * w)], dtype=np.uint8
+    ).reshape(h, w)
+    rgb = pal[idx]
+    back = decode_gif(encode_gif(rgb, interlace=interlace))
+    assert np.array_equal(back, rgb)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 200),
+    st.integers(1, 3),
+    st.randoms(use_true_random=False),
+)
+def test_wav_roundtrip_property(n, ch, rnd):
+    """encode_wav∘decode_wav is the identity for any 16-bit PCM clip."""
+    import numpy as np
+
+    from graby_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.array(
+        [rnd.randrange(-32768, 32768) for _ in range(n * ch)], dtype=np.int16
+    ).reshape(n, ch)
+    rate, back = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000 and np.array_equal(back, s.astype(np.int32))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 4),
+    st.integers(1, 4),
+    st.randoms(use_true_random=False),
+)
+def test_jpeg_block_constant_exact_property(nbx, nby, rnd):
+    """Baseline JPEG is bit-exact on 8x8 block-constant gray images under
+    a unit quantizer — the DC-only invariant the oracle leans on — for
+    ANY block values and grid shape."""
+    import numpy as np
+
+    from graby_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    blocks = np.array(
+        [rnd.randrange(256) for _ in range(nbx * nby)], dtype=np.uint8
+    ).reshape(nby, nbx)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    out = decode_jpeg(encode_jpeg(img, quant_luma=np.ones((8, 8))))
+    assert np.array_equal(out[:, :, 0], img)
