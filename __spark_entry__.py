@@ -1518,6 +1518,44 @@ def q_media_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate detection over REALLY-decoded images: planted
+    grayscale PNGs keyed by (id % 5, (id//5) % 2) — same key = identical
+    pixels, same base with the other variant = a few perturbed pixels
+    (hamming 1-3 after aHash), different bases ≥ 24 apart — hashed with
+    perceptual_hash (decode → 8x8 nearest resize → mean threshold),
+    paired via 16-bit banding + exact hamming verify.  The oracle replays
+    the ENTIRE hash computation and band join in SQL (integer-exact
+    nearest resize + two's-complement bit packing make that possible)."""
+    _ship(spark)
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 7 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_png(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.multimodal import encode_png
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            base, var = mid % 5, (mid // 5) % 2
+            w, h = 16 + base * 4, 16 + base * 2
+            j = np.arange(w * h)
+            vals = (base * 37 + j * 13 + var * np.where(j % 41 == 0, 90, 0)) % 256
+            out.append(encode_png(vals.astype(np.uint8).reshape(h, w)))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_png("media_id")
+    )
+    hashes = multimodal.perceptual_hash(media, method="ahash")
+    pairs = multimodal.phash_pairs(hashes, max_hamming=4)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV PCM decode on the correctness gate: formula clips (flat
     sample j = ((id·17 + j)·97) % 4001 − 2000, varying frame count /
@@ -1670,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_decode": q_media_jpeg_decode,
         "media_resize": q_media_resize,
         "media_mp4_meta": q_media_mp4_meta,
+        "media_phash_dedup": q_media_phash_dedup,
         "media_audio_features": q_media_audio_features,
         "media_gif_frames": q_media_gif_frames,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
@@ -3135,6 +3174,44 @@ SELECT media_id,
                         q -> CAST((media_id * 7 + ((media_id * 13 + (q // 3)) % ncol) * 3 + (q % 3)) % 256 AS DOUBLE)),
          'avg') AS mean_pixel
 FROM m
+""",
+        "media_phash_dedup": """
+WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 0),
+hp AS (
+  SELECT id, id % 5 AS base, (id // 5) % 2 AS var,
+         16 + (id % 5) * 4 AS w, 16 + (id % 5) * 2 AS h
+  FROM ids
+),
+samp AS (
+  SELECT id,
+    list_transform(range(64), q ->
+      CAST((base * 37
+            + (((q // 8) * h // 8) * w + ((q % 8) * w // 8)) * 13
+            + var * (CASE WHEN ((((q // 8) * h // 8) * w + ((q % 8) * w // 8)) % 41) = 0
+                     THEN 90 ELSE 0 END)) % 256 AS DOUBLE)) AS s
+  FROM hp
+),
+hashes AS (
+  SELECT id,
+    list_aggregate(list_transform(range(63), q ->
+      CASE WHEN s[CAST(q + 1 AS INTEGER)] > list_aggregate(s, 'avg')
+           THEN (1::BIGINT << CAST(q AS INTEGER)) ELSE 0 END), 'sum')
+    + CASE WHEN s[64] > list_aggregate(s, 'avg')
+           THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END AS phash
+  FROM samp
+),
+bands AS (
+  SELECT id, phash, unnest([0, 1, 2, 3]) AS b FROM hashes
+),
+bands2 AS (
+  SELECT id, phash, b, (phash >> CAST(16 * b AS INTEGER)) & 65535 AS bucket FROM bands
+),
+cand AS (
+  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b, x.phash AS ha, y.phash AS hb
+  FROM bands2 x JOIN bands2 y ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 4
 """,
         "media_mp4_meta": """
 SELECT doc_id AS media_id,

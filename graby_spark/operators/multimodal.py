@@ -69,6 +69,8 @@ __all__ = [
     "audio_features",
     "mp4_metadata",
     "encode_mp4_skeleton",
+    "perceptual_hash",
+    "phash_pairs",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -702,6 +704,100 @@ def wav_sample_stats(
             )
 
     return src.mapInPandas(fn, schema)
+
+
+def perceptual_hash(
+    df: DataFrame,
+    method: str = "ahash",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """64-bit perceptual hash over REALLY-decoded images → (media_id,
+    phash) — the visual-dedup signature a multimodal training pipeline
+    runs after decode.
+
+    * ``ahash``: grayscale (channel mean) → 8x8 nearest floor-map resize
+      → bit j set iff sample j > the 64-sample mean (strict >, ties→0).
+    * ``dhash``: 9x8 resize → bit set iff left sample > right neighbor
+      (row-major gradient sign).
+
+    Both use the integer-exact nearest resize, so a SQL oracle can replay
+    the hash bit-for-bit from planted images.  Bit j weights 2^j in
+    row-major sample order; the packed value is returned as a signed
+    int64 (two's complement — identical in DuckDB).  One Arrow-batched
+    ``mapInPandas``; payload crosses once, 8 bytes come back."""
+    if method not in ("ahash", "dhash"):
+        raise ValueError(f"unknown perceptual hash {method!r}")
+    src = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("phash", LongType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                img = decode_image(bytes(payload or b""), strict=True).astype(np.float64)
+                gray = img.mean(axis=2)
+                if method == "ahash":
+                    g = _resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
+                    bits = (g > g.mean()).flatten()
+                else:
+                    g = _resize_nearest(gray[:, :, None], 8, 9)[:, :, 0]
+                    bits = (g[:, :-1] > g[:, 1:]).flatten()
+                h = 0
+                for j, b in enumerate(bits):
+                    if b:
+                        h |= 1 << j
+                if h >= 1 << 63:
+                    h -= 1 << 64  # two's-complement into int64
+                out.append({"media_id": mid, "phash": h})
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return src.mapInPandas(fn, schema)
+
+
+def phash_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate image pairs from :func:`perceptual_hash` output:
+    candidates share at least one 16-bit band of the 64-bit hash
+    (pigeonhole: any pair within hamming distance 4 agrees on one of the
+    4 bands... distance ≤ 3 is guaranteed, distance 4 can straddle — the
+    standard banding trade, same S-curve logic as simhash), verified by
+    exact ``bit_count(xor)``.  Pure JVM after the hash column exists —
+    the band join shuffles only (band, bucket, id, hash), never pixels.
+    """
+    bands = hashes.select(
+        F.col("media_id").alias("doc"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "phash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.phash").alias("h_a"),
+            F.col("y.phash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def _mp4_boxes(data: bytes, start: int, end: int):

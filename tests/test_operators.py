@@ -327,6 +327,52 @@ def test_media_mp4_metadata(spark):
     assert got[2]["width"] is None and got[2]["duration_ms"] is None
 
 
+def test_perceptual_hash_dedup(spark):
+    """Visual dedup over really-decoded pixels: identical images hash
+    equal (hamming 0 pairs), lightly perturbed copies land within the
+    banded-verify radius, unrelated images are filtered out; dhash is
+    gradient-based so a constant brightness shift leaves it unchanged."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    twin = base.copy()
+    twin[0, 0] ^= 0xFF  # one-pixel change
+    other = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    rows = [
+        (1, bytearray(multimodal.encode_png(base))),
+        (2, bytearray(multimodal.encode_png(base))),
+        (3, bytearray(multimodal.encode_png(twin))),
+        (4, bytearray(multimodal.encode_png(other))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = multimodal.perceptual_hash(df, method="ahash")
+    hs = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    assert hs[1] == hs[2]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal.phash_pairs(hashes, max_hamming=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    # the one-pixel twin is within a couple of bits of its original
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] <= 4
+    # dhash: invariant to a global brightness shift (gradient signs only);
+    # use a 0..199 image so +40 never clips
+    dim = rng.integers(0, 200, size=(24, 32), dtype=np.uint8)
+    bright = (dim + 40).astype(np.uint8)
+    df2 = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_png(dim))),
+         (2, bytearray(multimodal.encode_png(bright)))],
+        "media_id long, payload binary",
+    )
+    d = {r["media_id"]: r["phash"] for r in multimodal.perceptual_hash(df2, "dhash").collect()}
+    assert d[1] == d[2]
+    with pytest.raises(ValueError):
+        multimodal.perceptual_hash(df, method="md5")
+
+
 def test_media_features_deterministic(spark):
     rows = [(1, b"abc"), (2, b"abc"), (3, b"xyz")]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
