@@ -443,6 +443,16 @@ def q_text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.perplexity_score_backoff(docs.where("doc_id % 2 = 1"), lm)
 
 
+def q_text_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 stupid-backoff perplexity (trigram → α·bigram → α²·unigram
+    with <unk>): the practical equivalent of CCNet's KenLM n-gram ranking
+    at corpus-filter granularity; the oracle replays the full three-level
+    LM build and backoff in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = textstats.build_trigram_lm(docs.where("doc_id % 2 = 0"))
+    return textstats.perplexity_score_backoff3(docs.where("doc_id % 2 = 1"), lm)
+
+
 def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed model-based quality gate: hashed linear classifier +
     stored-LM perplexity filter joined per doc; keep = classifier pass AND
@@ -1717,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "join_orders_by_nation": q_join_orders_by_nation,
         "text_perplexity_bigram": q_text_perplexity_bigram,
+        "text_perplexity_trigram": q_text_perplexity_trigram,
         "pipeline_frontier": q_pipeline_frontier,
         # --- driver-verified in r03; re-verified as sweep room allows ---
         "extract_meta": q_extract_meta,
@@ -2944,6 +2955,77 @@ agg AS (
 SELECT d.doc_id AS doc,
        CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
        CASE WHEN a.n > 0 THEN round(a.total / a.n, 6) END AS mean_logp10,
+       CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN agg a USING (doc_id)
+""",
+        "text_perplexity_trigram": """
+WITH cdocs AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS ts
+  FROM documents WHERE doc_id % 2 = 0
+),
+ttoks AS (SELECT unnest(ts) AS token FROM cdocs),
+vocab AS (SELECT token, count(*) AS tf FROM ttoks GROUP BY token),
+params AS (
+  SELECT (SELECT count(*) FROM ttoks) + 0.5 * ((SELECT count(*) FROM vocab) + 1) AS denom
+),
+uni AS (SELECT token, round(log10((tf + 0.5) / denom), 9) AS uni_logp FROM vocab, params),
+unk AS (SELECT round(log10(0.5 / denom), 9) AS logp10 FROM params),
+bigr AS (
+  SELECT u.context AS context1, u.token AS token FROM (
+    SELECT unnest(list_transform(ts[2:], (t, i) -> struct_pack(context := ts[i], token := t))) AS u
+    FROM cdocs WHERE len(ts) >= 2
+  )
+),
+bic AS (SELECT context1, token, count(*) AS c FROM bigr GROUP BY context1, token),
+ctxb AS (SELECT context1, count(*) AS cc FROM bigr GROUP BY context1),
+bi AS (SELECT bic.context1, bic.token, round(log10(bic.c * 1.0 / ctxb.cc), 9) AS bi_logp
+       FROM bic JOIN ctxb USING (context1)),
+trig AS (
+  SELECT u.context AS context2, u.token AS token FROM (
+    SELECT unnest(list_transform(ts[3:], (t, i) -> struct_pack(context := ts[i] || ' ' || ts[i + 1], token := t))) AS u
+    FROM cdocs WHERE len(ts) >= 3
+  )
+),
+tric AS (SELECT context2, token, count(*) AS c FROM trig GROUP BY context2, token),
+ctxt AS (SELECT context2, count(*) AS cc FROM trig GROUP BY context2),
+tri AS (SELECT tric.context2, tric.token, round(log10(tric.c * 1.0 / ctxt.cc), 9) AS tri_logp
+        FROM tric JOIN ctxt USING (context2)),
+sdocs AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS ts
+  FROM documents WHERE doc_id % 2 = 1
+),
+stoks AS (
+  SELECT doc_id, u.token AS token, u.context1 AS context1, u.context2 AS context2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(ts, (t, i) -> struct_pack(
+             token := t,
+             context1 := CASE WHEN i = 1 THEN NULL ELSE ts[i - 1] END,
+             context2 := CASE WHEN i <= 2 THEN NULL ELSE ts[i - 2] || ' ' || ts[i - 1] END))) AS u
+    FROM sdocs
+  )
+),
+scored AS (
+  SELECT s.doc_id,
+         CASE WHEN t.tri_logp IS NOT NULL THEN t.tri_logp
+              WHEN s.context2 IS NULL THEN
+                CASE WHEN b.bi_logp IS NOT NULL THEN b.bi_logp
+                     WHEN s.context1 IS NULL THEN coalesce(u.uni_logp, (SELECT logp10 FROM unk))
+                     ELSE -0.3979400086720376 + coalesce(u.uni_logp, (SELECT logp10 FROM unk)) END
+              ELSE -0.3979400086720376 +
+                CASE WHEN b.bi_logp IS NOT NULL THEN b.bi_logp
+                     WHEN s.context1 IS NULL THEN coalesce(u.uni_logp, (SELECT logp10 FROM unk))
+                     ELSE -0.3979400086720376 + coalesce(u.uni_logp, (SELECT logp10 FROM unk)) END
+         END AS sc
+  FROM stoks s
+  LEFT JOIN tri t ON s.context2 = t.context2 AND s.token = t.token
+  LEFT JOIN bi b ON s.context1 = b.context1 AND s.token = b.token
+  LEFT JOIN uni u ON s.token = u.token
+),
+agg AS (SELECT doc_id, count(*) AS n, sum(sc) AS total FROM scored GROUP BY doc_id)
+SELECT d.doc_id AS doc,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN a.n > 0 THEN round(a.total / a.n, 6) END AS mean_logs10,
        CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN agg a USING (doc_id)

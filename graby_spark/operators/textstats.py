@@ -25,7 +25,9 @@ __all__ = [
     "unigram_logprob",
     "build_unigram_lm",
     "build_bigram_lm",
+    "build_trigram_lm",
     "perplexity_score_backoff",
+    "perplexity_score_backoff3",
     "perplexity_score",
     "repetition_stats",
     "gopher_quality_filter",
@@ -436,6 +438,141 @@ def build_bigram_lm(
         "context", "token", F.round(F.log10(F.col("c") / F.col("cc")), 9).alias("logp10")
     )
     return bi.unionByName(uni).unionByName(unk)
+
+
+def build_trigram_lm(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Order-3 stupid-backoff LM stored as ONE (ord, context, token,
+    logp10) table: ord=3 rows carry the space-joined two-token context
+    with ``log10(c(w₋₂ w₋₁ w) / c_ctx(w₋₂ w₋₁))``, ord=2 rows the
+    :func:`build_bigram_lm` bigram ratios, ord=1 the add-k unigrams plus
+    ``<unk>``.  The ``ord`` column disambiguates context arity without
+    string parsing.  Same store-once/broadcast-probe-many shape; CCNet's
+    filter is a KenLM n-gram (Wenzek et al.) — order 3 with stupid
+    backoff is the practical open-vocabulary equivalent of that ranking
+    at corpus-filter granularity."""
+    arr = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+    docs = corpus.select(arr.alias("ts"))
+    bi = build_bigram_lm(corpus, id_col, text_col, k)
+    base = bi.select(
+        F.when(F.col("context").isNull(), F.lit(1)).otherwise(F.lit(2)).alias("ord"),
+        "context",
+        "token",
+        "logp10",
+    )
+    trigrams = (
+        docs.where(F.size("ts") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ts, 3, size(ts) - 2),"
+                    " (t, i) -> named_struct("
+                    "'context', concat(ts[i], ' ', ts[i + 1]), 'token', t))"
+                )
+            ).alias("g")
+        )
+        .select("g.context", "g.token")
+    )
+    tc = trigrams.groupBy("context", "token").agg(F.count("*").alias("c"))
+    ctx = trigrams.groupBy("context").agg(F.count("*").alias("cc"))
+    tri = tc.join(ctx, "context").select(
+        F.lit(3).alias("ord"),
+        "context",
+        "token",
+        F.round(F.log10(F.col("c") / F.col("cc")), 9).alias("logp10"),
+    )
+    return tri.unionByName(base)
+
+
+def perplexity_score_backoff3(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score against a stored :func:`build_trigram_lm` with stupid
+    backoff: trigram if seen, else α·bigram, else α²·unigram (``<unk>``
+    for OOV); a document's first token scores as plain unigram and its
+    second at the bigram level — the standard left-edge convention.
+    Returns (doc, n_tokens, mean_logs10, perplexity).
+
+    Plan shape: the token stream explodes once WITH both contexts (JVM
+    ``transform``), then THREE broadcast probes of the one stored table
+    filtered by ``ord`` and one doc-keyed aggregation; log10(alpha) is a
+    pre-computed double literal (engine/oracle libm parity)."""
+    import math
+
+    unk_rows = (
+        lm.where((F.col("ord") == 1) & (F.col("token") == "<unk>"))
+        .select("logp10")
+        .collect()
+    )
+    if not unk_rows:
+        raise ValueError("lm has no <unk> row — build it with build_trigram_lm")
+    unk_logp = float(unk_rows[0]["logp10"])
+    la = math.log10(alpha)
+    uni = lm.where((F.col("ord") == 1) & (F.col("token") != "<unk>")).select(
+        "token", F.col("logp10").alias("_uni")
+    )
+    bi = lm.where(F.col("ord") == 2).select(
+        F.col("context").alias("context1"), "token", F.col("logp10").alias("_bi")
+    )
+    tri = lm.where(F.col("ord") == 3).select(
+        F.col("context").alias("context2"), "token", F.col("logp10").alias("_tri")
+    )
+    arr = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+    toks = (
+        df.select(F.col(id_col).alias("doc"), arr.alias("ts"))
+        .select(
+            "doc",
+            F.explode_outer(
+                F.expr(
+                    "transform(ts, (t, i) -> named_struct("
+                    "'token', t,"
+                    " 'context1', CASE WHEN i = 0 THEN cast(null as string)"
+                    " ELSE ts[i - 1] END,"
+                    " 'context2', CASE WHEN i < 2 THEN cast(null as string)"
+                    " ELSE concat(ts[i - 2], ' ', ts[i - 1]) END))"
+                )
+            ).alias("tk"),
+        )
+        .select(
+            "doc",
+            F.col("tk.token").alias("token"),
+            F.col("tk.context1").alias("context1"),
+            F.col("tk.context2").alias("context2"),
+        )
+    )
+    joined = (
+        toks.join(F.broadcast(tri), ["context2", "token"], "left")
+        .join(F.broadcast(bi), ["context1", "token"], "left")
+        .join(F.broadcast(uni), "token", "left")
+    )
+    backed_uni = F.coalesce(F.col("_uni"), F.lit(unk_logp))
+    # score at the bigram level (used when no trigram context or miss)
+    bi_level = F.when(F.col("_bi").isNotNull(), F.col("_bi")).otherwise(
+        F.when(F.col("context1").isNull(), backed_uni).otherwise(F.lit(la) + backed_uni)
+    )
+    score = F.when(F.col("_tri").isNotNull(), F.col("_tri")).otherwise(
+        F.when(F.col("context2").isNull(), bi_level).otherwise(F.lit(la) + bi_level)
+    )
+    agg = joined.groupBy("doc").agg(
+        F.count("token").alias("n_tokens"),
+        F.sum(F.when(F.col("token").isNotNull(), score)).alias("total"),
+    )
+    n = F.col("n_tokens")
+    mean = F.when(n > 0, F.col("total") / n)
+    return agg.select(
+        "doc",
+        n.cast("long").alias("n_tokens"),
+        F.round(mean, 6).alias("mean_logs10"),
+        F.round(F.pow(F.lit(10.0), -mean), 3).alias("perplexity"),
+    )
 
 
 def perplexity_score_backoff(

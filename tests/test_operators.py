@@ -1381,6 +1381,54 @@ def test_bigram_backoff_hand_computed(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_trigram_backoff_hand_computed(spark, tmp_path):
+    """Order-3 stupid backoff pinned by hand: trigram hit → ratio; miss
+    with trigram context → α·(bigram level); double miss → α²·unigram;
+    first/second tokens score at uni/bi level without the extra α."""
+    import math
+
+    from graby_spark.operators import textstats
+
+    corpus = spark.createDataFrame([(0, "a b c a b c a b d")], "doc_id long, text string")
+    lm = textstats.build_trigram_lm(corpus)
+    p = str(tmp_path / "trilm.parquet")
+    lm.write.parquet(p)
+    stored = spark.read.parquet(p)
+    rows = {
+        (r["ord"], r["context"], r["token"]): r["logp10"] for r in stored.collect()
+    }
+    # trigrams: "a b"->c x2, "a b"->d x1, "b c"->a x2, "c a"->b x2
+    assert rows[(3, "a b", "c")] == round(math.log10(2 / 3), 9)
+    assert rows[(3, "a b", "d")] == round(math.log10(1 / 3), 9)
+    assert rows[(3, "b c", "a")] == round(math.log10(2 / 2), 9)
+    # bigram level carried through: a>b x3 of ctx a x3
+    assert rows[(2, "a", "b")] == round(math.log10(3 / 3), 9)
+
+    # scored "a b c z b": t1 uni(a); t2 bi(a>b); t3 tri("a b">c);
+    # t4 z: tri miss + bi miss -> la + (la + unk); t5 b: tri("c z") miss,
+    # bi(z>b) miss -> la + (la + uni(b))
+    new = spark.createDataFrame([(1, "a b c z b")], "doc_id long, text string")
+    out = textstats.perplexity_score_backoff3(new, stored).collect()[0]
+    la = math.log10(0.4)
+    uni = lambda t: rows[(1, None, t)]  # noqa: E731
+    expected = (
+        uni("a")
+        + rows[(2, "a", "b")]
+        + rows[(3, "a b", "c")]
+        + la + (la + rows[(1, None, "<unk>")])
+        + la + (la + uni("b"))
+    ) / 5
+    assert out["n_tokens"] == 5
+    assert out["mean_logs10"] == round(expected, 6)
+    plan = (
+        textstats.perplexity_score_backoff3(new, stored)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_anchor_texts(spark):
     from graby_spark.operators import graph
 
