@@ -324,6 +324,39 @@ def test_streaming_extract(spark, tmp_path_factory):
     assert out.where("is_success").count() == 50
 
 
+def test_streaming_media_decode_matches_batch(spark, tmp_path_factory):
+    """The real PNG decode stage runs unchanged under Structured
+    Streaming (stateless mapInPandas): a file stream of media payloads
+    produces exactly the batch png_pixel_stats rows."""
+    import numpy as np
+
+    from graby_spark.operators import multimodal
+
+    base = str(tmp_path_factory.mktemp("stream_media"))
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    rows = []
+    for mid in range(30):
+        w, h, c = 3 + mid % 6, 2 + mid % 5, [1, 3, 4][mid % 3]
+        arr = ((mid * 31 + np.arange(w * h * c)) % 256).astype("uint8").reshape(h, w, c)
+        rows.append((mid, bytearray(multimodal.encode_png(arr))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    media.write.parquet(in_dir)
+
+    stream = spark.readStream.schema("media_id long, payload binary").parquet(in_dir)
+    q = (
+        multimodal.png_pixel_stats(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    exp = sorted(tuple(r) for r in multimodal.png_pixel_stats(media).collect())
+    assert got == exp and len(got) == 30
+
+
 def test_windowed_crawl_metrics(spark):
     from graby_spark.streaming.stream_extract import windowed_crawl_metrics
 
