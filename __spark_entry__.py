@@ -1044,6 +1044,39 @@ def q_pipeline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_snapshots(spark: SparkSession, sf_dir: str):
+    """Two synthetic crawl snapshots: every 11th url vanishes, every 7th
+    surviving page's content changes, every 13th id appears as a new url."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.selectExpr(
+        "concat('http://', source, '/p', cast(doc_id as string)) as url", "text"
+    )
+    new = docs.where("doc_id % 11 != 0").selectExpr(
+        "concat('http://', source, '/p', cast(doc_id as string)) as url",
+        "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' updated') ELSE text END as text",
+    ).unionByName(
+        docs.where("doc_id % 13 = 0").selectExpr(
+            "concat('http://', source, '/new', cast(doc_id as string)) as url", "text"
+        )
+    )
+    return old, new
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot diff: added/removed/changed/unchanged
+    per url from two crawls, hashes computed map-side so only 16-byte
+    rows join (the refresh pipeline's re-extract/tombstone decision)."""
+    old, new = _crawl_snapshots(spark, sf_dir)
+    return graph.crawl_diff(old, new)
+
+
+def q_crawl_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain churn rollup of the snapshot diff — the crawl-budget
+    scheduling signal (composition of crawl_diff + one hash aggregate)."""
+    old, new = _crawl_snapshots(spark, sf_dir)
+    return graph.crawl_churn_by_domain(graph.crawl_diff(old, new))
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (10 checkpointed power iterations) over a
     deterministic modular link graph with hub edges onto nodes 0-6."""
@@ -1729,6 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity_bigram": q_text_perplexity_bigram,
         "text_perplexity_trigram": q_text_perplexity_trigram,
         "pipeline_frontier": q_pipeline_frontier,
+        "crawl_diff": q_crawl_diff,
+        "crawl_churn": q_crawl_churn,
         # --- driver-verified in r03; re-verified as sweep room allows ---
         "extract_meta": q_extract_meta,
         "extract_redirects": q_extract_redirects,
@@ -2282,6 +2317,56 @@ pairs AS (
   FROM shn n JOIN shc c ON TRUE
 )
 SELECT new_doc, corpus_doc, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.9
+""",
+        "crawl_diff": """
+WITH old_t AS (SELECT 'http://' || source || '/p' || doc_id AS url, text FROM documents),
+new_t AS (
+  SELECT 'http://' || source || '/p' || doc_id AS url,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 != 0
+  UNION ALL
+  SELECT 'http://' || source || '/new' || doc_id, text FROM documents WHERE doc_id % 13 = 0
+),
+o AS (SELECT url, ('0x' || substr(md5(text), 1, 15))::BIGINT AS old_hash FROM old_t),
+n AS (SELECT url, ('0x' || substr(md5(text), 1, 15))::BIGINT AS new_hash FROM new_t)
+SELECT url,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash = new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_hash, new_hash
+FROM o FULL OUTER JOIN n USING (url)
+""",
+        "crawl_churn": """
+WITH old_t AS (SELECT 'http://' || source || '/p' || doc_id AS url, text FROM documents),
+new_t AS (
+  SELECT 'http://' || source || '/p' || doc_id AS url,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 != 0
+  UNION ALL
+  SELECT 'http://' || source || '/new' || doc_id, text FROM documents WHERE doc_id % 13 = 0
+),
+o AS (SELECT url, ('0x' || substr(md5(text), 1, 15))::BIGINT AS old_hash FROM old_t),
+n AS (SELECT url, ('0x' || substr(md5(text), 1, 15))::BIGINT AS new_hash FROM new_t),
+d AS (
+  SELECT url,
+         CASE WHEN old_hash IS NULL THEN 'added'
+              WHEN new_hash IS NULL THEN 'removed'
+              WHEN old_hash = new_hash THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM o FULL OUTER JOIN n USING (url)
+),
+agg AS (
+  SELECT regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://([^/]+)', 1) AS domain,
+         CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS added,
+         CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+         CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+         CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+  FROM d GROUP BY 1
+)
+SELECT domain, added, removed, changed, unchanged,
+       round((added + removed + changed) * 1.0 / (added + removed + changed + unchanged), 6) AS churn_ratio
+FROM agg
 """,
         "pipeline_frontier": f"""
 WITH domains AS (SELECT DISTINCT source AS domain FROM documents),

@@ -39,6 +39,8 @@ __all__ = [
     "parse_robots",
     "robots_filter",
     "robots_directives",
+    "crawl_diff",
+    "crawl_churn_by_domain",
     "HREF_PATTERN",
     "HREF_GROUP",
 ]
@@ -552,4 +554,67 @@ def robots_filter(
         F.when(hit, F.col("rule") == "allow").otherwise(F.lit(True)).alias("allowed"),
         F.when(hit, F.col("rule")).otherwise(F.lit("default")).alias("matched_rule"),
         F.when(hit, F.col("prefix_len")).otherwise(F.lit(-1)).cast("long").alias("matched_len"),
+    )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    content_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two crawls → (url, status, old_hash,
+    new_hash) with status ∈ added | removed | changed | unchanged — the
+    operator an incremental refresh pipeline runs to decide what to
+    re-extract, what to tombstone and what to skip.
+
+    Scale shape: each side is first projected to (url, content_hash) —
+    the md5-60-bit cross-engine hash, computed map-side — so the full
+    outer join shuffles 16-byte rows, never page payloads; at 100 TB the
+    join cost is the url-keyed exchange both tables would pay for any
+    reconciliation, and bucketed storage on url (job.write_bucketed)
+    makes it exchange-free."""
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(url_col).alias("url"),
+            F.conv(F.substring(F.md5(F.col(content_col)), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias(alias),
+        )
+
+    o = hashed(old, "old_hash")
+    n = hashed(new, "new_hash")
+    joined = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select("url", status.alias("status"), "old_hash", "new_hash")
+
+
+def crawl_churn_by_domain(
+    diff: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-domain churn rollup of :func:`crawl_diff` output:
+    (domain, added, removed, changed, unchanged, churn_ratio) — the
+    refresh-scheduling signal (high-churn domains earn crawl budget).
+    One hash aggregation keyed by domain."""
+    domain = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.\-]*://([^/]+)", 1)
+    agg = diff.groupBy(domain.alias("domain")).agg(
+        F.sum((F.col("status") == "added").cast("long")).alias("added"),
+        F.sum((F.col("status") == "removed").cast("long")).alias("removed"),
+        F.sum((F.col("status") == "changed").cast("long")).alias("changed"),
+        F.sum((F.col("status") == "unchanged").cast("long")).alias("unchanged"),
+    )
+    total = F.col("added") + F.col("removed") + F.col("changed") + F.col("unchanged")
+    return agg.select(
+        "domain",
+        "added",
+        "removed",
+        "changed",
+        "unchanged",
+        F.round((total - F.col("unchanged")) / total, 6).alias("churn_ratio"),
     )

@@ -1601,6 +1601,41 @@ def test_frontier_schedule_politeness(spark):
     assert a["http://a.com/1"] < a["http://a.com/2"] < a["http://a.com/3"]
 
 
+def test_crawl_diff_and_churn(spark):
+    """Snapshot diff statuses + per-domain churn rollup, and the scale
+    pin: content is hashed BEFORE the full-outer join, so the exchanges
+    carry (url, hash) — the payload column never shuffles."""
+    from graby_spark.operators import graph
+
+    old = spark.createDataFrame(
+        [("http://a.com/1", "one"), ("http://a.com/2", "two"), ("http://b.com/3", "three")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("http://a.com/1", "one"), ("http://a.com/2", "two CHANGED"), ("http://b.com/4", "four")],
+        "url string, text string",
+    )
+    diff = graph.crawl_diff(old, new)
+    got = {r["url"]: r["status"] for r in diff.collect()}
+    assert got == {
+        "http://a.com/1": "unchanged",
+        "http://a.com/2": "changed",
+        "http://b.com/3": "removed",
+        "http://b.com/4": "added",
+    }
+    churn = {r["domain"]: r for r in graph.crawl_churn_by_domain(diff).collect()}
+    assert churn["a.com"]["changed"] == 1 and churn["a.com"]["unchanged"] == 1
+    assert churn["a.com"]["churn_ratio"] == 0.5
+    assert churn["b.com"]["added"] == 1 and churn["b.com"]["removed"] == 1
+    assert churn["b.com"]["churn_ratio"] == 1.0
+    # the hashes are computed in map-side projections BELOW the join, so
+    # everything at/above the join carries url + 64-bit hash only
+    plan = diff._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("AS old_hash") == 1 and plan.count("AS new_hash") == 1
+    above_join = plan[: plan.index("Join")]
+    assert "text" not in above_join
+
+
 def test_robots_parse_and_filter(spark):
     from graby_spark.operators import graph
 
