@@ -246,3 +246,41 @@ def test_jpeg_block_constant_exact_property(nbx, nby, rnd):
     img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
     out = decode_jpeg(encode_jpeg(img, quant_luma=np.ones((8, 8))))
     assert np.array_equal(out[:, :, 0], img)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=200), st.integers(0, 5))
+def test_media_decoders_total_on_garbage(data, which):
+    """Every decoder is TOTAL on malformed input: random bytes behind a
+    valid magic either decode or raise ValueError/NotImplementedError —
+    never any other exception, never a hang (the crawl-scale safety
+    property: one corrupt payload must not kill an executor)."""
+    from graby_spark.operators.jpeg import decode_jpeg
+    from graby_spark.operators.multimodal import (
+        decode_gif_frames,
+        decode_png,
+        decode_wav,
+        mp4_metadata,
+    )
+
+    prefixes = [
+        b"\x89PNG\r\n\x1a\n",
+        b"GIF89a",
+        b"\xff\xd8\xff\xe0",
+        b"RIFF\x20\x00\x00\x00WAVE",
+        b"\x00\x00\x00\x14ftypisom",
+        b"",
+    ]
+    decoders = [
+        decode_png,
+        lambda d: decode_gif_frames(d, max_frames=4),
+        decode_jpeg,
+        decode_wav,
+        mp4_metadata,
+        decode_png,
+    ]
+    payload = prefixes[which] + data
+    try:
+        decoders[which](payload)
+    except (ValueError, NotImplementedError):
+        pass
