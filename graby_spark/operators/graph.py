@@ -576,9 +576,15 @@ def crawl_diff(
     makes it exchange-free."""
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
+        # null content hashes as '' — md5(NULL) would null the hash and
+        # make a present-in-old row with null text look "added"
         return df.select(
             F.col(url_col).alias("url"),
-            F.conv(F.substring(F.md5(F.col(content_col)), 1, 15), 16, 10)
+            F.conv(
+                F.substring(F.md5(F.coalesce(F.col(content_col), F.lit(""))), 1, 15),
+                16,
+                10,
+            )
             .cast("bigint")
             .alias(alias),
         )

@@ -681,14 +681,16 @@ def wav_sample_stats(
             for mid, payload in zip(batch["media_id"], batch["payload"]):
                 rate, samples = decode_wav(bytes(payload or b""))
                 flat = samples.astype(np.float64)
+                empty = samples.shape[0] == 0
                 out.append(
                     {
                         "media_id": mid,
                         "sample_rate": rate,
                         "n_frames": samples.shape[0],
                         "channels": samples.shape[1],
-                        "mean_sample": float(flat.mean()),
-                        "rms": float(np.sqrt((flat * flat).mean())),
+                        # a zero-frame clip has NULL stats, not NaN
+                        "mean_sample": None if empty else float(flat.mean()),
+                        "rms": None if empty else float(np.sqrt((flat * flat).mean())),
                     }
                 )
             yield pd.DataFrame(
@@ -1385,7 +1387,13 @@ def decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
     arbitrary bytes."""
     data = payload or b""
     if data[:8] == _PNG_SIG:
-        return decode_png(data).astype(np.float32)
+        arr = decode_png(data)
+        if arr.dtype == np.uint16:
+            # normalize 16-bit samples to the 8-bit scale every downstream
+            # consumer (features, resize, phash) operates on — without this
+            # a later uint8 cast would WRAP instead of scale
+            arr = (arr >> 8).astype(np.uint8)
+        return arr.astype(np.float32)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data).astype(np.float32)
     if data[:2] == b"\xff\xd8":
