@@ -453,6 +453,22 @@ def q_text_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.perplexity_score_backoff3(docs.where("doc_id % 2 = 1"), lm)
 
 
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. §4.4):
+    per-language perplexity terciles over the stored-LM scores, cut with
+    deterministic ntile(3) so the oracle replays the exact assignment."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = textstats.build_unigram_lm(docs.where("doc_id % 2 = 0"))
+    ppl = textstats.perplexity_score(docs.where("doc_id % 2 = 1"), lm).select(
+        "doc", "perplexity"
+    )
+    scored = ppl.join(
+        docs.where("doc_id % 2 = 1").select(F.col("doc_id").alias("doc"), "lang"),
+        "doc",
+    )
+    return textstats.ccnet_buckets(scored)
+
+
 def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed model-based quality gate: hashed linear classifier +
     stored-LM perplexity filter joined per doc; keep = classifier pass AND
@@ -1764,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_frontier": q_pipeline_frontier,
         "crawl_diff": q_crawl_diff,
         "crawl_churn": q_crawl_churn,
+        "text_ccnet_buckets": q_text_ccnet_buckets,
         # --- driver-verified in r03; re-verified as sweep room allows ---
         "extract_meta": q_extract_meta,
         "extract_redirects": q_extract_redirects,
@@ -2317,6 +2334,43 @@ pairs AS (
   FROM shn n JOIN shc c ON TRUE
 )
 SELECT new_doc, corpus_doc, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.9
+""",
+        "text_ccnet_buckets": """
+WITH ttoks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token
+  FROM documents WHERE doc_id % 2 = 0
+),
+vocab AS (SELECT token, count(*) AS tf FROM ttoks GROUP BY token),
+params AS (
+  SELECT (SELECT count(*) FROM ttoks) + 0.5 * ((SELECT count(*) FROM vocab) + 1) AS denom
+),
+lm AS (SELECT token, round(log10((tf + 0.5) / denom), 9) AS logp10 FROM vocab, params),
+unk AS (SELECT round(log10(0.5 / denom), 9) AS logp10 FROM params),
+stoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token
+  FROM documents WHERE doc_id % 2 = 1
+),
+agg AS (
+  SELECT s.doc_id, count(*) AS n,
+         sum(coalesce(l.logp10, (SELECT logp10 FROM unk))) AS total
+  FROM stoks s LEFT JOIN lm l USING (token)
+  GROUP BY s.doc_id
+),
+ppl AS (
+  SELECT d.doc_id AS doc, d.lang,
+         CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
+  FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1) d
+  LEFT JOIN agg a USING (doc_id)
+),
+tiled AS (
+  SELECT doc, lang, perplexity,
+         ntile(3) OVER (PARTITION BY lang ORDER BY perplexity ASC NULLS LAST, doc) AS tile
+  FROM ppl
+)
+SELECT doc, lang, perplexity,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM tiled
 """,
         "crawl_diff": """
 WITH old_t AS (SELECT 'http://' || source || '/p' || doc_id AS url, text FROM documents),

@@ -28,6 +28,7 @@ __all__ = [
     "build_trigram_lm",
     "perplexity_score_backoff",
     "perplexity_score_backoff3",
+    "ccnet_buckets",
     "perplexity_score",
     "repetition_stats",
     "gopher_quality_filter",
@@ -438,6 +439,45 @@ def build_bigram_lm(
         "context", "token", F.round(F.log10(F.col("c") / F.col("cc")), 9).alias("logp10")
     )
     return bi.unionByName(uni).unionByName(unk)
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    doc_col: str = "doc",
+    lang_col: str = "lang",
+    ppl_col: str = "perplexity",
+) -> DataFrame:
+    """CCNet's final corpus split (Wenzek et al. 2020 §4.4): per language,
+    rank documents by LM perplexity and cut into head / middle / tail
+    terciles — the head is the "close to Wikipedia" slice most
+    pretraining recipes keep, the tail what they drop or down-weight.
+
+    Implemented as ``ntile(3)`` over (perplexity, doc) per language — an
+    EXACT, deterministic cut (ties broken by doc id) that a SQL oracle
+    replays verbatim, unlike approximate percentiles.  One window shuffle
+    partitioned by language; skew is bounded per-language and the window
+    never crosses partitions.  NULL perplexity (empty docs) sorts last
+    into the tail, which is where an unscorable document belongs.
+
+    Returns (doc, lang, perplexity, bucket ∈ head|middle|tail).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col(ppl_col).asc_nulls_last(), F.col(doc_col)
+    )
+    tile = F.ntile(3).over(w)
+    bucket = (
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        F.col(doc_col).alias("doc"),
+        F.col(lang_col).alias("lang"),
+        F.col(ppl_col).alias("perplexity"),
+        bucket.alias("bucket"),
+    )
 
 
 def build_trigram_lm(

@@ -1381,6 +1381,24 @@ def test_bigram_backoff_hand_computed(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_ccnet_buckets(spark):
+    """Per-language perplexity terciles: lowest third heads, NULLs land
+    in the tail, cuts never cross languages."""
+    from graby_spark.operators import textstats
+
+    rows = [
+        (1, "en", 10.0), (2, "en", 20.0), (3, "en", 30.0),
+        (4, "en", 40.0), (5, "en", 50.0), (6, "en", None),
+        (7, "fr", 5.0), (8, "fr", 500.0),
+    ]
+    df = spark.createDataFrame(rows, "doc long, lang string, perplexity double")
+    got = {r["doc"]: r["bucket"] for r in textstats.ccnet_buckets(df).collect()}
+    assert got[1] == "head" and got[2] == "head"
+    assert got[3] == "middle" and got[4] == "middle"
+    assert got[5] == "tail" and got[6] == "tail"  # NULL ppl -> tail
+    assert got[7] == "head" and got[8] == "middle"  # fr cut independent
+
+
 def test_trigram_backoff_hand_computed(spark, tmp_path):
     """Order-3 stupid backoff pinned by hand: trigram hit → ratio; miss
     with trigram context → α·(bigram level); double miss → α²·unigram;
