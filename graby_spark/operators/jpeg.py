@@ -458,13 +458,16 @@ def encode_jpeg(
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
     h, w = a.shape[:2]
+    # caller tables are clamped to the DQT-encodable [1, 255] range — a
+    # zero entry would divide by zero and sub-1 values could push AC
+    # categories past the Annex-K Huffman tables
     ql = (
-        np.asarray(quant_luma, dtype=np.int64)
+        np.clip(np.asarray(quant_luma, dtype=np.int64), 1, 255)
         if quant_luma is not None
         else _scale_quant(QUANT_LUMA, quality)
     )
     qc = (
-        np.asarray(quant_chroma, dtype=np.int64)
+        np.clip(np.asarray(quant_chroma, dtype=np.int64), 1, 255)
         if quant_chroma is not None
         else _scale_quant(QUANT_CHROMA, quality)
     )
