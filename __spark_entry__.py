@@ -2353,13 +2353,13 @@ stoks AS (
 ),
 agg AS (
   SELECT s.doc_id, count(*) AS n,
-         sum(coalesce(l.logp10, (SELECT logp10 FROM unk))) AS total
+         sum(CAST(round((coalesce(l.logp10, (SELECT logp10 FROM unk))) * 1000000000) AS BIGINT)) AS total
   FROM stoks s LEFT JOIN lm l USING (token)
   GROUP BY s.doc_id
 ),
 ppl AS (
   SELECT d.doc_id AS doc, d.lang,
-         CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
+         CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n / 1000000000)), 3) END AS perplexity
   FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1) d
   LEFT JOIN agg a USING (doc_id)
 ),
@@ -3087,14 +3087,14 @@ stoks AS (
 ),
 agg AS (
   SELECT s.doc_id, count(*) AS n,
-         sum(coalesce(l.logp10, (SELECT logp10 FROM unk))) AS total
+         sum(CAST(round((coalesce(l.logp10, (SELECT logp10 FROM unk))) * 1000000000) AS BIGINT)) AS total
   FROM stoks s LEFT JOIN lm l USING (token)
   GROUP BY s.doc_id
 )
 SELECT d.doc_id AS doc,
        CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
-       CASE WHEN a.n > 0 THEN round(a.total / a.n, 6) END AS mean_logp10,
-       CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
+       CASE WHEN a.n > 0 THEN round(a.total / a.n / 1000000000, 6) END AS mean_logp10,
+       CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n / 1000000000)), 3) END AS perplexity
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN agg a USING (doc_id)
 """,
@@ -3146,15 +3146,15 @@ stoks AS (
 ),
 scored AS (
   SELECT s.doc_id,
-         CASE WHEN t.tri_logp IS NOT NULL THEN t.tri_logp
+         CASE WHEN t.tri_logp IS NOT NULL THEN CAST(round((t.tri_logp) * 1000000000) AS BIGINT)
               WHEN s.context2 IS NULL THEN
-                CASE WHEN b.bi_logp IS NOT NULL THEN b.bi_logp
-                     WHEN s.context1 IS NULL THEN coalesce(u.uni_logp, (SELECT logp10 FROM unk))
-                     ELSE -0.3979400086720376 + coalesce(u.uni_logp, (SELECT logp10 FROM unk)) END
-              ELSE -0.3979400086720376 +
-                CASE WHEN b.bi_logp IS NOT NULL THEN b.bi_logp
-                     WHEN s.context1 IS NULL THEN coalesce(u.uni_logp, (SELECT logp10 FROM unk))
-                     ELSE -0.3979400086720376 + coalesce(u.uni_logp, (SELECT logp10 FROM unk)) END
+                CASE WHEN b.bi_logp IS NOT NULL THEN CAST(round((b.bi_logp) * 1000000000) AS BIGINT)
+                     WHEN s.context1 IS NULL THEN CAST(round((coalesce(u.uni_logp, (SELECT logp10 FROM unk))) * 1000000000) AS BIGINT)
+                     ELSE -397940009 + CAST(round((coalesce(u.uni_logp, (SELECT logp10 FROM unk))) * 1000000000) AS BIGINT) END
+              ELSE -397940009 +
+                CASE WHEN b.bi_logp IS NOT NULL THEN CAST(round((b.bi_logp) * 1000000000) AS BIGINT)
+                     WHEN s.context1 IS NULL THEN CAST(round((coalesce(u.uni_logp, (SELECT logp10 FROM unk))) * 1000000000) AS BIGINT)
+                     ELSE -397940009 + CAST(round((coalesce(u.uni_logp, (SELECT logp10 FROM unk))) * 1000000000) AS BIGINT) END
          END AS sc
   FROM stoks s
   LEFT JOIN tri t ON s.context2 = t.context2 AND s.token = t.token
@@ -3164,8 +3164,8 @@ scored AS (
 agg AS (SELECT doc_id, count(*) AS n, sum(sc) AS total FROM scored GROUP BY doc_id)
 SELECT d.doc_id AS doc,
        CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
-       CASE WHEN a.n > 0 THEN round(a.total / a.n, 6) END AS mean_logs10,
-       CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
+       CASE WHEN a.n > 0 THEN round(a.total / a.n / 1000000000, 6) END AS mean_logs10,
+       CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n / 1000000000)), 3) END AS perplexity
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN agg a USING (doc_id)
 """,
@@ -3208,9 +3208,9 @@ stoks AS (
 ),
 agg AS (
   SELECT s.doc_id, count(*) AS n,
-         sum(CASE WHEN b.bi_logp IS NOT NULL THEN b.bi_logp
-                  WHEN s.context IS NULL THEN coalesce(u.uni_logp, (SELECT logp10 FROM unk))
-                  ELSE -0.3979400086720376 + coalesce(u.uni_logp, (SELECT logp10 FROM unk)) END) AS total
+         sum(CASE WHEN b.bi_logp IS NOT NULL THEN CAST(round((b.bi_logp) * 1000000000) AS BIGINT)
+                  WHEN s.context IS NULL THEN CAST(round((coalesce(u.uni_logp, (SELECT logp10 FROM unk))) * 1000000000) AS BIGINT)
+                  ELSE -397940009 + CAST(round((coalesce(u.uni_logp, (SELECT logp10 FROM unk))) * 1000000000) AS BIGINT) END) AS total
   FROM stoks s
   LEFT JOIN bi b ON s.context = b.context AND s.token = b.token
   LEFT JOIN uni u ON s.token = u.token
@@ -3218,8 +3218,8 @@ agg AS (
 )
 SELECT d.doc_id AS doc,
        CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
-       CASE WHEN a.n > 0 THEN round(a.total / a.n, 6) END AS mean_logs10,
-       CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
+       CASE WHEN a.n > 0 THEN round(a.total / a.n / 1000000000, 6) END AS mean_logs10,
+       CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n / 1000000000)), 3) END AS perplexity
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN agg a USING (doc_id)
 """,
@@ -3259,13 +3259,13 @@ stoks AS (
 ),
 pagg AS (
   SELECT s.doc_id, count(*) AS n,
-         sum(coalesce(l.logp10, (SELECT logp10 FROM unk))) AS total
+         sum(CAST(round((coalesce(l.logp10, (SELECT logp10 FROM unk))) * 1000000000) AS BIGINT)) AS total
   FROM stoks s LEFT JOIN lm l USING (token)
   GROUP BY s.doc_id
 ),
 ppl AS (
   SELECT d.doc_id,
-         CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n)), 3) END AS perplexity
+         CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n / 1000000000)), 3) END AS perplexity
   FROM documents d LEFT JOIN pagg a USING (doc_id)
 )
 SELECT c.doc_id AS doc, c.cls_prob, p.perplexity,

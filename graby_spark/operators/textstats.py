@@ -554,8 +554,10 @@ def perplexity_score_backoff3(
     )
     if not unk_rows:
         raise ValueError("lm has no <unk> row — build it with build_trigram_lm")
-    unk_logp = float(unk_rows[0]["logp10"])
-    la = math.log10(alpha)
+    # exact integer nano-units: order-independent sums (see
+    # perplexity_score's determinism note)
+    unk_nano = int(round(float(unk_rows[0]["logp10"]) * 1e9))
+    la_nano = int(round(math.log10(alpha) * 1e9))
     uni = lm.where((F.col("ord") == 1) & (F.col("token") != "<unk>")).select(
         "token", F.col("logp10").alias("_uni")
     )
@@ -593,20 +595,28 @@ def perplexity_score_backoff3(
         .join(F.broadcast(bi), ["context1", "token"], "left")
         .join(F.broadcast(uni), "token", "left")
     )
-    backed_uni = F.coalesce(F.col("_uni"), F.lit(unk_logp))
-    # score at the bigram level (used when no trigram context or miss)
-    bi_level = F.when(F.col("_bi").isNotNull(), F.col("_bi")).otherwise(
-        F.when(F.col("context1").isNull(), backed_uni).otherwise(F.lit(la) + backed_uni)
+    backed_uni = F.coalesce(
+        F.round(F.col("_uni") * 1e9, 0).cast("long"), F.lit(unk_nano)
     )
-    score = F.when(F.col("_tri").isNotNull(), F.col("_tri")).otherwise(
-        F.when(F.col("context2").isNull(), bi_level).otherwise(F.lit(la) + bi_level)
+    # score at the bigram level (used when no trigram context or miss)
+    bi_level = F.when(
+        F.col("_bi").isNotNull(), F.round(F.col("_bi") * 1e9, 0).cast("long")
+    ).otherwise(
+        F.when(F.col("context1").isNull(), backed_uni).otherwise(
+            F.lit(la_nano) + backed_uni
+        )
+    )
+    score_nano = F.when(
+        F.col("_tri").isNotNull(), F.round(F.col("_tri") * 1e9, 0).cast("long")
+    ).otherwise(
+        F.when(F.col("context2").isNull(), bi_level).otherwise(F.lit(la_nano) + bi_level)
     )
     agg = joined.groupBy("doc").agg(
         F.count("token").alias("n_tokens"),
-        F.sum(F.when(F.col("token").isNotNull(), score)).alias("total"),
+        F.sum(F.when(F.col("token").isNotNull(), score_nano)).alias("total_nano"),
     )
     n = F.col("n_tokens")
-    mean = F.when(n > 0, F.col("total") / n)
+    mean = F.when(n > 0, F.col("total_nano") / n / F.lit(1e9))
     return agg.select(
         "doc",
         n.cast("long").alias("n_tokens"),
@@ -648,8 +658,10 @@ def perplexity_score_backoff(
     )
     if not unk_rows:
         raise ValueError("lm has no <unk> row — build it with build_bigram_lm")
-    unk_logp = float(unk_rows[0]["logp10"])
-    log_alpha = math.log10(alpha)
+    # exact integer nano-units: order-independent sums (see
+    # perplexity_score's determinism note)
+    unk_nano = int(round(float(unk_rows[0]["logp10"]) * 1e9))
+    la_nano = int(round(math.log10(alpha) * 1e9))
     uni = lm.where(F.col("context").isNull() & (F.col("token") != "<unk>")).select(
         "token", F.col("logp10").alias("_uni")
     )
@@ -675,16 +687,18 @@ def perplexity_score_backoff(
     joined = toks.join(F.broadcast(bi), ["context", "token"], "left").join(
         F.broadcast(uni), "token", "left"
     )
-    backed = F.coalesce(F.col("_uni"), F.lit(unk_logp))
-    score = F.when(F.col("_bi").isNotNull(), F.col("_bi")).otherwise(
-        F.when(F.col("context").isNull(), backed).otherwise(F.lit(log_alpha) + backed)
+    backed = F.coalesce(F.round(F.col("_uni") * 1e9, 0).cast("long"), F.lit(unk_nano))
+    score_nano = F.when(
+        F.col("_bi").isNotNull(), F.round(F.col("_bi") * 1e9, 0).cast("long")
+    ).otherwise(
+        F.when(F.col("context").isNull(), backed).otherwise(F.lit(la_nano) + backed)
     )
     agg = joined.groupBy("doc").agg(
         F.count("token").alias("n_tokens"),
-        F.sum(F.when(F.col("token").isNotNull(), score)).alias("total"),
+        F.sum(F.when(F.col("token").isNotNull(), score_nano)).alias("total_nano"),
     )
     n = F.col("n_tokens")
-    mean = F.when(n > 0, F.col("total") / n)
+    mean = F.when(n > 0, F.col("total_nano") / n / F.lit(1e9))
     return agg.select(
         "doc",
         n.cast("long").alias("n_tokens"),
@@ -707,11 +721,19 @@ def perplexity_score(
     keyed by doc.  OOV tokens take the model's ``<unk>`` probability
     (fetched once driver-side — a bounded scalar, not a row loop).  Empty
     documents emit NULL scores.  perplexity = 10^(−mean_logp10).
+
+    Determinism at ANY scale: per-token scores are summed as EXACT integer
+    nano-units (the stored logp10s are 9-dp-rounded, so ``round(x·1e9)``
+    recovers them losslessly) — an integer sum is order-independent,
+    whereas a float sum's partial-aggregation order can flip
+    ``round(mean, 6)`` at a tie boundary (observed at sf0.1 for the
+    trigram scorer before this change).  The mean is one long/long
+    division then /1e9 — identical in any engine.
     """
     unk_rows = lm.where(F.col("token") == "<unk>").select("logp10").collect()
     if not unk_rows:
         raise ValueError("lm has no <unk> row — build it with build_unigram_lm")
-    unk_logp = float(unk_rows[0]["logp10"])
+    unk_nano = int(round(float(unk_rows[0]["logp10"]) * 1e9))
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode_outer(
@@ -721,17 +743,15 @@ def perplexity_score(
     joined = toks.join(
         F.broadcast(lm.where(F.col("token") != "<unk>")), "token", "left"
     )
+    score_nano = F.coalesce(
+        F.round(F.col("logp10") * 1e9, 0).cast("long"), F.lit(unk_nano)
+    )
     agg = joined.groupBy("doc").agg(
         F.count("token").alias("n_tokens"),
-        F.sum(
-            F.when(
-                F.col("token").isNotNull(),
-                F.coalesce(F.col("logp10"), F.lit(unk_logp)),
-            )
-        ).alias("total"),
+        F.sum(F.when(F.col("token").isNotNull(), score_nano)).alias("total_nano"),
     )
     n = F.col("n_tokens")
-    mean = F.when(n > 0, F.col("total") / n)
+    mean = F.when(n > 0, F.col("total_nano") / n / F.lit(1e9))
     return agg.select(
         "doc",
         n.cast("long").alias("n_tokens"),
