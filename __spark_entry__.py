@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from graby_spark.extract import ExtractOptions
 from graby_spark.job import run_extraction, resolve_multipage, resolve_single_page
 from graby_spark.operators import (
+    bpe,
     dedup,
     graph,
     packing,
@@ -451,6 +452,31 @@ def q_text_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     lm = textstats.build_trigram_lm(docs.where("doc_id % 2 = 0"))
     return textstats.perplexity_score_backoff3(docs.where("doc_id % 2 = 1"), lm)
+
+
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a real BPE tokenizer (8 merges) on the corpus; the oracle
+    replays the full iterative training loop as chained SQL stages
+    (operators/bpe.py — the only driver-side traffic is one argmax row
+    per iteration; pair stats live on the distinct-word vocab, never the
+    corpus)."""
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, vocab = bpe.train_bpe(docs, n_merges=8)
+    vocab.unpersist()
+    return bpe.merges_df(spark, merges)
+
+
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the corpus-trained BPE, dictionary
+    style: the corpus is segmented once per distinct word, documents only
+    join (broadcast) against (word, subword_count)."""
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, vocab = bpe.train_bpe(docs, n_merges=8)
+    out = bpe.bpe_token_counts(docs, vocab)
+    vocab.unpersist()
+    return out.select(F.col("id").alias("doc_id"), "n_words", "bpe_tokens")
 
 
 def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1781,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "crawl_churn": q_crawl_churn,
         "text_ccnet_buckets": q_text_ccnet_buckets,
+        "text_bpe_merges": q_text_bpe_merges,
+        "text_bpe_tokenize": q_text_bpe_tokenize,
         # --- driver-verified in r03; re-verified as sweep room allows ---
         "extract_meta": q_extract_meta,
         "extract_redirects": q_extract_redirects,
@@ -2335,6 +2363,8 @@ pairs AS (
 )
 SELECT new_doc, corpus_doc, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.9
 """,
+        "text_bpe_merges": bpe.oracle_merges_sql(8),
+        "text_bpe_tokenize": bpe.oracle_token_counts_sql(8),
         "text_ccnet_buckets": """
 WITH ttoks AS (
   SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token
