@@ -300,6 +300,27 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cluster→keep pipeline with QUALITY-aware selection:
+    simhash pigeonhole pairs (exact for hamming ≤ 3) over a corpus with
+    planted longer near-copies (' copy edit' suffix), connected
+    components, then keep each cluster's longest capture (min id breaks
+    ties) — so the planted copy, not the original, wins its cluster.
+    The oracle replays simhash, the recursive transitive closure, and
+    the selection window end-to-end."""
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where("doc_id % 50 = 0").selectExpr(
+            "doc_id + 1000000 as doc_id", "concat(text, ' copy edit') as text"
+        )
+    )
+    pairs = dedup.simhash_pairs(corpus, max_hamming=3)
+    clusters = dedup.duplicate_clusters(pairs)
+    scores = corpus.select("doc_id", F.length("text").cast("long").alias("score"))
+    return dedup.keep_best(clusters, scores)
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.simhash_pairs(_dup_corpus(spark, sf_dir), max_hamming=3)
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
@@ -493,6 +514,46 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc",
     )
     return textstats.ccnet_buckets(scored)
+
+
+def q_pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED CCNet pipeline (Wenzek et al. 2020) end-to-end, in
+    paper order: cross-corpus paragraph dedup → language id on the
+    DEDUPED text → stored-LM perplexity (LM trained on the even-doc half
+    of the deduped corpus) → per-detected-language head/middle/tail
+    terciles.  Every stage has its own oracle elsewhere; this query pins
+    their composition — boilerplate paragraphs removed by stage 1 change
+    the LM, the scores, and the tercile cuts downstream, so a value match
+    proves the stages actually chain.
+
+    Scale shape: dedup shuffles (hash, doc, idx) triples; the LM is a
+    broadcast probe; langid is pure JVM expressions; the only other
+    exchange is the tercile window partitioned by detected language."""
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", f"{_PARA_SYNTH} as text")
+    dd = dedup.paragraph_dedup(planted).select(
+        F.col("doc").alias("doc_id"),
+        F.col("text_dedup").alias("text"),
+        "n_paras",
+        "n_kept",
+    )
+    lm = textstats.build_unigram_lm(dd.where("doc_id % 2 = 0"))
+    scored = textstats.perplexity_score(dd.where("doc_id % 2 = 1"), lm).select(
+        "doc", "n_tokens", "perplexity"
+    )
+    langs = textstats.language_id(dd.where("doc_id % 2 = 1")).select(
+        F.col("doc_id").alias("doc"), F.col("lang_guess").alias("lang")
+    )
+    buckets = textstats.ccnet_buckets(scored.join(langs, "doc"))
+    meta = dd.where("doc_id % 2 = 1").select(
+        F.col("doc_id").alias("doc"), "n_paras", "n_kept"
+    )
+    return (
+        buckets.join(scored.select("doc", "n_tokens"), "doc")
+        .join(meta, "doc")
+        .select("doc", "lang", "perplexity", "bucket", "n_tokens", "n_paras", "n_kept")
+    )
 
 
 def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1809,6 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ccnet_buckets": q_text_ccnet_buckets,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_tokenize": q_text_bpe_tokenize,
+        "dedup_keep_best": q_dedup_keep_best,
+        "pipeline_ccnet": q_pipeline_ccnet,
         # --- driver-verified in r03; re-verified as sweep room allows ---
         "extract_meta": q_extract_meta,
         "extract_redirects": q_extract_redirects,
@@ -2726,6 +2789,33 @@ SELECT node AS doc, min(r) AS canonical FROM reach GROUP BY node
 WITH {simhash_cte('documents')}
 SELECT doc_id AS doc, simhash FROM allsim
 """,
+        "dedup_keep_best": f"""
+WITH RECURSIVE kb_corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text || ' copy edit' FROM documents WHERE doc_id % 50 = 0
+),
+{simhash_cte('kb_corpus')},
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+e AS (SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(node, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN e ON reach.r = e.s
+),
+cl AS (SELECT node AS doc, min(r) AS canonical FROM reach GROUP BY node),
+sc AS (SELECT doc_id AS doc, length(text)::BIGINT AS s FROM kb_corpus),
+ranked AS (
+  SELECT cl.doc, cl.canonical,
+         row_number() OVER (PARTITION BY cl.canonical ORDER BY sc.s DESC, cl.doc ASC) AS rn,
+         first_value(cl.doc) OVER (PARTITION BY cl.canonical ORDER BY sc.s DESC, cl.doc ASC) AS best
+  FROM cl JOIN sc USING (doc)
+)
+SELECT doc, canonical, best, (rn = 1)::INT AS keep FROM ranked
+""",
         "dedup_simhash_pairs": f"""
 WITH {dup_corpus},
 {simhash_cte('dup_corpus')}
@@ -3327,6 +3417,7 @@ SELECT doc_id, n_tokens,
 FROM s
 """,
         "text_langid": _langid_oracle(),
+        "pipeline_ccnet": _ccnet_pipeline_oracle(),
         "extract_then_quality": """
 WITH t AS (
   SELECT doc_id,
@@ -3654,6 +3745,98 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """,
     }
+
+
+def _ccnet_pipeline_oracle() -> str:
+    """Replay the whole composed CCNet chain in DuckDB: paragraph dedup
+    (ownership by row_number over corpus order), add-k unigram LM on the
+    deduped even half, integer-nano perplexity on the deduped odd half,
+    stopword-vote langid on the deduped text, ntile(3) per detected
+    language."""
+    from graby_spark.operators.textstats import STOPWORDS
+
+    def hits(lang: str) -> str:
+        words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id, concat('SHARED HEADER BOILERPLATE', chr(10), chr(10), text, chr(10), chr(10),
+    CASE WHEN doc_id % 2 = 0 THEN 'SHARED FOOTER'
+    ELSE concat('unique footer ', cast(doc_id AS STRING)) END) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id AS doc,
+    list_filter(list_transform(string_split(text, chr(10) || chr(10)), p -> trim(p)), p -> p <> '') AS paras
+  FROM planted
+), px AS (
+  SELECT doc, i - 1 AS idx, paras[i] AS para,
+    ('0x' || substr(md5(regexp_replace(paras[i], '\\s+', ' ', 'g')), 1, 15))::BIGINT AS para_hash
+  FROM (SELECT doc, unnest(range(1, len(paras) + 1)) AS i, paras FROM base)
+), owned AS (
+  SELECT doc, idx, para, row_number() OVER (PARTITION BY para_hash ORDER BY doc, idx) AS rn FROM px
+), rebuilt AS (
+  SELECT doc, count(*) AS n_kept, string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_dedup
+  FROM owned WHERE rn = 1 GROUP BY doc
+), dd AS (
+  SELECT b.doc, len(b.paras)::BIGINT AS n_paras, coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+         coalesce(r.text_dedup, '') AS text
+  FROM base b LEFT JOIN rebuilt r USING (doc)
+), ttoks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token
+  FROM dd WHERE doc % 2 = 0
+), vocab AS (SELECT token, count(*) AS tf FROM ttoks GROUP BY token),
+params AS (
+  SELECT (SELECT count(*) FROM ttoks) + 0.5 * ((SELECT count(*) FROM vocab) + 1) AS denom
+),
+lm AS (SELECT token, round(log10((tf + 0.5) / denom), 9) AS logp10 FROM vocab, params),
+unk AS (SELECT round(log10(0.5 / denom), 9) AS logp10 FROM params),
+stoks AS (
+  SELECT doc, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token
+  FROM dd WHERE doc % 2 = 1
+),
+agg AS (
+  SELECT s.doc, count(*) AS n,
+         sum(CAST(round((coalesce(l.logp10, (SELECT logp10 FROM unk))) * 1000000000) AS BIGINT)) AS total
+  FROM stoks s LEFT JOIN lm l USING (token)
+  GROUP BY s.doc
+),
+lt AS (
+  SELECT doc, lower(trim(text)) AS text,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM dd WHERE doc % 2 = 1
+), ls AS (
+  SELECT doc,
+         {hits('en')} AS en_hits, {hits('fr')} AS fr_hits,
+         {hits('es')} AS es_hits, {hits('de')} AS de_hits,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+         length(text) AS n
+  FROM lt
+), lg AS (
+  SELECT doc,
+         CASE WHEN cjk * 4 > n THEN 'zh'
+              WHEN greatest(en_hits, fr_hits, es_hits, de_hits) = 0 THEN 'unknown'
+              WHEN en_hits = greatest(en_hits, fr_hits, es_hits, de_hits) THEN 'en'
+              WHEN fr_hits = greatest(en_hits, fr_hits, es_hits, de_hits) THEN 'fr'
+              WHEN es_hits = greatest(en_hits, fr_hits, es_hits, de_hits) THEN 'es'
+              ELSE 'de' END AS lang
+  FROM ls
+), ppl AS (
+  SELECT d.doc, lg.lang, coalesce(a.n, 0)::BIGINT AS n_tokens,
+         CASE WHEN a.n > 0 THEN round(power(10, -(a.total / a.n / 1000000000)), 3) END AS perplexity
+  FROM (SELECT doc FROM dd WHERE doc % 2 = 1) d
+  LEFT JOIN agg a USING (doc)
+  JOIN lg USING (doc)
+), tiled AS (
+  SELECT doc, lang, n_tokens, perplexity,
+         ntile(3) OVER (PARTITION BY lang ORDER BY perplexity ASC NULLS LAST, doc) AS tile
+  FROM ppl
+)
+SELECT t.doc, t.lang, t.perplexity,
+       CASE t.tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       t.n_tokens, dd.n_paras, dd.n_kept
+FROM tiled t JOIN dd ON t.doc = dd.doc
+"""
 
 
 def _langid_oracle() -> str:

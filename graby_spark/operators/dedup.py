@@ -652,6 +652,51 @@ def apply_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: instead of keeping the
+    arbitrary min-id canonical, keep each duplicate cluster's
+    highest-scoring member (ties broken by the smaller doc id).
+
+    This is the step a real curation pipeline runs after clustering:
+    among near-duplicate crawls of the same page you keep the longest /
+    highest-quality capture, not whichever happened to have the smallest
+    id (e.g. CCNet keeps the best-perplexity copy, Dolma the longest).
+
+    Plan shape: ``clusters`` is (doc, canonical) from
+    :func:`duplicate_clusters`; ``scores`` carries (id, score) ONLY — the
+    document payload never enters the shuffle.  One window partitioned by
+    cluster id computes both the winner and the per-row keep flag in a
+    single exchange; cluster sizes bound the window, and near-dup clusters
+    are small by construction (a giant cluster means the threshold is
+    wrong, not the plan).
+
+    Returns (doc, canonical, best, keep) with ``keep`` ∈ {0, 1} and
+    ``best`` the cluster's kept doc id.
+    """
+    from pyspark.sql import Window
+
+    s = scores.select(
+        F.col(id_col).alias("doc"), F.col(score_col).alias("_score")
+    )
+    scored = clusters.join(s, "doc")
+    w = Window.partitionBy("canonical").orderBy(F.desc("_score"), F.asc("doc"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("best", F.first("doc").over(w))
+        .select(
+            "doc",
+            "canonical",
+            "best",
+            (F.col("_rn") == 1).cast("int").alias("keep"),
+        )
+    )
+
+
 def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     vec_d = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     norm = F.sqrt(

@@ -93,6 +93,24 @@ def test_apply_dedup_keeps_canonicals(spark, docs):
     assert ids == {1, 4, 5}
 
 
+def test_keep_best_picks_highest_score_min_id_ties(spark):
+    """keep_best keeps the max-score member per cluster (min id on ties),
+    reports it as `best` on every member row, and flags exactly one keep
+    per cluster."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc long, canonical long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)],
+        "doc_id long, score long",
+    )
+    rows = {r["doc"]: r for r in dedup.keep_best(clusters, scores).collect()}
+    assert {d: r["best"] for d, r in rows.items()} == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10}
+    assert {d for d, r in rows.items() if r["keep"] == 1} == {2, 10}
+    assert all(r["canonical"] in (1, 10) for r in rows.values())
+
+
 def test_exact_duplicates_single_shuffle(spark, docs):
     """The window specs and the final groupBy all share the group_hash
     partitioning -> exactly one exchange in the physical plan."""
