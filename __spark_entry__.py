@@ -29,6 +29,7 @@ from graby_spark.operators import (
     graph,
     packing,
     pii,
+    search,
     similarity,
     textstats,
     multimodal,
@@ -498,6 +499,30 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bpe.bpe_token_counts(docs, vocab)
     vocab.unpersist()
     return out.select(F.col("id").alias("doc_id"), "n_words", "bpe_tokens")
+
+
+#: literal BM25 query set (terms drawn from the synthetic corpus vocab),
+#: identical in the Spark query and the DuckDB VALUES list
+_BM25_QUERIES = [
+    (0, ["spark", "join"]),
+    (1, ["window", "agg", "batch"]),
+    (2, ["hash", "table", "scan"]),
+    (3, ["customer", "order", "lineitem"]),
+]
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-variant BM25 top-10 per query over the corpus
+    (operators/search.py): postings build + broadcast query-term probe,
+    integer-nano contributions so the score sum and the ranking are
+    order-independent; the oracle mirrors the arithmetic token for
+    token."""
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, terms array<string>"
+    )
+    return search.bm25_topk(docs, queries, k=10)
 
 
 def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1872,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokenize": q_text_bpe_tokenize,
         "dedup_keep_best": q_dedup_keep_best,
         "pipeline_ccnet": q_pipeline_ccnet,
+        "search_bm25": q_search_bm25,
         # --- driver-verified in r03; re-verified as sweep room allows ---
         "extract_meta": q_extract_meta,
         "extract_redirects": q_extract_redirects,
@@ -3418,6 +3444,12 @@ FROM s
 """,
         "text_langid": _langid_oracle(),
         "pipeline_ccnet": _ccnet_pipeline_oracle(),
+        "search_bm25": search.oracle_bm25_sql(
+            ", ".join(
+                f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+            ),
+            k=10,
+        ),
         "extract_then_quality": """
 WITH t AS (
   SELECT doc_id,

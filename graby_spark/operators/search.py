@@ -1,0 +1,168 @@
+"""BM25 keyword search over the document corpus, as pure DataFrame ops.
+
+A curation pipeline needs targeted retrieval, not just bulk filters:
+"find the documents about X" drives eval-set construction, topic
+sampling, and contamination audits.  BM25 (Robertson & Zaragoza 2009,
+"The Probabilistic Relevance Framework: BM25 and Beyond") is the
+standard lexical ranking function; this is the Lucene variant
+(idf = ln((N - df + 0.5) / (df + 0.5) + 1), always positive).
+
+Scale shape
+-----------
+The postings build is one shuffle keyed by (doc, token) plus a
+token-keyed df aggregate — both map-side-combined.  The query set is
+tiny by definition, so it joins BROADCAST against the postings: the
+inner join prunes the corpus to documents containing at least one query
+term before any scoring arithmetic runs, and the per-(query, doc)
+aggregate only ever sees matching postings.  The final top-k is one
+window partitioned by query — bounded by the matching set, never the
+corpus.  Nothing collects driver-side except the two scalar corpus
+statistics (N, total token count) that BM25 is defined over.
+
+Determinism / oracle
+--------------------
+Per-term contributions are rounded to 9 dp and summed as exact integer
+nano-units (the same order-independence trick as the perplexity
+scorers: a float sum's partial-aggregation order can flip a rounded
+mean at a tie, an integer sum cannot).  The top-k window orders by the
+INTEGER score, so ranking ties break identically in any engine.  The
+arithmetic is written with the same parenthesization the DuckDB oracle
+uses, and both engines compute idf/tf factors from integer counts and
+the exact scalar avgdl = total_tokens / N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Term-frequency postings (doc, token, tf) over whitespace tokens of
+    the lowercased text."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    return toks.groupBy("doc", "token").agg(F.count("*").alias("tf"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Top-k documents per query under BM25.
+
+    ``queries`` carries (query_id, terms array<string>); terms are
+    matched lowercase-exact against whitespace tokens.  Returns
+    (query_id, doc, n_hits, score, rank) — ``n_hits`` the number of
+    distinct query terms present, ``score`` the BM25 sum, ``rank``
+    1-based by (score DESC, doc ASC).
+    """
+    post = postings(docs, id_col, text_col)
+    dl = post.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    # the two scalars BM25 is defined over: corpus size and mean doc length
+    n_docs = docs.count()
+    total_tokens = dl.agg(F.sum("dl")).collect()[0][0] or 0
+    avgdl = float(total_tokens) / n_docs if n_docs else 1.0
+
+    df_tbl = post.groupBy("token").agg(F.countDistinct("doc").alias("df"))
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.col(terms_col)).alias("token"),
+    ).distinct()
+
+    idf = F.round(
+        F.log((F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)),
+        9,
+    )
+    matches = (
+        F.broadcast(qterms)
+        .join(post, "token")
+        .join(F.broadcast(df_tbl), "token")
+        .join(dl, "doc")
+    )
+    tf_d = F.col("tf").cast("double")
+    contrib = idf * (
+        tf_d * F.lit(k1 + 1.0)
+        / (tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = matches.select(
+        "query_id",
+        "doc",
+        F.round(contrib * F.lit(1e9), 0).cast("long").alias("nano"),
+    )
+    agg = scored.groupBy("query_id", "doc").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.sum("nano").alias("total_nano"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("total_nano"), F.asc("doc"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc",
+            "n_hits",
+            F.round(F.col("total_nano") / F.lit(1e9), 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def oracle_bm25_sql(
+    query_values: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    src: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk`.  ``query_values`` is a VALUES
+    list of (query_id, token) rows, e.g. "(0, 'spark'), (0, 'join')".
+    The arithmetic mirrors the Spark expression token for token."""
+    return f"""
+WITH post AS (
+  SELECT {id_col} AS doc, x.token AS token, count(*)::BIGINT AS tf
+  FROM {src}, unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS x(token)
+  WHERE x.token <> ''
+  GROUP BY doc, x.token
+),
+dl AS (SELECT doc, sum(tf) AS dl FROM post GROUP BY doc),
+stats AS (
+  SELECT (SELECT count(*) FROM {src})::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)::DOUBLE / (SELECT count(*) FROM {src}) AS avgdl
+),
+dft AS (SELECT token, count(DISTINCT doc)::BIGINT AS df FROM post GROUP BY token),
+q(query_id, token) AS (VALUES {query_values}),
+m AS (
+  SELECT q.query_id, p.doc,
+         CAST(round(round(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 9)
+              * (p.tf::DOUBLE * {k1 + 1.0} / (p.tf::DOUBLE + {k1} * ({1.0 - b} + {b} * l.dl / s.avgdl)))
+              * 1000000000, 0) AS BIGINT) AS nano
+  FROM q JOIN post p USING (token) JOIN dft d USING (token) JOIN dl l ON l.doc = p.doc, stats s
+),
+agg AS (
+  SELECT query_id, doc, count(*)::BIGINT AS n_hits, sum(nano) AS total_nano
+  FROM m GROUP BY query_id, doc
+),
+ranked AS (
+  SELECT query_id, doc, n_hits, total_nano,
+         row_number() OVER (PARTITION BY query_id ORDER BY total_nano DESC, doc ASC) AS rank
+  FROM agg
+)
+SELECT query_id, doc, n_hits, round(total_nano / 1000000000.0, 6) AS score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -1949,3 +1949,35 @@ def test_corpus_grep(spark):
         for r in textstats.corpus_grep(df, ["\\bspark\\b", "[0-9]+"]).collect()
     }
     assert out == {(1, "\\bspark\\b"): 2, (1, "[0-9]+"): 1}  # doc 2 emits nothing
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 (Lucene idf) pinned against a hand-computed 3-doc corpus."""
+    from graby_spark.operators import search
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "spark spark join"),
+            (2, "spark window"),
+            (3, "window window window agg"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(0, ["spark", "agg"])], "query_id long, terms array<string>")
+    rows = {r["doc"]: r for r in search.bm25_topk(corpus, queries, k=10).collect()}
+
+    # N=3, total tokens=9, avgdl=3. df(spark)=2, df(agg)=1.
+    k1, b = 1.2, 0.75
+    idf_spark = round(math.log((3 - 2 + 0.5) / (2 + 0.5) + 1), 9)
+    idf_agg = round(math.log((3 - 1 + 0.5) / (1 + 0.5) + 1), 9)
+
+    def tff(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 3.0))
+
+    exp1 = round(round(idf_spark * tff(2, 3) * 1e9, 0) / 1e9, 6)
+    exp3 = round(round(idf_agg * tff(1, 4) * 1e9, 0) / 1e9, 6)
+    assert rows[1]["n_hits"] == 1 and rows[1]["score"] == pytest.approx(exp1, abs=1e-9)
+    assert rows[3]["n_hits"] == 1 and rows[3]["score"] == pytest.approx(exp3, abs=1e-9)
+    assert rows[2]["n_hits"] == 1
+    # doc 3's rare-term (agg) hit outranks both spark hits
+    assert [rows[d]["rank"] for d in (3, 1, 2)] == [1, 2, 3]
