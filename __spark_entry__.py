@@ -525,6 +525,60 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(docs, queries, k=10)
 
 
+#: plants a 5-token promo tail in every 7th doc and a 3-token news prefix
+#: in every 11th-mod-3 doc; the phrase queries then probe planted runs, a
+#: sub-phrase, and a repeated-term phrase over the natural text
+_PHRASE_SYNTH = (
+    "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' limited time offer expires soon') "
+    "WHEN doc_id % 11 = 3 THEN concat('breaking news alert ', text) ELSE text END"
+)
+_PHRASE_QUERIES = [
+    (0, ["limited", "time", "offer"]),
+    (1, ["breaking", "news", "alert"]),
+    (2, ["offer", "expires", "soon"]),
+    (3, ["value", "value"]),
+]
+
+
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over positional postings
+    (operators/search.py): phrase index ``i`` matching at position ``p``
+    votes for a start at ``p - i``; starts where all indexes agree are
+    occurrences.  Planted phrases + a repeated-term phrase probe the
+    consecutive-match logic."""
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", f"{_PHRASE_SYNTH} as text")
+    queries = spark.createDataFrame(
+        _PHRASE_QUERIES, "query_id long, terms array<string>"
+    )
+    return search.phrase_search(planted, queries)
+
+
+#: per-domain template chrome: a navigation line in EVERY doc of the
+#: domain (dropped at min_frac=0.5) and a copyright line in ~a third
+#: (kept — frequent globally but below the domain threshold)
+_BOILER_SYNTH = (
+    "concat('NAVIGATION MENU FOR ', source, chr(10), text, chr(10), "
+    "CASE WHEN doc_id % 3 = 0 THEN concat('COPYRIGHT ', source) "
+    "ELSE concat('unique tail ', cast(doc_id AS STRING)) END)"
+)
+
+
+def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb line-wise correction (operators/dedup.py
+    domain_boilerplate_lines): lines recurring in >=50% of a domain's
+    documents are template chrome and every occurrence is dropped; the
+    planted copyright line sits below the threshold and survives."""
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", "source", f"{_BOILER_SYNTH} as text")
+    out = dedup.domain_boilerplate_lines(planted, domain_col="source")
+    return out.select(
+        "doc", "n_lines", "n_kept", F.md5("text_clean").alias("clean_md5")
+    )
+
+
 def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus split (Wenzek et al. §4.4):
     per-language perplexity terciles over the stored-LM scores, cut with
@@ -1898,6 +1952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "pipeline_ccnet": q_pipeline_ccnet,
         "search_bm25": q_search_bm25,
+        "search_phrase": q_search_phrase,
+        "dedup_boilerplate": q_dedup_boilerplate,
         # --- driver-verified in r03; re-verified as sweep room allows ---
         "extract_meta": q_extract_meta,
         "extract_redirects": q_extract_redirects,
@@ -3450,6 +3506,43 @@ FROM s
             ),
             k=10,
         ),
+        "search_phrase": search.oracle_phrase_sql(
+            ", ".join(
+                f"({qid}, {i}, '{t}', {len(terms)})"
+                for qid, terms in _PHRASE_QUERIES
+                for i, t in enumerate(terms)
+            ),
+            src=f"(SELECT doc_id, {_PHRASE_SYNTH} AS text FROM documents) planted",
+        ),
+        "dedup_boilerplate": f"""
+WITH planted AS (
+  SELECT doc_id, source, {_BOILER_SYNTH} AS text FROM documents
+), base AS (
+  SELECT doc_id AS doc, source AS domain,
+    list_filter(list_transform(string_split(text, chr(10)), p -> trim(p)), p -> p <> '') AS lines
+  FROM planted
+), lx AS (
+  SELECT doc, domain, i - 1 AS idx, lines[i] AS line,
+    ('0x' || substr(md5(regexp_replace(lines[i], '\\s+', ' ', 'g')), 1, 15))::BIGINT AS line_hash
+  FROM (SELECT doc, domain, unnest(range(1, len(lines) + 1)) AS i, lines FROM base)
+), dsz AS (
+  SELECT source AS domain, count(*) AS domain_docs FROM planted GROUP BY 1
+), freq AS (
+  SELECT domain, line_hash, count(DISTINCT doc) AS n_docs_with FROM lx GROUP BY 1, 2
+), boiler AS (
+  SELECT f.domain, f.line_hash FROM freq f JOIN dsz USING (domain)
+  WHERE n_docs_with >= 2 AND n_docs_with::DOUBLE >= 0.5 * domain_docs::DOUBLE
+), kept AS (
+  SELECT lx.* FROM lx ANTI JOIN boiler USING (domain, line_hash)
+), rebuilt AS (
+  SELECT doc, count(*) AS n_kept, string_agg(line, chr(10) ORDER BY idx) AS text_clean
+  FROM kept GROUP BY doc
+)
+SELECT b.doc, len(b.lines)::BIGINT AS n_lines,
+  coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+  md5(coalesce(r.text_clean, '')) AS clean_md5
+FROM base b LEFT JOIN rebuilt r USING (doc)
+""",
         "extract_then_quality": """
 WITH t AS (
   SELECT doc_id,

@@ -778,6 +778,100 @@ def paragraph_dedup(
     )
 
 
+def domain_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "domain",
+    min_docs: int = 2,
+    min_frac: float = 0.5,
+    sep: str = "\n",
+) -> DataFrame:
+    """RefinedWeb-style line-wise correction (Penedo et al. 2023 §3.1.3):
+    drop lines that repeat across a domain's documents — navigation,
+    copyright footers, cookie banners — keeping lines that are frequent
+    only globally (a line must be boilerplate OF ITS DOMAIN, unlike
+    CCNet's global :func:`paragraph_dedup` which keeps first occurrences).
+
+    A line is boilerplate when it appears in at least ``min_docs``
+    documents of the domain AND in at least ``min_frac`` of them.  Every
+    occurrence is dropped (no canonical survivor — the line is template
+    chrome, not content).
+
+    Returns (doc, n_lines, n_kept, text_clean).
+
+    Scale shape: the frequency aggregate shuffles only
+    ``(domain, line_hash, doc)`` triples (64-bit hash — never text) with
+    a map-side distinct; the boilerplate verdict set is bounded by
+    lines-per-template × domains (small by construction: a line must
+    recur in half a domain's docs to qualify), so it BROADCASTS back
+    against the exploded lines and the per-document reassembly shuffles
+    each surviving line's text exactly once.  The line hash is the top
+    60 bits of md5 of the whitespace-normalized line — the same
+    cross-engine value DuckDB computes, so the operator is
+    oracle-checkable end-to-end.
+    """
+    arrays = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(domain_col).alias("domain"),
+        F.filter(
+            F.transform(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep)),
+                lambda p: F.trim(p),
+            ),
+            lambda p: p != "",
+        ).alias("_lines"),
+    )
+    lines = arrays.select(
+        "doc",
+        "domain",
+        F.posexplode("_lines").alias("idx", "line"),
+    ).withColumn(
+        "line_hash",
+        F.conv(
+            F.substring(F.md5(F.regexp_replace(F.col("line"), r"\s+", " ")), 1, 15), 16, 10
+        ).cast("long"),
+    )
+
+    domain_sizes = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("domain_docs")
+    )
+    freq = (
+        lines.select("domain", "line_hash", "doc")
+        .distinct()
+        .groupBy("domain", "line_hash")
+        .agg(F.count("*").alias("n_docs_with"))
+    )
+    boiler = (
+        freq.join(domain_sizes, "domain")
+        .where(
+            (F.col("n_docs_with") >= F.lit(min_docs))
+            & (
+                F.col("n_docs_with").cast("double")
+                >= F.lit(float(min_frac)) * F.col("domain_docs").cast("double")
+            )
+        )
+        .select("domain", "line_hash")
+    )
+    kept = lines.join(F.broadcast(boiler), ["domain", "line_hash"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))), lambda s: s["line"]
+            ),
+        ).alias("text_clean"),
+    )
+    totals = arrays.select("doc", F.size("_lines").cast("long").alias("n_lines"))
+    return totals.join(rebuilt, "doc", "left").select(
+        "doc",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 def substring_dup_spans(
     df: DataFrame,
     id_col: str = "doc_id",

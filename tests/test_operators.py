@@ -1981,3 +1981,67 @@ def test_bm25_hand_computed(spark):
     assert rows[2]["n_hits"] == 1
     # doc 3's rare-term (agg) hit outranks both spark hits
     assert [rows[d]["rank"] for d in (3, 1, 2)] == [1, 2, 3]
+
+
+def test_search_index_parquet_round_trip(spark, tmp_path):
+    """The BM25 index is a storable artifact: probing a parquet
+    round-tripped index returns exactly what the one-shot path does."""
+    from graby_spark.operators import search
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i % 5} tok{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, ["alpha", "tok1"]), (1, ["gamma"])], "query_id long, terms array<string>"
+    )
+    path = str(tmp_path / "bm25_index")
+    search.build_search_index(corpus).write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    direct = sorted(map(tuple, search.bm25_topk(corpus, queries, k=5).collect()))
+    probed = sorted(map(tuple, search.bm25_topk_indexed(stored, queries, k=5).collect()))
+    assert direct == probed and len(direct) > 0
+
+
+def test_phrase_search_consecutive_and_repeated(spark):
+    from graby_spark.operators import search
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "big data big data big"),       # "big data" x2; "data big" x2
+            (2, "big time data"),               # has both words, never adjacent
+            (3, "data data data"),              # "data data" x2 (overlapping)
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, ["big", "data"]), (1, ["data", "data"])],
+        "query_id long, terms array<string>",
+    )
+    got = {
+        (r["query_id"], r["doc"]): (r["n_occurrences"], r["first_pos"])
+        for r in search.phrase_search(corpus, queries).collect()
+    }
+    # doc 2 matches nothing: the words are present but not consecutive
+    assert got == {(0, 1): (2, 0), (1, 3): (2, 0)}
+
+
+def test_domain_boilerplate_threshold(spark):
+    from graby_spark.operators import dedup
+
+    rows = [
+        (1, "a.com", "NAV BAR\nreal content one\nCOPYRIGHT A"),
+        (2, "a.com", "NAV BAR\nreal content two"),
+        (3, "a.com", "NAV BAR\nreal content three"),
+        (4, "b.com", "NAV BAR\nother site text"),  # NAV unique within b.com
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    out = {r["doc"]: r for r in dedup.domain_boilerplate_lines(df).collect()}
+
+    # NAV BAR is in 3/3 a.com docs -> dropped there; 1/1 b.com doc but
+    # min_docs=2 keeps it (a domain with one doc has no repetition signal)
+    assert out[1]["text_clean"] == "real content one\nCOPYRIGHT A"
+    assert out[2]["text_clean"] == "real content two"
+    assert out[4]["text_clean"] == "NAV BAR\nother site text"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
