@@ -1086,6 +1086,24 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index fetch planning: documents → synthetic CDXJ lines (multi-
+    capture, mixed status/mime, www-prefixed hosts) → JVM line parser →
+    latest eligible capture per SURT urlkey.  The oracle regenerates the
+    expected fetch plan closed-form from documents, so a value match
+    proves the SURT canonicalizer, the line parser, the status/mime
+    filter, and the latest-capture window all at once.  Reference: graby
+    selects its input one live URL at a time (HttpClient.php:150); at
+    corpus scale input selection IS this index scan."""
+    from graby_spark.sources import cdx
+
+    lines = cdx.build_cdx_lines(spark, sf_dir)
+    plan = cdx.cdx_select_latest(cdx.cdx_records(lines), mimes=("text/html",))
+    return plan.select(
+        "urlkey", "ts", "url", "digest", "length", "offset", "filename"
+    )
+
+
 def q_graph_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-aware crawl-frontier waves: per-domain score ranking
     with deterministic md5-hash scores."""
@@ -1913,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # artifact regardless of this rotation.
     return {
         # --- never driver-verified (r03 artifact overflow) + new in r04 ---
+        "source_cdx": q_source_cdx,
         "source_warc": q_source_warc,
         "dedup_incremental": q_dedup_incremental,
         "extract_lite": q_extract_lite,
@@ -2692,6 +2711,34 @@ SELECT url, domain,
        CASE WHEN m = 1 THEN rule ELSE 'default' END AS matched_rule,
        CAST(CASE WHEN m = 1 THEN prefix_len ELSE -1 END AS BIGINT) AS matched_len
 FROM best WHERE rn = 1
+""",
+        "source_cdx": """
+WITH caps AS (
+    SELECT doc_id, text, n_chars, unnest(range(doc_id % 3 + 1)) AS k
+    FROM documents
+), rec AS (
+    SELECT
+        'com,example,cdx-' || (doc_id % 5) || ')/page/' || doc_id AS urlkey,
+        strftime(TIMESTAMP '2024-01-01 00:00:00'
+                 + to_seconds(doc_id * 7 + k * 86400), '%Y%m%d%H%M%S') AS ts,
+        'http://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+            || 'cdx-' || (doc_id % 5) || '.example.com/page/' || doc_id AS url,
+        CASE WHEN doc_id % 11 = 0 THEN 'application/pdf' ELSE 'text/html' END AS mime,
+        CASE WHEN (doc_id + k) % 7 = 3 THEN 503 ELSE 200 END AS status,
+        md5(text) AS digest,
+        n_chars + 100 AS length,
+        doc_id * 1000 + k * 200 AS "offset",
+        'crawl-' || (doc_id % 4) || '.warc.gz' AS filename
+    FROM caps
+), latest AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY urlkey
+        ORDER BY ts DESC, filename DESC, "offset" DESC) AS rn
+    FROM rec
+    WHERE status = 200 AND mime = 'text/html'
+)
+SELECT urlkey, ts, url, digest, length, "offset", filename
+FROM latest WHERE rn = 1
 """,
         "source_warc": """
 SELECT concat('http://warc.example.com/doc/', cast(doc_id AS varchar)) AS url,

@@ -110,3 +110,80 @@ def test_corrupt_gzip_member_drops_tail_not_job():
     members = list(_iter_members(good + bytes(corrupt) + gz(b"third")))
     assert members[0] == b"first"          # everything before the flip survives
     assert b"third" not in members          # tail after corruption is dropped
+
+
+# --- CDX index source ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from graby_spark.session import get_spark
+
+    session = get_spark(
+        app_name="graby-source-tests", master="local[4]", shuffle_partitions=4
+    )
+    session.sparkContext.setLogLevel("ERROR")
+    yield session
+
+
+def _cdx_parse(spark, lines):
+    from graby_spark.sources.cdx import cdx_records
+
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    return {r["urlkey"]: r.asDict() for r in cdx_records(df).collect()}
+
+
+def test_cdx_surt_key_folds_scheme_case_and_www(spark):
+    from graby_spark.sources.cdx import surt_key
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://WWW.News.Example.COM/A/b?x=1",),
+            ("http://example.org",),  # no path → ')/'
+            ("http://sub.www.example.org/p",),  # www only stripped when leading
+        ],
+        ["url"],
+    )
+    keys = [r[0] for r in df.select(surt_key("url")).collect()]
+    assert keys == [
+        "com,example,news)/a/b?x=1",
+        "org,example)/",
+        "org,example,www,sub)/p",
+    ]
+
+
+def test_cdx_records_parses_and_nulls_malformed(spark):
+    good = (
+        'com,a)/p 20240101000000 {"url":"http://a/p","mime":"text/html",'
+        '"status":"200","digest":"d","length":"10","offset":"5","filename":"f.warc.gz"}'
+    )
+    bad_json = "com,b)/p 20240101000001 not-json-at-all"
+    rows = _cdx_parse(spark, [good, bad_json])
+    g = rows["com,a)/p"]
+    assert g["status"] == 200 and g["offset"] == 5 and g["length"] == 10
+    assert g["ts"] == "20240101000000" and g["filename"] == "f.warc.gz"
+    b = rows["com,b)/p"]
+    assert b["url"] is None and b["status"] is None
+
+
+def test_cdx_select_latest_picks_newest_eligible(spark):
+    from graby_spark.sources.cdx import cdx_records, cdx_select_latest
+
+    def line(key, ts, status, off):
+        return (
+            f'{key} {ts} {{"url":"http://x/","mime":"text/html","status":"{status}",'
+            f'"digest":"d","length":"1","offset":"{off}","filename":"f"}}'
+        )
+
+    df = spark.createDataFrame(
+        [
+            (line("com,x)/", "20240101000000", 200, 0),),
+            (line("com,x)/", "20240103000000", 503, 1),),  # newest but ineligible
+            (line("com,x)/", "20240102000000", 200, 2),),  # → winner
+            (line("com,y)/", "20240101000000", 404, 3),),  # no eligible capture
+        ],
+        ["line"],
+    )
+    plan = cdx_select_latest(cdx_records(df)).collect()
+    assert len(plan) == 1
+    assert plan[0]["urlkey"] == "com,x)/" and plan[0]["offset"] == 2
