@@ -1104,6 +1104,21 @@ def q_source_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom ingestion round trip: documents → synthetic feeds (even
+    feeds RSS 2.0 with RFC-822 pubDates, odd feeds namespaced Atom) →
+    JVM xpath entry parser → one row per entry.  A value match proves
+    RSS/Atom dispatch, namespace-agnostic paths, entity-escape round
+    trip, RFC-822→ISO date normalization, and document-order zip
+    alignment in one shot.  Reference: graby's callers are feed readers
+    (wallabag) that hand it entry URLs one at a time — this is that
+    fan-out as a table operator."""
+    from graby_spark.sources import feed
+
+    blobs = feed.build_feed_blobs(spark, sf_dir)
+    return feed.feed_entries(blobs)
+
+
 def q_graph_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-aware crawl-frontier waves: per-domain score ranking
     with deterministic md5-hash scores."""
@@ -1932,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-verified (r03 artifact overflow) + new in r04 ---
         "source_cdx": q_source_cdx,
+        "source_feed": q_source_feed,
         "source_warc": q_source_warc,
         "dedup_incremental": q_dedup_incremental,
         "extract_lite": q_extract_lite,
@@ -2711,6 +2727,18 @@ SELECT url, domain,
        CASE WHEN m = 1 THEN rule ELSE 'default' END AS matched_rule,
        CAST(CASE WHEN m = 1 THEN prefix_len ELSE -1 END AS BIGINT) AS matched_len
 FROM best WHERE rn = 1
+""",
+        "source_feed": """
+SELECT 'Feed ' || (doc_id // 5) AS feed_title,
+       CASE WHEN (doc_id // 5) % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       doc_id % 5 AS pos,
+       'Entry ' || doc_id AS title,
+       'http://feed-' || ((doc_id // 5) % 7) || '.example.com/post/' || doc_id AS link,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds((doc_id % 2880) * 60),
+                '%Y-%m-%dT%H:%M:%SZ') AS published,
+       substr(text, 1, 80) AS summary,
+       true AS aligned
+FROM documents
 """,
         "source_cdx": """
 WITH caps AS (

@@ -187,3 +187,93 @@ def test_cdx_select_latest_picks_newest_eligible(spark):
     plan = cdx_select_latest(cdx_records(df)).collect()
     assert len(plan) == 1
     assert plan[0]["urlkey"] == "com,x)/" and plan[0]["offset"] == 2
+
+
+# --- RSS/Atom feed source -----------------------------------------------
+
+
+_RSS = (
+    '<rss version="2.0"><channel><title>R</title>'
+    "<item><title>A &amp; B</title><link>http://r/1</link>"
+    "<pubDate>Mon, 1 Jan 2024 05:00:00 GMT</pubDate>"
+    "<description>first</description></item>"
+    "</channel></rss>"
+)
+_ATOM = (
+    '<feed xmlns="http://www.w3.org/2005/Atom"><title>A</title>'
+    '<entry><title>T1</title><link rel="self" href="http://x/self"/>'
+    '<link rel="alternate" href="http://a/1"/>'
+    "<updated>2024-02-03T04:05:06Z</updated><summary>s1</summary></entry>"
+    "</feed>"
+)
+
+
+def test_feed_entries_rss_and_atom(spark):
+    from graby_spark.sources.feed import feed_entries
+
+    df = spark.createDataFrame([(_RSS,), (_ATOM,)], ["xml"])
+    rows = {r["link"]: r.asDict() for r in feed_entries(df).collect()}
+    r = rows["http://r/1"]
+    assert r["kind"] == "rss" and r["feed_title"] == "R"
+    assert r["title"] == "A & B"  # entity round trip
+    assert r["published"] == "2024-01-05T05:00:00Z" or r["published"] == "2024-01-01T05:00:00Z"
+    a = rows["http://a/1"]  # rel=self skipped, alternate chosen
+    assert a["kind"] == "atom" and a["published"] == "2024-02-03T04:05:06Z"
+    assert a["summary"] == "s1" and a["aligned"]
+
+
+def test_feed_rfc822_unpadded_day(spark):
+    from graby_spark.sources.feed import _rfc822_to_iso
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Mon, 1 Jan 2024 05:00:00 GMT",), ("2024-06-07T08:09:10Z",), ("garbage",)],
+        ["d"],
+    )
+    vals = [r[0] for r in df.select(_rfc822_to_iso(F.col("d"))).collect()]
+    assert vals == ["2024-01-01T05:00:00Z", "2024-06-07T08:09:10Z", "garbage"]
+
+
+def test_feed_misalignment_flagged(spark):
+    from graby_spark.sources.feed import feed_entries
+
+    # second item lacks pubDate → dates array shorter → aligned=false
+    xml = (
+        '<rss version="2.0"><channel><title>R</title>'
+        "<item><title>a</title><link>http://r/1</link>"
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate><description>d</description></item>"
+        "<item><title>b</title><link>http://r/2</link><description>e</description></item>"
+        "</channel></rss>"
+    )
+    df = spark.createDataFrame([(xml,)], ["xml"])
+    rows = feed_entries(df).collect()
+    assert rows and all(not r["aligned"] for r in rows)
+
+
+def test_feed_wellformed_gate_protects_xpath(spark):
+    from graby_spark.sources.feed import feed_entries, wellformed_xml
+
+    df = spark.createDataFrame([(_RSS,), ("<rss><broken",), (None,)], ["xml"])
+    gated = df.where(wellformed_xml("xml"))
+    assert gated.count() == 1
+    assert feed_entries(gated).count() == 1  # xpath no longer job-fatal
+
+
+def test_feed_autodiscovery(spark):
+    from graby_spark.sources.feed import feed_autodiscovery
+
+    html = (
+        "<html><head>"
+        '<link href="/feed.xml" rel="alternate" type="application/rss+xml">'
+        '<link rel="alternate" type="application/atom+xml" href="/atom.xml"/>'
+        '<link rel="stylesheet" href="/style.css">'
+        "</head></html>"
+    )
+    df = spark.createDataFrame([(1, html)], ["page_id", "html"])
+    rows = sorted(
+        (r["feed_url"], r["feed_mime"]) for r in feed_autodiscovery(df).collect()
+    )
+    assert rows == [
+        ("/atom.xml", "application/atom+xml"),
+        ("/feed.xml", "application/rss+xml"),
+    ]
