@@ -1086,6 +1086,40 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→Markdown serialization: five planted HTML shapes per doc_id
+    (headings, bold/italic, links+lists, blockquote+hr, pre+image) run
+    through the DOM-walking converter; the oracle rebuilds the expected
+    markdown closed-form, so a value match proves heading levels, inline
+    emphasis, link/image syntax, list markers, quote prefixes and fencing
+    byte-exact.  (Planted text is entity-free by construction — the
+    converter does not escape markdown metacharacters, documented in
+    graby_spark/markdown.py.)"""
+    from graby_spark.markdown import markdown_column
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.expr(
+        """
+        CASE cast(doc_id % 5 AS int)
+        WHEN 0 THEN concat('<h1>Doc ', doc_id, '</h1><p>', text, '</p>')
+        WHEN 1 THEN concat('<h2>Doc ', doc_id, '</h2><p><b>Key ', doc_id,
+                           '</b> and <i>notes</i></p><p>', text, '</p>')
+        WHEN 2 THEN concat('<p>See <a href="http://site-', doc_id % 7,
+                           '.example.com/', doc_id, '">story ', doc_id,
+                           '</a></p><ul><li>alpha</li><li>beta ', doc_id,
+                           '</li></ul>')
+        WHEN 3 THEN concat('<blockquote><p>', text,
+                           '</p></blockquote><hr><p>End ', doc_id, '</p>')
+        ELSE concat('<pre>val x = ', doc_id,
+                    '</pre><p><img src="/img/', doc_id, '.png" alt="fig ',
+                    doc_id, '"> done</p>')
+        END
+        """
+    )
+    out = markdown_column(docs.select("doc_id", html.alias("content_html")))
+    return out.select("doc_id", "markdown")
+
+
 def q_source_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX index fetch planning: documents → synthetic CDXJ lines (multi-
     capture, mixed status/mime, www-prefixed hosts) → JVM line parser →
@@ -1948,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-verified (r03 artifact overflow) + new in r04 ---
         "source_cdx": q_source_cdx,
         "source_feed": q_source_feed,
+        "text_markdown": q_text_markdown,
         "source_warc": q_source_warc,
         "dedup_incremental": q_dedup_incremental,
         "extract_lite": q_extract_lite,
@@ -2727,6 +2762,28 @@ SELECT url, domain,
        CASE WHEN m = 1 THEN rule ELSE 'default' END AS matched_rule,
        CAST(CASE WHEN m = 1 THEN prefix_len ELSE -1 END AS BIGINT) AS matched_len
 FROM best WHERE rn = 1
+""",
+        "text_markdown": """
+WITH t AS (
+    SELECT doc_id, trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS tx
+    FROM documents
+)
+SELECT doc_id,
+    CASE doc_id % 5
+    WHEN 0 THEN '# Doc ' || doc_id || chr(10) || chr(10) || tx
+    WHEN 1 THEN '## Doc ' || doc_id || chr(10) || chr(10)
+                || '**Key ' || doc_id || '** and *notes*'
+                || chr(10) || chr(10) || tx
+    WHEN 2 THEN 'See [story ' || doc_id || '](http://site-' || (doc_id % 7)
+                || '.example.com/' || doc_id || ')' || chr(10) || chr(10)
+                || '- alpha' || chr(10) || '- beta ' || doc_id
+    WHEN 3 THEN '> ' || tx || chr(10) || chr(10) || '---'
+                || chr(10) || chr(10) || 'End ' || doc_id
+    ELSE '```' || chr(10) || 'val x = ' || doc_id || chr(10) || '```'
+         || chr(10) || chr(10) || '![fig ' || doc_id || '](/img/' || doc_id
+         || '.png) done'
+    END AS markdown
+FROM t
 """,
         "source_feed": """
 SELECT 'Feed ' || (doc_id // 5) AS feed_title,

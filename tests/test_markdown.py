@@ -1,0 +1,61 @@
+"""HTML→Markdown converter: block/inline structure and the Spark column."""
+
+import pytest
+
+from graby_spark.markdown import to_markdown
+
+
+@pytest.mark.parametrize(
+    "html,want",
+    [
+        ("<h1>T</h1><p>hello  world</p>", "# T\n\nhello world"),
+        ("<h3>deep</h3>", "### deep"),
+        ("<p><b>bold</b> and <i>it</i></p>", "**bold** and *it*"),
+        (
+            '<p>See <a href="http://x">link</a></p><ul><li>alpha</li><li>beta</li></ul>',
+            "See [link](http://x)\n\n- alpha\n- beta",
+        ),
+        ("<blockquote><p>quoted</p><p>more</p></blockquote>", "> quoted\n>\n> more"),
+        (
+            "<pre>code  here\n  x</pre><hr><p>t</p>",
+            "```\ncode  here\n  x\n```\n\n---\n\nt",
+        ),
+        # tight nesting: sub-list attaches directly under its item text
+        (
+            "<ol><li>one</li><li>two<ul><li>sub</li></ul></li></ol>",
+            "1. one\n2. two\n  - sub",
+        ),
+        # multi-paragraph item keeps the paragraph break, indented
+        ("<ul><li><p>a</p><p>b</p></li></ul>", "- a\n\n  b"),
+        ('<p><img src="a.png" alt="pic"> and <code>x=1</code></p>', "![pic](a.png) and `x=1`"),
+        (
+            "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>",
+            "| a | b |\n\n| 1 | 2 |",
+        ),
+        # bare inline runs between blocks become implicit paragraphs
+        ("<div>bare text<p>para</p>tail</div>", "bare text\n\npara\n\ntail"),
+        # script/style content never leaks into the corpus
+        ("<p>keep</p><script>var x;</script><style>.a{}</style>", "keep"),
+        # anchor without href degrades to its text; empty emphasis drops
+        ("<p><a>naked</a> <b> </b>end</p>", "naked end"),
+        ("<p>line<br>break</p>", "line\nbreak"),
+        ("", ""),
+    ],
+)
+def test_to_markdown(html, want):
+    assert to_markdown(html) == want
+
+
+def test_markdown_column_vectorized():
+    from graby_spark.markdown import markdown_column
+    from graby_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="graby-md-tests", master="local[2]", shuffle_partitions=2
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.createDataFrame(
+        [(1, "<h1>A</h1>"), (2, None)], ["doc_id", "content_html"]
+    )
+    rows = {r["doc_id"]: r["markdown"] for r in markdown_column(df).collect()}
+    assert rows == {1: "# A", 2: None}
