@@ -1197,6 +1197,18 @@ def q_graph_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.outlinks(pages)
 
 
+def q_graph_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host-level link graph over the synthetic link farm:
+    page edges from graph.outlinks collapsed to (src_host, dst_host,
+    weight, n_src_pages), intra-host edges dropped."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.selectExpr(
+        f"{_LINK_URL.format(c='string')} as url",
+        f"{_LINK_HTML.format(c='string')} as html",
+    )
+    return graph.host_graph(graph.outlinks(pages))
+
+
 def q_graph_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text edge extraction over the synthetic link farm (same
     resolution semantics as graph_outlinks, plus the tag-stripped,
@@ -1436,6 +1448,28 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_tok").cast("long").alias("start_tok"),
         F.col("end_tok").cast("long").alias("end_tok"),
         F.col("n_grams").cast("long").alias("n_grams"),
+    )
+
+
+def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level cross-corpus dedup: two planted template sentences
+    (shared by all docs / by every third doc) survive only at their first
+    corpus occurrence; each document's own text stays as its unique
+    sentence.  Exercises the lookbehind-free segmentation + ownership
+    aggregate at sentence granularity."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr(
+        "doc_id",
+        "concat('Subscribe to our newsletter today. ',"
+        " CASE WHEN doc_id % 3 = 0 THEN 'All rights reserved. ' ELSE '' END,"
+        " text, '.') as text",
+    )
+    out = dedup.sentence_dedup(planted)
+    return out.select(
+        "doc",
+        "n_sents",
+        "n_kept",
+        F.md5("text_dedup").alias("text_md5"),
     )
 
 
@@ -1983,6 +2017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cdx": q_source_cdx,
         "source_feed": q_source_feed,
         "text_markdown": q_text_markdown,
+        "dedup_sentences": q_dedup_sentences,
+        "graph_hostgraph": q_graph_hostgraph,
         "source_warc": q_source_warc,
         "dedup_incremental": q_dedup_incremental,
         "extract_lite": q_extract_lite,
@@ -2763,6 +2799,31 @@ SELECT url, domain,
        CAST(CASE WHEN m = 1 THEN prefix_len ELSE -1 END AS BIGINT) AS matched_len
 FROM best WHERE rn = 1
 """,
+        "dedup_sentences": """
+WITH planted AS (
+  SELECT doc_id, concat('Subscribe to our newsletter today. ',
+    CASE WHEN doc_id % 3 = 0 THEN 'All rights reserved. ' ELSE '' END,
+    text, '.') AS text
+  FROM documents
+), base AS (
+  SELECT doc_id AS doc,
+    list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)), s -> s <> '') AS sents
+  FROM planted
+), sx AS (
+  SELECT doc, i - 1 AS idx, sents[i] AS sent,
+    ('0x' || substr(md5(regexp_replace(sents[i], '\s+', ' ', 'g')), 1, 15))::BIGINT AS sent_hash
+  FROM (SELECT doc, unnest(range(1, len(sents) + 1)) AS i, sents FROM base)
+), owned AS (
+  SELECT doc, idx, sent, row_number() OVER (PARTITION BY sent_hash ORDER BY doc, idx) AS rn FROM sx
+), rebuilt AS (
+  SELECT doc, count(*) AS n_kept, string_agg(sent, ' ' ORDER BY idx) AS text_dedup
+  FROM owned WHERE rn = 1 GROUP BY doc
+)
+SELECT b.doc, len(b.sents)::BIGINT AS n_sents,
+  coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+  md5(coalesce(r.text_dedup, '')) AS text_md5
+FROM base b LEFT JOIN rebuilt r USING (doc)
+""",
         "text_markdown": """
 WITH t AS (
     SELECT doc_id, trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS tx
@@ -2846,6 +2907,21 @@ SELECT url, domain, score,
 FROM cands
 """,
         "graph_outlinks": outlinks_oracle(),
+        "graph_hostgraph": f"""
+WITH edges AS ({outlinks_oracle()}),
+hosted AS (
+  SELECT src,
+         lower(regexp_extract(src, '^[a-z][a-z0-9+.\\-]*://([^/:?#]+)', 1)) AS src_host,
+         lower(regexp_extract(dst, '^[a-z][a-z0-9+.\\-]*://([^/:?#]+)', 1)) AS dst_host
+  FROM edges
+)
+SELECT src_host, dst_host,
+       count(*) AS weight,
+       count(DISTINCT src) AS n_src_pages
+FROM hosted
+WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+GROUP BY src_host, dst_host
+""",
         "graph_anchors": anchors_oracle(),
         "graph_sitemaps": f"""
 WITH domains AS (SELECT DISTINCT source AS domain FROM documents)

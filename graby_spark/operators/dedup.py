@@ -1142,3 +1142,69 @@ def incremental_minhash_pairs(
     return _jaccard_verify(
         cand, new_sh, index.select("doc", "sh"), "new_doc", "corpus_doc", threshold
     )
+
+
+def sentence_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-corpus sentence-level deduplication: the sentence-granularity
+    sibling of :func:`paragraph_dedup` (CCNet dedups paragraphs; several
+    curation pipelines — e.g. C4's three-sentence span rule's descendants —
+    work at sentence granularity to kill per-site template sentences that
+    share no paragraph boundary).
+
+    A sentence survives only at its first corpus occurrence (lowest
+    ``(doc, idx)``); documents are reassembled from surviving sentences
+    joined with single spaces.  Sentence segmentation is
+    ``textstats.SENTENCE_PATTERN`` — the lookbehind-free Java/RE2 common
+    subset — and the dedup key is the top-60-bits-of-md5 hash of the
+    whitespace-normalized sentence, so DuckDB replays the operator exactly.
+
+    Scale shape mirrors :func:`paragraph_dedup`: the ownership aggregate
+    shuffles only (hash, doc, idx) triples with map-side partial ``min``;
+    sentence text moves once, in the reassembly shuffle.
+    """
+    from graby_spark.operators.textstats import SENTENCE_PATTERN
+
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    arrays = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            F.transform(
+                F.regexp_extract_all(raw, F.lit(SENTENCE_PATTERN), F.lit(0)),
+                lambda x: F.trim(x),
+            ),
+            lambda x: x != "",
+        ).alias("_sents"),
+    )
+    sents = arrays.select("doc", F.posexplode("_sents").alias("idx", "sent")).withColumn(
+        "sent_hash",
+        F.conv(
+            F.substring(F.md5(F.regexp_replace(F.col("sent"), r"\s+", " ")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    owners = sents.groupBy("sent_hash").agg(F.min(F.struct("doc", "idx")).alias("owner"))
+    kept = (
+        sents.join(owners, "sent_hash")
+        .where((F.col("doc") == F.col("owner.doc")) & (F.col("idx") == F.col("owner.idx")))
+        .drop("owner")
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "sent"))),
+                lambda s: s["sent"],
+            ),
+        ).alias("text_dedup"),
+    )
+    totals = arrays.select("doc", F.size("_sents").cast("long").alias("n_sents"))
+    return totals.join(rebuilt, "doc", "left").select(
+        "doc",
+        "n_sents",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )

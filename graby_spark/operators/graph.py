@@ -624,3 +624,44 @@ def crawl_churn_by_domain(
         "unchanged",
         F.round((total - F.col("unchanged")) / total, 6).alias("churn_ratio"),
     )
+
+
+def host_graph(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    include_internal: bool = False,
+) -> DataFrame:
+    """Collapse a page-level (src, dst) edge list to the weighted host
+    graph: (src_host, dst_host, weight, n_src_pages).
+
+    The host graph is what link-based reputation actually runs on at
+    corpus scale (host-level PageRank, spam-farm detection, crawl
+    politeness grouping) — page-level graphs are ~1000× larger and mostly
+    redundant for those signals.  ``weight`` counts links; ``n_src_pages``
+    counts distinct linking pages, so a single index page with 10k links
+    can't masquerade as broad host endorsement.
+
+    Intra-host edges are dropped by default (navigation chrome dominates
+    them); pass ``include_internal=True`` to keep them.
+
+    Scale shape: host extraction is a narrow JVM regexp; the aggregate is
+    one partial-aggregated shuffle keyed on (src_host, dst_host) whose
+    output cardinality is the host-pair count (orders of magnitude below
+    the edge count).  ``n_src_pages`` is an exact distinct (adds Spark's
+    expand step); at full crawl scale swap to
+    ``F.approx_count_distinct`` for a single-pass plan — the 0.5%% sketch
+    error is irrelevant to reputation thresholds.
+    """
+    host_re = r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)"
+    out = edges.select(
+        F.col(src_col).alias("_src"),
+        F.lower(F.regexp_extract(F.col(src_col), host_re, 1)).alias("src_host"),
+        F.lower(F.regexp_extract(F.col(dst_col), host_re, 1)).alias("dst_host"),
+    ).where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if not include_internal:
+        out = out.where(F.col("src_host") != F.col("dst_host"))
+    return out.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("weight"),
+        F.countDistinct("_src").alias("n_src_pages"),
+    )

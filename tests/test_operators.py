@@ -2045,3 +2045,44 @@ def test_domain_boilerplate_threshold(spark):
     assert out[2]["text_clean"] == "real content two"
     assert out[4]["text_clean"] == "NAV BAR\nother site text"
     assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+
+
+def test_sentence_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Shared intro. Unique one."),
+            (2, "Shared intro. Unique two!  Also here."),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc"]: r.asDict() for r in dedup.sentence_dedup(df).collect()}
+    assert rows[1]["n_sents"] == 2 and rows[1]["n_kept"] == 2
+    assert rows[1]["text_dedup"] == "Shared intro. Unique one."
+    # doc 2 loses the shared sentence but keeps its own, order preserved
+    assert rows[2]["n_sents"] == 3 and rows[2]["n_kept"] == 2
+    assert rows[2]["text_dedup"] == "Unique two! Also here."
+    # empty doc keeps a row with zero counts
+    assert rows[3]["n_sents"] == 0 and rows[3]["text_dedup"] == ""
+
+
+def test_host_graph_collapses_and_drops_internal(spark):
+    from graby_spark.operators.graph import host_graph
+
+    edges = spark.createDataFrame(
+        [
+            ("http://a.com/p1", "http://b.com/x"),
+            ("http://a.com/p1", "http://b.com/y"),   # same page, 2 links
+            ("http://a.com/p2", "http://b.com/z"),   # second distinct page
+            ("http://a.com/p1", "http://a.com/nav"), # internal -> dropped
+            ("http://A.com/p3", "https://C.org:8443/q"),  # case fold + port strip
+        ],
+        ["src", "dst"],
+    )
+    rows = {(r["src_host"], r["dst_host"]): r.asDict() for r in host_graph(edges).collect()}
+    ab = rows[("a.com", "b.com")]
+    assert ab["weight"] == 3 and ab["n_src_pages"] == 2
+    assert ("a.com", "a.com") not in rows
+    assert rows[("a.com", "c.org")]["weight"] == 1
+    internal = host_graph(edges, include_internal=True).collect()
+    assert ("a.com", "a.com") in {(r["src_host"], r["dst_host"]) for r in internal}
