@@ -1,0 +1,73 @@
+"""Bucketed table storage — shuffle-free joins for repeatedly-joined keys.
+
+At 100 TB the same keys get joined over and over: pages↔extractions by
+url, documents↔scores by doc_id, edges↔ranks by host.  A sort-merge join
+shuffles BOTH sides every time; bucketing pays that shuffle once at write
+time and then every equi-join/aggregation on the bucket key runs
+exchange-free, because matching buckets are co-located by construction.
+
+This module wraps Spark's native bucketing (Hive-hash ``bucketBy`` +
+``sortBy`` saveAsTable) with the invariants a pipeline needs:
+
+- :func:`write_bucketed` — write a DataFrame as a bucketed, sorted
+  managed table; bucket counts must match across tables you intend to
+  co-join.
+- :func:`read_bucketed` — read it back (plain ``spark.table``; the
+  catalog carries the bucket spec).
+- :func:`plan_has_exchange` — plan introspection used by the pinned tests
+  (and available to callers as a cheap regression guard): True iff the
+  physical plan contains a shuffle Exchange.
+
+Sizing guidance (documented, not enforced): pick ``buckets`` so one
+bucket ≈ 100-200 MB at target scale (e.g. 100 TB / 128 MB ≈ 800k is too
+many files per write task — bucket the *join-hot* distilled tables, not
+the raw page store; raw pages join once and prefer plain partitioning).
+
+Caveat: Spark's bucketed scan is per-session gated by
+``spark.sql.sources.bucketing.enabled`` (default true) and joins stay
+shuffle-free only when both sides share bucket count and key, and
+``spark.sql.shuffle.partitions`` ≥ bucket count isn't required (AQE
+handles the output side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a managed parquet table bucketed+sorted on ``key``.
+
+    Sorting within buckets makes the downstream sort-merge join skip its
+    sort as well as its shuffle, and gives parquet run-length-friendly
+    pages on the key column.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def plan_has_exchange(df: DataFrame) -> bool:
+    """True iff the physical plan contains a shuffle Exchange (broadcast
+    exchanges don't count — they're the cheap kind)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return any(
+        line.lstrip("+-* ").startswith("Exchange")
+        and "SinglePartition" not in line
+        for line in plan.splitlines()
+    )

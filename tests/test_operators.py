@@ -2086,3 +2086,36 @@ def test_host_graph_collapses_and_drops_internal(spark):
     assert rows[("a.com", "c.org")]["weight"] == 1
     internal = host_graph(edges, include_internal=True).collect()
     assert ("a.com", "a.com") in {(r["src_host"], r["dst_host"]) for r in internal}
+
+
+def test_bucketed_join_and_agg_are_shuffle_free(spark):
+    from graby_spark.storage import (
+        plan_has_exchange,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    docs = spark.range(0, 200).selectExpr("id as doc_id", "id % 13 as score")
+    more = spark.range(0, 200).selectExpr("id as doc_id", "id % 7 as grade")
+    try:
+        write_bucketed(docs, "t_bucket_docs", "doc_id", 4)
+        write_bucketed(more, "t_bucket_more", "doc_id", 4)
+        a = read_bucketed(spark, "t_bucket_docs")
+        b = read_bucketed(spark, "t_bucket_more")
+        joined = a.join(b, "doc_id")
+        assert not plan_has_exchange(joined)  # co-located buckets: no shuffle
+        assert joined.count() == 200
+        assert not plan_has_exchange(a.groupBy("doc_id").count())
+        # control — the same join without bucketing must shuffle
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            assert plan_has_exchange(
+                docs.join(more, "doc_id")
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_docs")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_more")
