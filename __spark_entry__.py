@@ -1451,6 +1451,16 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (size 16, overlap 4) over documents:
+    the embedding/RAG index preparation step.  Oracle replays the window
+    arithmetic with range()+list slicing."""
+    from graby_spark.operators import packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return packing.chunk_tokens(docs, size=16, overlap=4)
+
+
 def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-level cross-corpus dedup: two planted template sentences
     (shared by all docs / by every third doc) survive only at their first
@@ -2019,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_markdown": q_text_markdown,
         "dedup_sentences": q_dedup_sentences,
         "graph_hostgraph": q_graph_hostgraph,
+        "text_chunks": q_text_chunks,
         "source_warc": q_source_warc,
         "dedup_incremental": q_dedup_incremental,
         "extract_lite": q_extract_lite,
@@ -2798,6 +2809,28 @@ SELECT url, domain,
        CASE WHEN m = 1 THEN rule ELSE 'default' END AS matched_rule,
        CAST(CASE WHEN m = 1 THEN prefix_len ELSE -1 END AS BIGINT) AS matched_len
 FROM best WHERE rn = 1
+""",
+        "text_chunks": """
+WITH base AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), windows AS (
+  SELECT doc, toks,
+         unnest(range(0, greatest(len(toks) - 4, 1), 12)) AS start_token
+  FROM base
+), sliced AS (
+  SELECT doc,
+         start_token // 12 AS chunk_idx,
+         start_token,
+         toks[start_token + 1 : start_token + 16] AS piece
+  FROM windows
+)
+SELECT doc, chunk_idx, start_token,
+       len(piece)::BIGINT AS n_tokens,
+       array_to_string(piece, ' ') AS chunk
+FROM sliced
+WHERE len(piece) > 0
 """,
         "dedup_sentences": """
 WITH planted AS (

@@ -102,3 +102,53 @@ def sample_by_source(
     for src, w in sorted(weights.items()):
         rate = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(rate)
     return df.where(frac < rate)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window token chunking: split each document's whitespace
+    tokens into windows of ``size`` tokens advancing by ``size - overlap``
+    (so consecutive chunks share ``overlap`` tokens of context) — the
+    standard preparation for embedding/RAG indexes and for training
+    examples longer than one document slice.
+
+    Window starts are ``0, stride, 2·stride, …`` while ``start <
+    max(n - overlap, 1)`` — the final window is the only one allowed to
+    be short, and a document never emits a chunk that adds no new tokens.
+    Pure JVM (split → sequence → explode → slice), narrow except for
+    nothing: no shuffle at all, and the emitted chunk text is the only
+    amplification (≈ ``size/(size-overlap)``× the corpus bytes — size it
+    consciously).
+
+    Returns (doc, chunk_idx, start_token, n_tokens, chunk).
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    stride = size - overlap
+    tokens = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        tokens.alias("_toks"),
+        F.size(tokens).alias("_n"),
+    )
+    starts = F.expr(f"sequence(0, greatest(_n - {overlap}, 1) - 1, {stride})")
+    chunks = base.select(
+        "doc",
+        "_toks",
+        F.posexplode(starts).alias("chunk_idx", "start_token"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("start_token") + 1, F.lit(size))
+    return chunks.select(
+        "doc",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    ).where(F.col("n_tokens") > 0)

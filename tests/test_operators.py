@@ -2119,3 +2119,26 @@ def test_bucketed_join_and_agg_are_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucket_docs")
         spark.sql("DROP TABLE IF EXISTS t_bucket_more")
+
+
+def test_chunk_tokens_windows(spark):
+    from graby_spark.operators.packing import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, ""), (4, None)],
+        ["doc_id", "text"],
+    )
+    rows = [
+        (r["doc"], r["chunk_idx"], r["start_token"], r["chunk"])
+        for r in chunk_tokens(df, size=4, overlap=1).orderBy("doc", "chunk_idx").collect()
+    ]
+    # stride 3: [0..3], [3..6], [6..9]; final window short is allowed,
+    # empty/None docs emit nothing
+    assert rows == [
+        (1, 0, 0, "a b c d"),
+        (1, 1, 3, "d e f g"),
+        (1, 2, 6, "g h i j"),
+        (2, 0, 0, "x y"),
+    ]
+    with pytest.raises(ValueError):
+        chunk_tokens(df, size=4, overlap=4)
