@@ -59,3 +59,37 @@ def test_markdown_column_vectorized():
     )
     rows = {r["doc_id"]: r["markdown"] for r in markdown_column(df).collect()}
     assert rows == {1: "# A", 2: None}
+
+
+@pytest.mark.parametrize(
+    "name,md5,prefix",
+    [
+        (
+            "lemonde",
+            "193f594e3d8f94e6789c498de522a3f6",
+            "![Dominique-Jean Chertier, le médiateur chargé",
+        ),
+        (
+            "blogger",
+            "ff6c57034823ffaad8c2bd45f98025f9",
+            'For the past few months I\'ve been working on a "next-gen"',
+        ),
+        (
+            "lifehacker",
+            "116853d88221cfef0cbb5d448912c0d0",
+            "[![](https://i.kinja-img.com/gawker-media/image/upload",
+        ),
+    ],
+)
+def test_golden_article_markdown_snapshot(name, md5, prefix):
+    """The serializer over REAL extracted articles (byte-exact golden
+    content), pinned by hash so a converter change that reshapes
+    real-world output can't land silently."""
+    import hashlib
+
+    from .golden import load_golden, run_golden
+    from graby_spark.markdown import to_markdown
+
+    md = to_markdown(run_golden(load_golden(name)).html)
+    assert md.startswith(prefix)
+    assert hashlib.md5(md.encode()).hexdigest() == md5
