@@ -89,6 +89,21 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extracted(spark, sf_dir).select("url", F.col("text").alias("extracted_text"))
 
 
+def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus deliverable: full extraction pipeline → markdown
+    serialization of the extracted content HTML (the shape an LLM-data
+    consumer actually stores).  On the planted single-paragraph variants
+    the expected markdown equals the whitespace-collapsed expected text,
+    so the oracle stays closed-form while the query still runs the whole
+    C/P/R/D/O pipeline plus the DOM→markdown walker."""
+    from graby_spark.markdown import markdown_column
+
+    out = _extracted(spark, sf_dir).where("is_success")
+    return markdown_column(out, html_col="html", out_col="markdown").select(
+        "url", "markdown"
+    )
+
+
 def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extracted(spark, sf_dir).select("url", "summary")
 
@@ -1451,6 +1466,30 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-content URL-shape features for frontier ranking: six planted
+    URL shapes (root, article slug, index page, tilde user page, query
+    search, numeric directory) through graby_spark.urls.url_features;
+    the oracle replays the same RE2-safe regex arithmetic in DuckDB."""
+    from graby_spark.urls import url_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.selectExpr(
+        "doc_id",
+        """
+        CASE cast(doc_id % 6 AS int)
+        WHEN 0 THEN 'http://www.ex.com/'
+        WHEN 1 THEN concat('http://ex.com/a/b/my-article-', doc_id, '.html')
+        WHEN 2 THEN 'http://ex.com/blog/index.html'
+        WHEN 3 THEN concat('http://ex.com/~user', doc_id % 5, '/page', doc_id)
+        WHEN 4 THEN concat('http://ex.com/search?q=spark&page=', doc_id % 9)
+        ELSE concat('http://ex.com/p/', doc_id, '/')
+        END as url
+        """,
+    )
+    return url_features(pages)
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (size 16, overlap 4) over documents:
     the embedding/RAG index preparation step.  Oracle replays the window
@@ -2030,6 +2069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sentences": q_dedup_sentences,
         "graph_hostgraph": q_graph_hostgraph,
         "text_chunks": q_text_chunks,
+        "extract_markdown": q_extract_markdown,
+        "url_features": q_url_features,
         "source_warc": q_source_warc,
         "dedup_incremental": q_dedup_incremental,
         "extract_lite": q_extract_lite,
@@ -2810,6 +2851,40 @@ SELECT url, domain,
        CAST(CASE WHEN m = 1 THEN prefix_len ELSE -1 END AS BIGINT) AS matched_len
 FROM best WHERE rn = 1
 """,
+        "url_features": """
+WITH pages AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+    WHEN 0 THEN 'http://www.ex.com/'
+    WHEN 1 THEN concat('http://ex.com/a/b/my-article-', doc_id, '.html')
+    WHEN 2 THEN 'http://ex.com/blog/index.html'
+    WHEN 3 THEN concat('http://ex.com/~user', doc_id % 5, '/page', doc_id)
+    WHEN 4 THEN concat('http://ex.com/search?q=spark&page=', doc_id % 9)
+    ELSE concat('http://ex.com/p/', doc_id, '/')
+    END AS url
+  FROM documents
+), f AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(url, '^[a-z][a-z0-9+.\\-]*://[^/?#]*', ''), '[?#].*$', '') AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query,
+    length(regexp_replace(url, '[^0-9]', '', 'g')) AS n_digits
+  FROM pages
+), g AS (
+  SELECT *, list_filter(string_split(path, '/'), s -> s <> '') AS segs,
+    regexp_extract(path, '([^/]+)/?$', 1) AS slug
+  FROM f
+)
+SELECT doc_id, url,
+  len(segs)::BIGINT AS path_depth,
+  length(path)::BIGINT AS path_len,
+  (CASE WHEN query = '' THEN 0 ELSE len(string_split(query, '&')) END)::BIGINT AS n_query_params,
+  n_digits / greatest(length(url), 1) AS digit_ratio,
+  contains(path, '~') AS has_tilde,
+  (query = '' AND len(segs) >= 1
+   AND regexp_matches(slug, '^[A-Za-z0-9][A-Za-z0-9_\\-]*(\\.html?)?$')
+   AND NOT regexp_matches(lower(slug), '^(index|default)(\\.html?)?$')) AS is_article_like
+FROM g
+""",
         "text_chunks": """
 WITH base AS (
   SELECT doc_id AS doc,
@@ -2975,6 +3050,10 @@ FROM expected
         "extract_text": f"""
 WITH {expected}
 SELECT url, expected_text AS extracted_text FROM expected
+""",
+        "extract_markdown": f"""
+WITH {expected}
+SELECT url, expected_text AS markdown FROM expected
 """,
         "extract_summary": f"""
 WITH {expected}

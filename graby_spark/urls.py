@@ -182,3 +182,51 @@ def canonical_url_expr(url_col: str | Column = "url") -> Column:
     # 5. trailing slash on non-root path
     c = F.regexp_replace(c, r"(://[^/?#]+/[^?#]*?)/(\?|$)", "$1$2")
     return c
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-prioritization / quality features from URL shape alone —
+    the zero-content signals a frontier ranks on before fetching
+    (UbiCrawler/IRLbot-style heuristics; also standard features in
+    web-page quality classifiers):
+
+    - ``path_depth``     — number of non-empty path segments
+    - ``path_len``       — characters in the path (query excluded)
+    - ``n_query_params`` — ``&``-separated parameter count (0 without ?)
+    - ``digit_ratio``    — digits / characters over the full URL
+    - ``has_tilde``      — user-page marker (``/~alice/``)
+    - ``is_article_like``— path ends in a slug or .htm(l), not an index
+                           root, no query string (cheap article prior)
+
+    Pure JVM expressions appended as columns; narrow, no shuffle, fully
+    codegen — run it on 10^12 frontier candidates without a Python
+    worker.  The same arithmetic is DuckDB-replayable (oracle
+    ``url_features``).
+    """
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    after_host = F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*", "")
+    path = F.regexp_replace(after_host, r"[?#].*$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    digits = F.length(F.regexp_replace(u, r"[^0-9]", ""))
+    slug = F.regexp_extract(path, r"([^/]+)/?$", 1)
+    return df.select(
+        *df.columns,
+        F.size(segs).cast("long").alias("path_depth"),
+        F.length(path).cast("long").alias("path_len"),
+        F.when(query == "", F.lit(0))
+        .otherwise(F.size(F.split(query, "&")))
+        .cast("long")
+        .alias("n_query_params"),
+        # unrounded on purpose: int/int division is bit-identical IEEE in
+        # any engine, while round() ties (e.g. x/128) split between
+        # banker's and half-up rounding across engines
+        (digits / F.greatest(F.length(u), F.lit(1))).cast("double").alias("digit_ratio"),
+        path.contains("~").alias("has_tilde"),
+        (
+            (query == "")
+            & (F.size(segs) >= 1)
+            & slug.rlike(r"^[A-Za-z0-9][A-Za-z0-9_\-]*(\.html?)?$")
+            & ~F.lower(slug).rlike(r"^(index|default)(\.html?)?$")
+        ).alias("is_article_like"),
+    )

@@ -184,3 +184,34 @@ def test_canonical_url_expr():
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonical_url_expr("url").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_url_features_shapes():
+    from graby_spark.session import get_spark
+    from graby_spark.urls import url_features
+
+    spark = get_spark(master="local[2]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.ex.com/"),
+            (2, "http://ex.com/a/b/my-article-42.html"),
+            (3, "http://ex.com/blog/index.html"),
+            (4, "http://ex.com/~alice/page7"),
+            (5, "http://ex.com/search?q=spark&page=3#frag"),
+            (6, None),
+        ],
+        ["id", "url"],
+    )
+    rows = {r["id"]: r.asDict() for r in url_features(df).collect()}
+    assert rows[1]["path_depth"] == 0 and not rows[1]["is_article_like"]
+    a = rows[2]
+    assert a["path_depth"] == 3 and a["is_article_like"] and a["n_query_params"] == 0
+    assert not rows[3]["is_article_like"]  # index page vetoed
+    assert rows[4]["has_tilde"] and rows[4]["path_depth"] == 2
+    q = rows[5]
+    assert q["n_query_params"] == 2 and not q["is_article_like"]
+    assert q["path_len"] == len("/search")
+    assert rows[6]["path_depth"] == 0 and rows[6]["digit_ratio"] == 0.0
+    assert abs(a["digit_ratio"] - 2 / len("http://ex.com/a/b/my-article-42.html")) < 1e-12
