@@ -794,3 +794,30 @@ def test_neardup_stream_multichunk_group(spark, tmp_path):
         assert all(fu == "u29" for _, _, fu, _ in got)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+
+
+def test_streaming_feed_entries_matches_batch(spark, tmp_path_factory):
+    """Feed ingestion is stateless JVM xpath, so it runs unchanged under
+    Structured Streaming: a file stream of feed blobs produces exactly
+    the batch feed_entries rows (live feed polling is the operator's
+    real deployment shape)."""
+    from graby_spark.sources.feed import build_feed_blobs, feed_entries
+
+    base = str(tmp_path_factory.mktemp("stream_feed"))
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    blobs = build_feed_blobs(spark, "/root/testdata/sf0.001").limit(40)
+    blobs.write.parquet(in_dir)
+
+    stream = spark.readStream.schema("feed_id long, xml string").parquet(in_dir)
+    q = (
+        feed_entries(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    exp = sorted(tuple(r) for r in feed_entries(spark.read.parquet(in_dir)).collect())
+    assert got == exp and len(got) > 0
