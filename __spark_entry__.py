@@ -1500,6 +1500,18 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_tokens(docs, size=16, overlap=4)
 
 
+def q_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl→index pipeline: full extraction, then sliding-window
+    token chunking of the extracted text (size 24, overlap 6) keyed by
+    final url — the exact preparation an embedding index runs on crawl
+    output.  Oracle chains the expected-extraction CTE into the same
+    window arithmetic."""
+    from graby_spark.operators import packing
+
+    out = _extracted(spark, sf_dir).where("is_success")
+    return packing.chunk_tokens(out, id_col="url", text_col="text", size=24, overlap=6)
+
+
 def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-level cross-corpus dedup: two planted template sentences
     (shared by all docs / by every third doc) survive only at their first
@@ -2071,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "extract_markdown": q_extract_markdown,
         "url_features": q_url_features,
+        "pipeline_chunks": q_pipeline_chunks,
         "source_warc": q_source_warc,
         "dedup_incremental": q_dedup_incremental,
         "extract_lite": q_extract_lite,
@@ -3054,6 +3067,27 @@ SELECT url, expected_text AS extracted_text FROM expected
         "extract_markdown": f"""
 WITH {expected}
 SELECT url, expected_text AS markdown FROM expected
+""",
+        "pipeline_chunks": f"""
+WITH {expected},
+base AS (
+  SELECT url AS doc,
+         list_filter(regexp_split_to_array(expected_text, '\\s+'), t -> t <> '') AS toks
+  FROM expected
+), windows AS (
+  SELECT doc, toks,
+         unnest(range(0, greatest(len(toks) - 6, 1), 18)) AS start_token
+  FROM base
+), sliced AS (
+  SELECT doc, start_token // 18 AS chunk_idx, start_token,
+         toks[start_token + 1 : start_token + 24] AS piece
+  FROM windows
+)
+SELECT doc, chunk_idx, start_token,
+       len(piece)::BIGINT AS n_tokens,
+       array_to_string(piece, ' ') AS chunk
+FROM sliced
+WHERE len(piece) > 0
 """,
         "extract_summary": f"""
 WITH {expected}
