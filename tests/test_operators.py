@@ -2142,3 +2142,35 @@ def test_chunk_tokens_windows(spark):
     ]
     with pytest.raises(ValueError):
         chunk_tokens(df, size=4, overlap=4)
+
+
+def test_chunk_tokens_reconstruction_property(spark):
+    """Coverage/overlap invariant over randomized docs: chunk 0 plus each
+    later chunk minus its leading `overlap` tokens reconstructs the exact
+    token stream (windows are stride-aligned, only the final window may
+    be short, and coverage always reaches the last token)."""
+    import random
+
+    rng = random.Random(20260817)
+    docs, size, overlap = [], 8, 3
+    for doc_id in range(60):
+        n = rng.randrange(0, 40)
+        docs.append((doc_id, " ".join(f"t{doc_id}_{i}" for i in range(n))))
+    from graby_spark.operators.packing import chunk_tokens
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {}
+    for r in chunk_tokens(df, size=size, overlap=overlap).collect():
+        out.setdefault(r["doc"], {})[r["chunk_idx"]] = r["chunk"].split(" ")
+    for doc_id, text in docs:
+        want = text.split() if text else []
+        chunks = [v for _, v in sorted(out.get(doc_id, {}).items())]
+        if not want:
+            assert chunks == []
+            continue
+        rebuilt = list(chunks[0])
+        for c in chunks[1:]:
+            assert rebuilt[-overlap:] == c[:overlap]  # exact shared context
+            rebuilt.extend(c[overlap:])
+        assert rebuilt == want
+        assert all(len(c) == size for c in chunks[:-1])  # only last short
