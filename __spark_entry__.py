@@ -1168,6 +1168,27 @@ def q_source_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.feed_entries(blobs)
 
 
+def q_source_cdx_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental recrawl planning: the latest-capture CDX plan joined
+    against a prior-extraction manifest (urlkey, digest) — every fifth
+    doc is missing from the manifest (fetch_reason=new), every
+    doc_id%4==1 doc carries a stale digest (fetch_reason=changed),
+    everything else is unchanged and never leaves the index scan."""
+    from graby_spark.sources import cdx
+
+    lines = cdx.build_cdx_lines(spark, sf_dir)
+    plan = cdx.cdx_select_latest(cdx.cdx_records(lines), mimes=("text/html",))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.where("doc_id % 5 != 0").selectExpr(
+        "concat('com,example,cdx-', cast(doc_id % 5 as string), ')/page/',"
+        " cast(doc_id as string)) as urlkey",
+        "CASE WHEN doc_id % 4 = 1 THEN md5(concat(text, 'old'))"
+        " ELSE md5(text) END as digest",
+    )
+    inc = cdx.cdx_incremental(plan, seen)
+    return inc.select("urlkey", "ts", "url", "digest", "filename", "fetch_reason")
+
+
 def q_graph_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-aware crawl-frontier waves: per-domain score ranking
     with deterministic md5-hash scores."""
@@ -2084,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_markdown": q_extract_markdown,
         "url_features": q_url_features,
         "pipeline_chunks": q_pipeline_chunks,
+        "source_cdx_incremental": q_source_cdx_incremental,
         "source_warc": q_source_warc,
         "dedup_incremental": q_dedup_incremental,
         "extract_lite": q_extract_lite,
@@ -2966,6 +2988,41 @@ SELECT doc_id,
          || '.png) done'
     END AS markdown
 FROM t
+""",
+        "source_cdx_incremental": """
+WITH caps AS (
+    SELECT doc_id, text, n_chars, unnest(range(doc_id % 3 + 1)) AS k
+    FROM documents
+), rec AS (
+    SELECT
+        'com,example,cdx-' || (doc_id % 5) || ')/page/' || doc_id AS urlkey,
+        strftime(TIMESTAMP '2024-01-01 00:00:00'
+                 + to_seconds(doc_id * 7 + k * 86400), '%Y%m%d%H%M%S') AS ts,
+        'http://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+            || 'cdx-' || (doc_id % 5) || '.example.com/page/' || doc_id AS url,
+        CASE WHEN doc_id % 11 = 0 THEN 'application/pdf' ELSE 'text/html' END AS mime,
+        CASE WHEN (doc_id + k) % 7 = 3 THEN 503 ELSE 200 END AS status,
+        md5(text) AS digest,
+        doc_id * 1000 + k * 200 AS "offset",
+        'crawl-' || (doc_id % 4) || '.warc.gz' AS filename
+    FROM caps
+), latest AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY urlkey
+        ORDER BY ts DESC, filename DESC, "offset" DESC) AS rn
+    FROM rec
+    WHERE status = 200 AND mime = 'text/html'
+), plan AS (
+    SELECT urlkey, ts, url, digest, filename FROM latest WHERE rn = 1
+), seen AS (
+    SELECT 'com,example,cdx-' || (doc_id % 5) || ')/page/' || doc_id AS urlkey,
+           CASE WHEN doc_id % 4 = 1 THEN md5(text || 'old') ELSE md5(text) END AS seen_digest
+    FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT p.urlkey, p.ts, p.url, p.digest, p.filename,
+       CASE WHEN s.seen_digest IS NULL THEN 'new' ELSE 'changed' END AS fetch_reason
+FROM plan p LEFT JOIN seen s USING (urlkey)
+WHERE s.seen_digest IS NULL OR s.seen_digest <> p.digest
 """,
         "source_feed": """
 SELECT 'Feed ' || (doc_id // 5) AS feed_title,

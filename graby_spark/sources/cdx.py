@@ -185,3 +185,38 @@ def build_cdx_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     line = F.concat_ws(" ", surt_key(url), ts14, payload)
     return caps.select(line.alias("line"))
+
+
+def cdx_incremental(
+    plan: DataFrame,
+    seen: DataFrame,
+    key_col: str = "urlkey",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental recrawl planning: which of the index's latest captures
+    actually need fetching, given what a previous run already extracted.
+
+    ``plan`` is :func:`cdx_select_latest` output; ``seen`` carries
+    (urlkey, digest) from the prior extraction manifest.  A capture is
+    fetched when its urlkey is new OR its content digest changed —
+    unchanged pages (the overwhelming majority between crawls) never
+    leave the index scan.  Output adds ``fetch_reason`` ∈ {new, changed}.
+
+    Scale shape: one left join keyed on urlkey.  Both sides are
+    index-sized (urlkey + digest — never page bytes), and the seen side
+    is exactly the bucketed-manifest shape, so with both sides bucketed
+    on urlkey (graby_spark.storage) the join runs exchange-free.
+    """
+    s = seen.select(
+        F.col(key_col).alias(key_col),
+        F.col(digest_col).alias("_seen_digest"),
+    )
+    joined = plan.join(s, key_col, "left")
+    reason = F.when(F.col("_seen_digest").isNull(), F.lit("new")).when(
+        F.col("_seen_digest") != F.col(digest_col), F.lit("changed")
+    )
+    return (
+        joined.withColumn("fetch_reason", reason)
+        .where(F.col("fetch_reason").isNotNull())
+        .drop("_seen_digest")
+    )

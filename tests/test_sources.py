@@ -277,3 +277,26 @@ def test_feed_autodiscovery(spark):
         ("/atom.xml", "application/atom+xml"),
         ("/feed.xml", "application/rss+xml"),
     ]
+
+
+def test_cdx_incremental_new_changed_unchanged(spark):
+    from graby_spark.sources.cdx import cdx_incremental
+
+    plan = spark.createDataFrame(
+        [
+            ("com,a)/1", "d1", "u1"),
+            ("com,a)/2", "d2", "u2"),
+            ("com,a)/3", "d3", "u3"),
+        ],
+        ["urlkey", "digest", "url"],
+    )
+    seen = spark.createDataFrame(
+        [
+            ("com,a)/1", "d1"),       # unchanged -> excluded
+            ("com,a)/2", "STALE"),    # changed
+            ("com,a)/9", "gone"),     # seen but absent from plan -> ignored
+        ],
+        ["urlkey", "digest"],
+    )
+    rows = {r["urlkey"]: r["fetch_reason"] for r in cdx_incremental(plan, seen).collect()}
+    assert rows == {"com,a)/2": "changed", "com,a)/3": "new"}
