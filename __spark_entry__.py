@@ -2095,23 +2095,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything has a green row in the locally-published full-registry
     # artifact regardless of this rotation.
     return {
-        # --- never driver-verified (r03 artifact overflow) + new in r04 ---
+        # --- never driver-verified (r03 overflow + new in r04): MUST all
+        # --- sit within the driver sweep's 50-query cap (pinned by test)
         "source_cdx": q_source_cdx,
         "source_feed": q_source_feed,
         "text_markdown": q_text_markdown,
         "dedup_sentences": q_dedup_sentences,
+        "dedup_boilerplate": q_dedup_boilerplate,
+        "search_phrase": q_search_phrase,
         "graph_hostgraph": q_graph_hostgraph,
         "text_chunks": q_text_chunks,
         "extract_markdown": q_extract_markdown,
         "url_features": q_url_features,
         "pipeline_chunks": q_pipeline_chunks,
         "source_cdx_incremental": q_source_cdx_incremental,
-        "source_warc": q_source_warc,
-        "dedup_incremental": q_dedup_incremental,
-        "extract_lite": q_extract_lite,
-        "text_tfidf": q_text_tfidf,
-        "pipeline_pretrain": q_pipeline_pretrain,
-        "graph_outlinks": q_graph_outlinks,
         "graph_anchors": q_graph_anchors,
         "graph_sitemaps": q_graph_sitemaps,
         "graph_pagerank": q_graph_pagerank,
@@ -2145,9 +2142,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "pipeline_ccnet": q_pipeline_ccnet,
         "search_bm25": q_search_bm25,
-        "search_phrase": q_search_phrase,
-        "dedup_boilerplate": q_dedup_boilerplate,
-        # --- driver-verified in r03; re-verified as sweep room allows ---
+        # --- driver-verified in r02/r03; re-verified as sweep room allows ---
+        "source_warc": q_source_warc,
+        "dedup_incremental": q_dedup_incremental,
+        "extract_lite": q_extract_lite,
+        "text_tfidf": q_text_tfidf,
+        "pipeline_pretrain": q_pipeline_pretrain,
+        "graph_outlinks": q_graph_outlinks,
         "extract_meta": q_extract_meta,
         "extract_redirects": q_extract_redirects,
         "extract_text": q_extract_text,

@@ -821,3 +821,28 @@ def test_streaming_feed_entries_matches_batch(spark, tmp_path_factory):
     got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
     exp = sorted(tuple(r) for r in feed_entries(spark.read.parquet(in_dir)).collect())
     assert got == exp and len(got) > 0
+
+
+def test_registry_ordering_covers_driver_sweep_cap():
+    """The driver's correctness sweep caps at 50 queries taken in dict
+    order; every key without a row in a past driver artifact must sit in
+    the first 50 so the union of driver artifacts reaches full-registry
+    coverage (VERDICT r03 #2)."""
+    import json
+
+    import __spark_entry__ as entry
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    seen = set()
+    for n in (2, 3):
+        path = os.path.join(root, f"CORRECTNESS_r0{n}.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                seen |= set(json.load(fh))
+    q = list(entry.queries())
+    never = [k for k in q if k not in seen]
+    assert len(never) <= 50, f"{len(never)} unverified keys exceed the sweep cap"
+    stragglers = [k for k in never if k not in q[:50]]
+    assert not stragglers, f"never-driver-verified keys outside first 50: {stragglers}"
+    # every query has an oracle (full value-exact coverage, no rows-only)
+    assert set(q) == set(entry.oracle_sql())
