@@ -1511,6 +1511,66 @@ def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_features(pages)
 
 
+def _text_scripts_oracle() -> str:
+    """DuckDB twin of q_text_scripts, sharing textstats.SCRIPT_RANGES so
+    the literal codepoint ranges cannot drift between engines.  Dominance
+    tie-break (toward the lexicographically larger name, mirroring
+    Spark's greatest() over (count, name) structs) is the CASE order:
+    latin > greek > cyrillic > cjk > arabic."""
+    counts = ", ".join(
+        f"length(regexp_replace(text, '[^{body}]', '', 'g'))::BIGINT AS n_{name}"
+        for name, body in textstats.SCRIPT_RANGES
+    )
+    synth_sql = _SCRIPT_SYNTH.replace("cast(doc_id % 5 AS int)", "doc_id % 5").replace(
+        "cast(n_chars AS int)", "n_chars::int"
+    ).replace("cast(n_chars * 2 AS int)", "(n_chars * 2)::int").replace(
+        "cast(doc_id AS string)", "doc_id::varchar"
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {synth_sql} AS text FROM documents
+), counted AS (
+  SELECT doc_id AS doc, length(text)::BIGINT AS n_chars, {counts}
+  FROM planted
+), m AS (
+  SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk) AS maxc
+  FROM counted
+)
+SELECT doc, n_chars, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+  CASE WHEN maxc = 0 THEN 'none'
+       WHEN n_latin = maxc THEN 'latin'
+       WHEN n_greek = maxc THEN 'greek'
+       WHEN n_cyrillic = maxc THEN 'cyrillic'
+       WHEN n_cjk = maxc THEN 'cjk'
+       ELSE 'arabic' END AS dominant,
+  CASE WHEN maxc = 0 THEN 0.0
+       ELSE maxc / greatest(n_chars, 1) END AS script_ratio
+FROM m
+"""
+
+
+_SCRIPT_SYNTH = """
+CASE cast(doc_id % 5 AS int)
+WHEN 0 THEN text
+WHEN 1 THEN concat(text, ' ', repeat('ж', cast(n_chars AS int)))
+WHEN 2 THEN concat(text, ' ', repeat('漢', cast(n_chars * 2 AS int)))
+WHEN 3 THEN concat(text, ' αβγ δε')
+ELSE concat('0123456789 --- ', cast(doc_id AS string))
+END
+""".strip()
+
+
+def q_text_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition: planted mixed-script docs (latin-only,
+    cyrillic-dominant, cjk-dominant, greek-minority, letterless) through
+    script_profile; the oracle shares the literal codepoint-range
+    constants so counts, dominance tie-breaks and the unrounded ratio
+    replay exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr("doc_id", f"{_SCRIPT_SYNTH} as text")
+    return textstats.script_profile(planted)
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (size 16, overlap 4) over documents:
     the embedding/RAG index preparation step.  Oracle replays the window
@@ -2109,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": q_url_features,
         "pipeline_chunks": q_pipeline_chunks,
         "source_cdx_incremental": q_source_cdx_incremental,
+        "text_scripts": q_text_scripts,
         "graph_anchors": q_graph_anchors,
         "graph_sitemaps": q_graph_sitemaps,
         "graph_pagerank": q_graph_pagerank,
@@ -2990,6 +3051,7 @@ SELECT doc_id,
     END AS markdown
 FROM t
 """,
+        "text_scripts": _text_scripts_oracle(),
         "source_cdx_incremental": """
 WITH caps AS (
     SELECT doc_id, text, n_chars, unnest(range(doc_id % 3 + 1)) AS k

@@ -1392,3 +1392,61 @@ def corpus_grep(
         .select("doc", "hit.pattern", "hit.n_matches")
         .where(F.col("n_matches") > 0)
     )
+
+
+#: (name, character-class body) — explicit codepoint ranges, NOT \p{...}
+#: script properties, because Java regex and RE2 spell those differently
+#: while literal ranges are identical in both engines (oracle parity)
+SCRIPT_RANGES = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("cjk", "一-鿿぀-ヿ가-힯"),
+]
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode-script composition of each document — the langid
+    complement that catches what n-gram language ID cannot: mixed-script
+    spam, mojibake (wrong-charset decodes land in unexpected scripts),
+    and wrong-language boilerplate stitched into a page.
+
+    Per document: total chars, per-script char counts (latin, cyrillic,
+    greek, arabic, cjk), the dominant script (``none`` for all-zero
+    rows, e.g. digits/punctuation only), and ``script_ratio`` =
+    dominant/total left unrounded (int/int IEEE division — identical
+    across engines, no rounding-tie hazard).
+
+    Pure JVM counting (strip-and-measure regexes), no shuffle, codegen —
+    frontier-scale safe.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.length(F.regexp_replace(text, f"[^{body}]", "")).cast("long")
+        for name, body in SCRIPT_RANGES
+    }
+    out = df.select(
+        F.col(id_col).alias("doc"),
+        F.length(text).cast("long").alias("n_chars"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+    pairs = [
+        F.struct(F.col(f"n_{name}").alias("n"), F.lit(name).alias("s"))
+        for name, _ in SCRIPT_RANGES
+    ]
+    # greatest() on (count, name) structs: ties break toward the
+    # lexicographically LARGER name — mirrored in the oracle's order-by
+    best = F.greatest(*pairs)
+    return out.select(
+        "*",
+        F.when(best["n"] > 0, best["s"]).otherwise(F.lit("none")).alias("dominant"),
+        F.when(
+            best["n"] > 0, best["n"] / F.greatest(F.col("n_chars"), F.lit(1))
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("script_ratio"),
+    )

@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["WARC_RECORD_SCHEMA", "warc_records", "build_warc_blobs"]
+__all__ = ["WARC_RECORD_SCHEMA", "warc_records", "build_warc_blobs", "write_warc_blobs"]
 
 WARC_RECORD_SCHEMA = StructType(
     [
@@ -209,3 +209,63 @@ def build_warc_blobs(
         return pd.DataFrame({"file_id": [key[0]], "blob": [bytes(out)]})
 
     return docs.groupBy("file_id").applyInPandas(build, schema)
+
+
+def write_warc_blobs(
+    df: DataFrame,
+    n_files: int = 1000,
+    gzip_records: bool = True,
+) -> DataFrame:
+    """WARC sink: page rows → Common-Crawl-layout archive blobs.
+
+    Input rows carry ``(url, warc_date, http_status, content_type,
+    html)`` — exactly :data:`WARC_RECORD_SCHEMA`, so the sink is the
+    exact inverse of :func:`warc_records` (round-trip pinned by test).
+    Rows are grouped into ``n_files`` archives by url hash
+    (deterministic, independent of input partitioning — the caller sizes
+    ``n_files`` for ~1 GB per archive at target scale) and each record
+    is individually gzipped with pinned mtime, so re-running the sink on
+    the same input produces byte-identical archives — the property that
+    makes downstream digests/manifests reproducible.
+
+    Output: (file_id, blob).  Write the blobs out with e.g.
+    ``df.write.parquet`` or a binary-file writer.
+
+    Scale shape: one shuffle (groupBy file_id) carrying each page's
+    bytes once; files build independently per group.  Records within a
+    file are ordered by (url, warc_date) so the grouping hash — not
+    arrival order — defines the archive bytes.
+    """
+    keyed = df.withColumn(
+        "_file_id",
+        F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10).cast("long")
+        % F.lit(max(n_files, 1)),
+    )
+    schema = StructType(
+        [StructField("file_id", LongType()), StructField("blob", BinaryType())]
+    )
+
+    def build(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = bytearray()
+        cols = ["url", "warc_date", "http_status", "content_type", "html"]
+        for _, row in pdf.sort_values(["url", "warc_date"])[cols].iterrows():
+            body = bytes(row["html"]) if row["html"] is not None else b""
+            http = (
+                f"HTTP/1.1 {int(row['http_status'])} OK\r\n"
+                f"Content-Type: {row['content_type']}\r\n\r\n"
+            ).encode("latin-1") + body
+            head = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {row['url']}\r\n"
+                f"WARC-Date: {row['warc_date']}\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode("latin-1")
+            record = head + http + b"\r\n\r\n"
+            if gzip_records:
+                co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                record = co.compress(record) + co.flush()
+            out += record
+        return pd.DataFrame({"file_id": [key[0]], "blob": [bytes(out)]})
+
+    return keyed.groupBy("_file_id").applyInPandas(build, schema)

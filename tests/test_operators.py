@@ -2174,3 +2174,25 @@ def test_chunk_tokens_reconstruction_property(spark):
             rebuilt.extend(c[overlap:])
         assert rebuilt == want
         assert all(len(c) == size for c in chunks[:-1])  # only last short
+
+
+def test_script_profile_dominance_and_edge(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "привет мир hello"),          # cyrillic-dominant
+            (3, "漢字漢字漢字 ok"),            # cjk-dominant
+            (4, "12345 --- !!!"),             # letterless -> none
+            (5, None),
+            (6, "αβ ab"),                     # 2-2 tie -> larger name wins
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc"]: r.asDict() for r in textstats.script_profile(df).collect()}
+    assert rows[1]["dominant"] == "latin" and rows[1]["n_latin"] == 10
+    assert rows[2]["dominant"] == "cyrillic" and rows[2]["n_latin"] == 5
+    assert rows[3]["dominant"] == "cjk" and rows[3]["n_cjk"] == 6
+    assert rows[4]["dominant"] == "none" and rows[4]["script_ratio"] == 0.0
+    assert rows[5]["dominant"] == "none" and rows[5]["n_chars"] == 0
+    assert rows[6]["dominant"] == "latin"  # 'latin' > 'greek' on the tie
+    assert abs(rows[2]["script_ratio"] - rows[2]["n_cyrillic"] / rows[2]["n_chars"]) < 1e-15

@@ -300,3 +300,34 @@ def test_cdx_incremental_new_changed_unchanged(spark):
     )
     rows = {r["urlkey"]: r["fetch_reason"] for r in cdx_incremental(plan, seen).collect()}
     assert rows == {"com,a)/2": "changed", "com,a)/3": "new"}
+
+
+def test_warc_sink_round_trip_and_determinism(spark):
+    from graby_spark.sources.warc import warc_records, write_warc_blobs
+
+    rows = [
+        (
+            f"http://sink.example.com/p{i}",
+            "2024-01-01T00:00:%02dZ" % (i % 60),
+            200,
+            "text/html; charset=utf-8",
+            bytearray(f"<html><body>doc {i} \xe9</body></html>".encode()),
+        )
+        for i in range(40)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_date string, http_status int, content_type string, html binary"
+    )
+    blobs = write_warc_blobs(pages, n_files=5)
+    back = warc_records(blobs)
+    got = sorted(
+        (r["url"], r["warc_date"], r["http_status"], r["content_type"], bytes(r["html"]))
+        for r in back.collect()
+    )
+    want = sorted((u, d, s, c, bytes(h)) for u, d, s, c, h in rows)
+    assert got == want  # exact inverse of the parser
+    # byte-determinism: same input (different partitioning) -> same archives
+    blobs2 = write_warc_blobs(pages.repartition(7), n_files=5)
+    a = {r["file_id"]: bytes(r["blob"]) for r in blobs.collect()}
+    b = {r["file_id"]: bytes(r["blob"]) for r in blobs2.collect()}
+    assert a == b and len(a) == 5
