@@ -71,3 +71,39 @@ def plan_has_exchange(df: DataFrame) -> bool:
         and "SinglePartition" not in line
         for line in plan.splitlines()
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-layout partitioned parquet write (``path/col=value/…``).
+
+    Partition on low-cardinality selective columns (lang, crawl date,
+    source tier) so per-slice consumers scan only their directories.
+    Complements bucketing: partitioning prunes SCANS by literal
+    predicates, bucketing co-locates JOINS by key hash — at corpus scale
+    a table usually wants crawl-date partitions AND url-hash buckets.
+
+    Anti-pattern guard rail: high-cardinality partition columns (url,
+    doc_id) create one directory per value — millions of tiny files and
+    a listing-bound driver.  Keep partition cardinality ≤ ~10^4.
+    """
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def partition_filters(df: DataFrame) -> str:
+    """The PartitionFilters clause of the first file scan in the plan —
+    empty string when the scan prunes nothing.  Used by the pinned tests
+    and as a cheap production regression guard (a query that should
+    prune but reports no filters is reading the whole table)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        idx = line.find("PartitionFilters: [")
+        if idx >= 0:
+            start = idx + len("PartitionFilters: [")
+            return line[start : line.find("]", start)].strip()
+    return ""

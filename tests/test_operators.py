@@ -2196,3 +2196,19 @@ def test_script_profile_dominance_and_edge(spark):
     assert rows[5]["dominant"] == "none" and rows[5]["n_chars"] == 0
     assert rows[6]["dominant"] == "latin"  # 'latin' > 'greek' on the tie
     assert abs(rows[2]["script_ratio"] - rows[2]["n_cyrillic"] / rows[2]["n_chars"]) < 1e-15
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    from graby_spark.storage import partition_filters, write_partitioned
+
+    path = str(tmp_path / "part_docs")
+    docs = spark.range(0, 120).selectExpr(
+        "id as doc_id", "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'fr' ELSE 'de' END as lang"
+    )
+    write_partitioned(docs, path, "lang")
+    back = spark.read.parquet(path)
+    pruned = back.where("lang = 'en'")
+    filt = partition_filters(pruned)
+    assert "lang" in filt and "en" in filt  # predicate reached the listing
+    assert pruned.count() == 40
+    assert partition_filters(back) == ""    # honest negative case
