@@ -1560,6 +1560,14 @@ END
 """.strip()
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup per (lang, source) with exact token /
+    char totals and the unrounded corpus-token share a mixing step
+    consumes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.corpus_stats(docs)
+
+
 def q_text_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script composition: planted mixed-script docs (latin-only,
     cyrillic-dominant, cjk-dominant, greek-minority, letterless) through
@@ -2170,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chunks": q_pipeline_chunks,
         "source_cdx_incremental": q_source_cdx_incremental,
         "text_scripts": q_text_scripts,
+        "corpus_stats": q_corpus_stats,
         "graph_anchors": q_graph_anchors,
         "graph_sitemaps": q_graph_sitemaps,
         "graph_pagerank": q_graph_pagerank,
@@ -3052,6 +3061,21 @@ SELECT doc_id,
 FROM t
 """,
         "text_scripts": _text_scripts_oracle(),
+        "corpus_stats": """
+WITH per_doc AS (
+  SELECT lang, source,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), t -> t <> ''))::BIGINT AS toks,
+         length(coalesce(text, ''))::BIGINT AS chars
+  FROM documents
+), agg AS (
+  SELECT lang, source, count(*) AS n_docs,
+         sum(toks)::BIGINT AS n_tokens, sum(chars)::BIGINT AS n_chars
+  FROM per_doc GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens, n_chars,
+       n_tokens / (SELECT sum(n_tokens) FROM agg) AS token_share
+FROM agg
+""",
         "source_cdx_incremental": """
 WITH caps AS (
     SELECT doc_id, text, n_chars, unnest(range(doc_id % 3 + 1)) AS k

@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -1449,4 +1449,46 @@ def script_profile(
         .otherwise(F.lit(0.0))
         .cast("double")
         .alias("script_ratio"),
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    lang_col: str = "lang",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus composition rollup per (lang, source): document, token and
+    character totals plus each cell's share of corpus tokens — the input
+    a source-mixing step weighs against its target distribution (and the
+    first report anyone asks of a new crawl).
+
+    Scale shape: one partial-aggregated groupBy whose output cardinality
+    is langs×sources (tiny); the share is computed with an unpartitioned
+    window over that AGGREGATED frame — safe precisely because the frame
+    is post-aggregation small, never over the document table.  Shares
+    are exact-integer-sum ratios left unrounded (cross-engine IEEE
+    division; no rounding-tie hazard).
+    """
+    tokens = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda t: t != "",
+        )
+    ).cast("long")
+    agg = df.groupBy(
+        F.col(lang_col).alias("lang"), F.col(source_col).alias("source")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tokens).alias("n_tokens"),
+        F.sum(F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")).alias(
+            "n_chars"
+        ),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "*",
+        (F.col("n_tokens") / F.sum("n_tokens").over(total))
+        .cast("double")
+        .alias("token_share"),
     )
