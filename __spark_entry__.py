@@ -1560,6 +1560,20 @@ END
 """.strip()
 
 
+def q_extract_trace_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-monitoring rollup of the extraction trace: per-domain
+    (step, detail) counts over the full pipeline run with trace=True.
+    The planted variants make every trace line closed-form, so the
+    oracle regenerates the exact journal per document and aggregates."""
+    from graby_spark.job import trace_stats
+
+    _ship(spark)
+    pages = build_pages_df(spark, sf_dir)
+    opts = ExtractOptions(xss_filter=False, trace=True)
+    out = run_extraction(spark, pages, pages_ruleset(), options=opts)
+    return trace_stats(out)
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup per (lang, source) with exact token /
     char totals and the unrounded corpus-token share a mixing step
@@ -2179,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cdx_incremental": q_source_cdx_incremental,
         "text_scripts": q_text_scripts,
         "corpus_stats": q_corpus_stats,
+        "extract_trace_stats": q_extract_trace_stats,
         "graph_anchors": q_graph_anchors,
         "graph_sitemaps": q_graph_sitemaps,
         "graph_pagerank": q_graph_pagerank,
@@ -3061,6 +3076,50 @@ SELECT doc_id,
 FROM t
 """,
         "text_scripts": _text_scripts_oracle(),
+        "extract_trace_stats": """
+WITH journal AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'configured.example.com'
+      WHEN 1 THEN 'news-' || (doc_id % 7) || '.example.org'
+      WHEN 2 THEN 'blog-' || (doc_id % 13) || '.example.net'
+      ELSE 'legacy.example.info'
+    END AS domain,
+    CASE doc_id % 4
+      WHEN 0 THEN [
+        ['config', 'host=configured.example.com'],
+        ['parse', 'parser=libxml tidy=on'],
+        ['title', 'siteconfig //h1'],
+        ['strip', '//div[@class=''ads''] removed=1'],
+        ['body', 'siteconfig //div[@class=''article-body'']'],
+        ['result', 'success=True']]
+      WHEN 1 THEN [
+        ['config', 'host=news-' || (doc_id % 7) || '.example.org'],
+        ['parse', 'parser=libxml tidy=on'],
+        ['defined', 'og/json-ld -> title,date,authors'],
+        ['body', 'schema.org articleBody'],
+        ['title', 'autodetect (og/json-ld/hnews/readability)'],
+        ['result', 'success=True']]
+      WHEN 2 THEN [
+        ['config', 'host=blog-' || (doc_id % 13) || '.example.net'],
+        ['parse', 'parser=libxml tidy=on'],
+        ['body', 'hnews entry-content'],
+        ['title', 'autodetect (og/json-ld/hnews/readability)'],
+        ['result', 'success=True']]
+      ELSE [
+        ['config', 'host=legacy.example.info'],
+        ['parse', 'parser=libxml tidy=on'],
+        ['body', 'schema.org articleBody'],
+        ['title', 'autodetect (og/json-ld/hnews/readability)'],
+        ['result', 'success=True']]
+    END AS entries
+  FROM documents
+), x AS (
+  SELECT domain, unnest(entries) AS e FROM journal
+)
+SELECT domain, e[1] AS step, e[2] AS detail, count(*) AS n
+FROM x GROUP BY domain, e[1], e[2]
+""",
         "corpus_stats": """
 WITH per_doc AS (
   SELECT lang, source,

@@ -608,3 +608,34 @@ def resolve_multipage(extracted: DataFrame, max_hops: int = 8) -> DataFrame:
     merged = merged.localCheckpoint(eager=True)
     base.unpersist()
     return merged
+
+
+def trace_stats(
+    out: DataFrame, url_col: str = "url", trace_col: str = "trace"
+) -> DataFrame:
+    """Operational rollup of the per-document extraction trace: which
+    pipeline step fired with which detail, counted per domain —
+    (domain, step, detail, n).
+
+    This is the fleet-monitoring view of the trace column (the Monolog
+    analog, GrabyHandler.php:19-63): a domain whose ``body:`` detail
+    flips from ``siteconfig …`` to ``readability`` after a site redesign,
+    or whose ``result: success=False`` count spikes, surfaces here
+    without reading any individual trace.
+
+    Scale shape: explode is row-local; the aggregate shuffles only
+    (domain, step, detail) triples with map-side combine — output
+    cardinality is domains × distinct step/detail pairs, tiny next to
+    the corpus.  Requires extraction run with
+    ``ExtractOptions(trace=True)``.
+    """
+    domain = F.regexp_extract(F.col(url_col), r"://([^/]+)", 1)
+    step_entry = F.explode(F.col(trace_col)).alias("entry")
+    exploded = out.select(domain.alias("domain"), step_entry)
+    step = F.substring_index(F.col("entry"), ":", 1)
+    detail = F.trim(F.expr("substring(entry, length(substring_index(entry, ':', 1)) + 2)"))
+    return (
+        exploded.select("domain", step.alias("step"), detail.alias("detail"))
+        .groupBy("domain", "step", "detail")
+        .agg(F.count("*").alias("n"))
+    )
