@@ -1135,6 +1135,49 @@ def q_text_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "markdown")
 
 
+def q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed autodiscovery over planted HTML heads: RSS link (href-first
+    attribute order), Atom link (type BEFORE rel — order independence on
+    the oracle path), stylesheet noise, and one page in three with no
+    feed at all."""
+    from graby_spark.sources import feed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.selectExpr(
+        "doc_id",
+        """
+        CASE cast(doc_id % 3 AS int)
+        WHEN 0 THEN concat('<html><head><link href="/feed-', doc_id,
+            '.xml" rel="alternate" type="application/rss+xml"></head></html>')
+        WHEN 1 THEN concat('<html><head><link rel="stylesheet" href="/s.css">',
+            '<link type="application/atom+xml" rel="alternate" href="/atom-',
+            doc_id, '.xml"/></head></html>')
+        ELSE '<html><head><link rel="stylesheet" href="/s.css"></head></html>'
+        END as html
+        """,
+    )
+    return feed.feed_autodiscovery(pages)
+
+
+def q_pipeline_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl→searchable-index story: extraction → sliding-window
+    token chunks → BM25 top-k over the CHUNK corpus (chunk id =
+    url#chunk_idx).  The oracle chains the expected-extraction CTE
+    through the chunk arithmetic into the parametric BM25 twin —
+    value-exact across three composed operators."""
+    from graby_spark.operators import packing, search
+
+    out = _extracted(spark, sf_dir).where("is_success")
+    chunks = packing.chunk_tokens(out, id_col="url", text_col="text", size=24, overlap=6)
+    chunk_docs = chunks.selectExpr(
+        "concat(doc, '#', cast(chunk_idx as string)) as cid", "chunk as text"
+    )
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, terms array<string>"
+    )
+    return search.bm25_topk(chunk_docs, queries, k=10, id_col="cid", text_col="text")
+
+
 def q_source_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX index fetch planning: documents → synthetic CDXJ lines (multi-
     capture, mixed status/mime, www-prefixed hosts) → JVM line parser →
@@ -2194,6 +2237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scripts": q_text_scripts,
         "corpus_stats": q_corpus_stats,
         "extract_trace_stats": q_extract_trace_stats,
+        "feed_discovery": q_feed_discovery,
+        "pipeline_index": q_pipeline_index,
         "graph_anchors": q_graph_anchors,
         "graph_sitemaps": q_graph_sitemaps,
         "graph_pagerank": q_graph_pagerank,
@@ -4057,6 +4102,41 @@ FROM s
 """,
         "text_langid": _langid_oracle(),
         "pipeline_ccnet": _ccnet_pipeline_oracle(),
+        "feed_discovery": """
+SELECT doc_id, '/feed-' || doc_id || '.xml' AS feed_url,
+       'application/rss+xml' AS feed_mime
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, '/atom-' || doc_id || '.xml', 'application/atom+xml'
+FROM documents WHERE doc_id % 3 = 1
+""",
+        "pipeline_index": search.oracle_bm25_sql(
+            ", ".join(
+                f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+            ),
+            k=10,
+            src="chunk_docs",
+            id_col="cid",
+        ).replace(
+            "WITH post AS",
+            f"""WITH {expected},
+cbase AS (
+  SELECT url AS cdoc,
+         list_filter(regexp_split_to_array(expected_text, '\\s+'), t -> t <> '') AS toks
+  FROM expected
+), cwindows AS (
+  SELECT cdoc, toks,
+         unnest(range(0, greatest(len(toks) - 6, 1), 18)) AS start_token
+  FROM cbase
+), chunk_docs AS (
+  SELECT cdoc || '#' || (start_token // 18) AS cid,
+         array_to_string(toks[start_token + 1 : start_token + 24], ' ') AS text
+  FROM cwindows
+  WHERE len(toks[start_token + 1 : start_token + 24]) > 0
+),
+post AS""",
+            1,
+        ),
         "search_bm25": search.oracle_bm25_sql(
             ", ".join(
                 f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms

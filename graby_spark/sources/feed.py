@@ -167,17 +167,19 @@ def feed_autodiscovery(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Feed autodiscovery over HTML pages: ``<link rel="alternate"
     type="application/rss+xml|atom+xml" href=…>`` → (feed_url, feed_mime).
 
-    JVM regex over the raw HTML (attribute order independent: the href is
-    re-extracted from each matched tag), narrow, no shuffle."""
+    JVM regex over the raw HTML, attribute-order independent: ALL
+    ``<link …>`` tags are extracted first, then filtered by separate
+    rel/type predicates, so ``type=`` before ``rel=`` (common in the
+    wild) matches too.  Narrow, no shuffle."""
     tag = F.regexp_extract_all(
-        F.col(html_col),
-        F.lit(
-            r"(?i)(<link\b[^>]*rel=[\"']alternate[\"'][^>]*"
-            r"type=[\"']application/(?:rss|atom)\+xml[\"'][^>]*>)"
-        ),
-        1,
+        F.col(html_col), F.lit(r"(?i)(<link\b[^>]*>)"), 1
     )
-    out = df.withColumn("_tag", F.explode(tag))
+    out = df.withColumn("_tag", F.explode(tag)).where(
+        F.col("_tag").rlike(r"""(?i)rel=["']alternate["']""")
+        & F.col("_tag").rlike(
+            r"""(?i)type=["']application/(?:rss|atom)\+xml["']"""
+        )
+    )
     return out.select(
         *[c for c in df.columns if c != html_col],
         F.regexp_extract(F.col("_tag"), r"""(?i)href=["']([^"']+)["']""", 1).alias(

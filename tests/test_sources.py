@@ -265,10 +265,10 @@ def test_feed_autodiscovery(spark):
     html = (
         "<html><head>"
         '<link href="/feed.xml" rel="alternate" type="application/rss+xml">'
-        '<link rel="alternate" type="application/atom+xml" href="/atom.xml"/>'
+        '<link type="application/atom+xml" rel="alternate" href="/atom.xml"/>'
         '<link rel="stylesheet" href="/style.css">'
         "</head></html>"
-    )
+    )  # note: atom tag has type BEFORE rel — order independence pinned
     df = spark.createDataFrame([(1, html)], ["page_id", "html"])
     rows = sorted(
         (r["feed_url"], r["feed_mime"]) for r in feed_autodiscovery(df).collect()
