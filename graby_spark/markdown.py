@@ -149,6 +149,18 @@ def _blocks(el: Element) -> list[str]:
             items = _list_items(child, ordered=tag == "ol")
             if items:
                 out.append("\n".join(items))
+            # lenient salvage: malformed lists carry text/blocks outside
+            # any <li> (found by the totality property) — surface that
+            # content as trailing blocks instead of dropping it
+            loose = [
+                c
+                for c in child.children
+                if not (isinstance(c, Element) and c.tag == "li")
+            ]
+            if loose:
+                holder = Element("div")
+                holder.children = loose  # read-only walk; parents untouched
+                out.extend(_blocks(holder))
         elif tag == "tr":
             cells = [
                 _collapse(_inline(c))

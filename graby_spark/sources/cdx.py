@@ -107,6 +107,7 @@ def cdx_select_latest(
     records: DataFrame,
     statuses: tuple[int, ...] = (200,),
     mimes: tuple[str, ...] | None = None,
+    as_of: str | None = None,
 ) -> DataFrame:
     """Latest eligible capture per urlkey → the WARC fetch plan.
 
@@ -114,8 +115,16 @@ def cdx_select_latest(
     single shuffle on ``urlkey`` with a window rank ordered by capture
     timestamp descending; ``(filename, offset)`` breaks exact-timestamp
     ties deterministically.
+
+    ``as_of`` (a 14-digit ``yyyyMMddHHmmss`` string) time-travels the
+    plan: only captures at or before that instant compete, reproducing
+    "the web as crawled by <date>" — string comparison is chronological
+    for the fixed-width timestamp format, so the predicate stays a
+    pushdown-friendly JVM filter.
     """
     out = records.where(F.col("status").isin(*statuses))
+    if as_of is not None:
+        out = out.where(F.col("ts") <= F.lit(as_of))
     if mimes is not None:
         out = out.where(F.col("mime").isin(*mimes))
     w = (

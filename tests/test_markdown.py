@@ -93,3 +93,34 @@ def test_golden_article_markdown_snapshot(name, md5, prefix):
     md = to_markdown(run_golden(load_golden(name)).html)
     assert md.startswith(prefix)
     assert hashlib.md5(md.encode()).hexdigest() == md5
+
+
+def test_to_markdown_totality_and_text_preservation():
+    """Hypothesis-style totality sweep over randomized small DOMs: the
+    converter never raises, and every text word of the input survives
+    into the markdown (modulo whitespace), including through unknown
+    tags, nesting, and dropped-container edge cases."""
+    import random
+
+    rng = random.Random(42)
+    tags = ["p", "div", "span", "h2", "ul", "li", "blockquote", "em",
+            "strong", "a", "unknown-x", "section", "code", "pre"]
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return f"w{rng.randrange(1000)} "
+        t = rng.choice(tags)
+        inner = "".join(gen(depth - 1) for _ in range(rng.randrange(3)))
+        attr = ' href="u"' if t == "a" else ""
+        return f"<{t}{attr}>{inner}</{t}>"
+
+    from graby_spark.markdown import to_markdown
+
+    for _ in range(300):
+        html = "".join(gen(4) for _ in range(rng.randrange(1, 4)))
+        md = to_markdown(html)  # must not raise
+        import re
+
+        want = set(re.findall(r"w\d+", html))
+        got = set(re.findall(r"w\d+", md))
+        assert want == got, (html, md)
