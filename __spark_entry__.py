@@ -92,16 +92,25 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus deliverable: full extraction pipeline → markdown
     serialization of the extracted content HTML (the shape an LLM-data
-    consumer actually stores).  On the planted single-paragraph variants
-    the expected markdown equals the whitespace-collapsed expected text,
-    so the oracle stays closed-form while the query still runs the whole
-    C/P/R/D/O pipeline plus the DOM→markdown walker."""
-    from graby_spark.markdown import markdown_column
-
-    out = _extracted(spark, sf_dir).where("is_success")
-    return markdown_column(out, html_col="html", out_col="markdown").select(
-        "url", "markdown"
+    consumer actually stores).  Uses the FUSED path —
+    ExtractOptions(markdown=True) renders inside the same mapInPandas
+    batch, and columns= projects the Arrow output down to
+    (url, markdown, is_success): one Python hop, minimal transfer.  On
+    the planted single-paragraph variants the expected markdown equals
+    the whitespace-collapsed expected text, so the oracle stays
+    closed-form while the query still runs the whole C/P/R/D/O pipeline
+    plus the DOM→markdown walker."""
+    _ship(spark)
+    pages = build_pages_df(spark, sf_dir)
+    opts = ExtractOptions(xss_filter=False, markdown=True)
+    out = run_extraction(
+        spark,
+        pages,
+        pages_ruleset(),
+        options=opts,
+        columns=["url", "markdown", "is_success"],
     )
+    return out.where("is_success").select("url", "markdown")
 
 
 def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,6 +101,11 @@ class ExtractOptions:
     # strip counts) — the observability you need to debug one bad url out
     # of a billion without re-running locally.  Zero overhead when off.
     trace: bool = False
+    # Emit a ``markdown`` output column (CommonMark rendering of the
+    # extracted content, graby_spark.markdown) computed INSIDE the same
+    # mapInPandas batch — LLM-corpus consumers get markdown without a
+    # second Python hop over the content html.  Zero overhead when off.
+    markdown: bool = False
 
 
 @dataclass

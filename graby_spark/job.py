@@ -40,6 +40,7 @@ from pyspark.sql.types import (
 
 from .extract import ExtractOptions, extract_one
 from .siteconfig import RuleSet
+from .markdown import to_markdown
 
 __all__ = [
     "EXTRACT_SCHEMA",
@@ -160,6 +161,9 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions, out_names: list[str
                         "summary": res.summary,
                         "mime": res.mime,
                         "trace": res.trace,
+                        "markdown": (
+                            to_markdown(res.html) if options.markdown else None
+                        ),
                     }
                 except Exception:
                     # per-row failure isolation: emit an error row, never
@@ -183,6 +187,7 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions, out_names: list[str
                         "summary": "",
                         "mime": "",
                         "trace": [],
+                        "markdown": "" if options.markdown else None,
                     }
                 record["warc_ts"] = getattr(row, "warc_ts", None)
                 record["bytes_in"] = len(html)
@@ -223,11 +228,21 @@ def run_extraction(
     base_schema = EXTRACT_SCHEMA
     if options.trace:
         base_schema = StructType(
-            EXTRACT_SCHEMA.fields + [StructField("trace", ArrayType(StringType()))]
+            base_schema.fields + [StructField("trace", ArrayType(StringType()))]
+        )
+    if options.markdown:
+        # fused serialization: rendered in the same Python batch as the
+        # extraction, so markdown consumers pay one Arrow hop, not two
+        base_schema = StructType(
+            base_schema.fields + [StructField("markdown", StringType())]
         )
     if columns is None:
         out_schema = base_schema
-        out_names = [f.name for f in base_schema.fields] if options.trace else None
+        out_names = (
+            [f.name for f in base_schema.fields]
+            if (options.trace or options.markdown)
+            else None
+        )
     else:
         known = {f.name for f in base_schema.fields}
         unknown = [c for c in columns if c not in known]

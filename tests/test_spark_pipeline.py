@@ -846,3 +846,28 @@ def test_registry_ordering_covers_driver_sweep_cap():
     assert not stragglers, f"never-driver-verified keys outside first 50: {stragglers}"
     # every query has an oracle (full value-exact coverage, no rows-only)
     assert set(q) == set(entry.oracle_sql())
+
+
+def test_fused_markdown_column(spark):
+    """ExtractOptions(markdown=True) renders markdown inside the
+    extraction batch itself — same values as the separate
+    markdown_column hop, and combinable with trace + output
+    projection."""
+    from graby_spark.markdown import markdown_column
+
+    pages = build_pages_df(spark, "/root/testdata/sf0.001").limit(60)
+    fused = run_extraction(
+        spark,
+        pages,
+        pages_ruleset(),
+        options=ExtractOptions(xss_filter=False, markdown=True, trace=True),
+        columns=["url", "markdown"],
+    )
+    assert fused.columns == ["url", "markdown"]
+    two_hop = markdown_column(
+        run_extraction(
+            spark, pages, pages_ruleset(), options=ExtractOptions(xss_filter=False)
+        ),
+        html_col="html",
+    ).select("url", "markdown")
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, two_hop.collect()))
