@@ -140,6 +140,14 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     def be(pos: int, n: int) -> F.Column:  # big-endian uint from bytes
         return F.conv(F.hex(F.substring(payload, pos, n)), 16, 10).cast("int")
 
+    def le32(pos: int) -> F.Column:  # little-endian u32
+        return (
+            be(pos, 1)
+            + be(pos + 1, 1) * 256
+            + be(pos + 2, 1) * 65536
+            + be(pos + 3, 1) * 16777216
+        )
+
     png_ok = (F.length(payload) >= 24) & (
         F.hex(F.substring(payload, 1, 8)) == "89504E470D0A1A0A"
     ) & (F.hex(F.substring(payload, 13, 4)) == "49484452")
@@ -156,9 +164,26 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         )
 
     # ISO BMFF is identified structurally (an 'ftyp' box at offset 4), not
-    # by the weak leading-size-byte magic
+    # by the weak leading-size-byte magic; AVI likewise (the RIFF magic
+    # alone means audio/wav in _MAGIC — the form type at offset 8
+    # discriminates)
     is_bmff = F.expr(f"substring({payload_col}, 5, 4)") == F.lit(b"ftyp")
     mime = F.when(is_bmff, F.lit("video/mp4")).otherwise(mime)
+    is_avi = F.expr(f"substring({payload_col}, 9, 4)") == F.lit(b"AVI ")
+    mime = F.when(is_avi, F.lit("video/x-msvideo")).otherwise(mime)
+    # canonical writer layout (hdrl first, avih first inside it) puts the
+    # avih payload at byte 33 (1-indexed) — a pure-JVM header-field read,
+    # exactly like the canonical-WAV duration below; non-canonical
+    # layouts stay NULL rather than guessing
+    avih_ok = (
+        is_avi
+        & (F.length(payload) >= 88)
+        & (F.expr(f"substring({payload_col}, 13, 4)") == F.lit(b"LIST"))
+        & (F.expr(f"substring({payload_col}, 21, 4)") == F.lit(b"hdrl"))
+        & (F.expr(f"substring({payload_col}, 25, 4)") == F.lit(b"avih"))
+    )
+    avi_us_per_frame = le32(33)
+    avi_total_frames = le32(49)
 
     @F.pandas_udf(_Arr(IntegerType()))
     def _mp4_whd(payloads: pd.Series) -> pd.Series:
@@ -187,24 +212,18 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .when(gif_ok & (F.col("mime") == "image/gif"), w_gif)
         .when(F.col("mime") == "image/jpeg", F.element_at("_jwh", 1))
         .when(F.col("mime") == "video/mp4", mp4_dim(1))
+        .when(avih_ok, le32(65))
     )
     height = (
         F.when(png_ok & (F.col("mime") == "image/png"), be(21, 4))
         .when(gif_ok & (F.col("mime") == "image/gif"), h_gif)
         .when(F.col("mime") == "image/jpeg", F.element_at("_jwh", 2))
         .when(F.col("mime") == "video/mp4", mp4_dim(2))
+        .when(avih_ok, le32(69))
     )
     # WAV duration from the canonical RIFF layout (PCM fmt chunk directly
     # after WAVE, data chunk at offset 37): declared data size / byte rate.
     # A header-field read, no codec; non-canonical layouts stay NULL.
-    def le32(pos: int) -> F.Column:  # little-endian u32
-        return (
-            be(pos, 1)
-            + be(pos + 1, 1) * 256
-            + be(pos + 2, 1) * 65536
-            + be(pos + 3, 1) * 16777216
-        )
-
     wav_ok = (
         (F.length(payload) >= 44)
         & (F.hex(F.substring(payload, 1, 4)) == "52494646")
@@ -259,10 +278,19 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         (F.col("mime") == "video/mp4") & (F.element_at("_mp4", 3) > 0),
         F.element_at("_mp4", 3),
     )
+    avi_duration = F.when(
+        avih_ok & (avi_us_per_frame > 0),
+        F.floor(
+            avi_total_frames.cast("long") * avi_us_per_frame.cast("long") / 1000
+        ).cast("int"),
+    )
     return (
         out.withColumn("width", width)
         .withColumn("height", height)
-        .withColumn("duration_ms", F.coalesce(wav_duration, mp3_duration, mp4_duration))
+        .withColumn(
+            "duration_ms",
+            F.coalesce(wav_duration, mp3_duration, mp4_duration, avi_duration),
+        )
         .drop("_jwh", "_mp3_tag", "_mp4")
     )
 
@@ -1571,11 +1599,14 @@ def sample_frames(
     delays, one frame is kept per ``every_ms`` elapsed (always including
     frame 0) up to ``max_frames``, and the sampled canvas returns
     PNG-encoded (lossless — downstream stages see exactly the composed
-    pixels).  For other/unknown payloads the frame bytes are the
-    documented deterministic stub (slices of the payload digest) at fixed
-    ``every_ms`` spacing — no container parser for true video formats
-    exists here; row explosion, indices and timestamps remain the real
-    contract."""
+    pixels).  MJPEG AVI payloads are likewise REAL (``operators/avi.py``
+    walks the RIFF container, each sampled frame decodes through the
+    numpy baseline-JPEG codec, timestamps come from the stream's own
+    dwScale/dwRate clock).  For other/unknown payloads the frame bytes
+    are the documented deterministic stub (slices of the payload digest)
+    at fixed ``every_ms`` spacing — no codec for inter-frame-predicted
+    video formats exists here; row explosion, indices and timestamps
+    remain the real contract."""
     src = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
     schema = StructType(
         [
@@ -1610,6 +1641,34 @@ def sample_frames(
                             kept += 1
                             next_sample = ts + every_ms
                         ts += delay
+                    continue
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    from graby_spark.operators.avi import (
+                        avi_frame_iter,
+                        decode_avi_frame,
+                        parse_avi,
+                    )
+
+                    meta = parse_avi(data)
+                    next_sample = 0
+                    kept = 0
+                    for fno, (ts, payload) in enumerate(avi_frame_iter(meta)):
+                        if kept >= max_frames:
+                            break
+                        if ts >= next_sample:
+                            canvas = decode_avi_frame(payload)
+                            if canvas.ndim == 3 and canvas.shape[2] == 1:
+                                canvas = canvas[:, :, 0]
+                            out.append(
+                                {
+                                    "media_id": mid,
+                                    "frame_no": fno,
+                                    "ts_ms": ts,
+                                    "frame": encode_png(canvas),
+                                }
+                            )
+                            kept += 1
+                            next_sample = ts + every_ms
                     continue
                 digest = hashlib.sha256(data).digest()
                 n = min(max_frames, max(len(data) // 64, 1))

@@ -41,7 +41,19 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["WARC_RECORD_SCHEMA", "warc_records", "build_warc_blobs", "write_warc_blobs"]
+__all__ = [
+    "WARC_RECORD_SCHEMA",
+    "WET_RECORD_SCHEMA",
+    "WAT_RECORD_SCHEMA",
+    "warc_records",
+    "wet_records",
+    "wat_records",
+    "wat_links",
+    "build_warc_blobs",
+    "build_wet_blobs",
+    "build_wat_blobs",
+    "write_warc_blobs",
+]
 
 WARC_RECORD_SCHEMA = StructType(
     [
@@ -78,8 +90,12 @@ def _iter_members(blob: bytes) -> Iterator[bytes]:
         yield rest
 
 
-def _parse_records(data: bytes) -> Iterator[tuple]:
-    """Parse concatenated WARC/1.0 records from an uncompressed buffer."""
+def _iter_raw_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Concatenated WARC/1.0 records → (headers, payload) pairs.
+
+    Shared by the response (WARC), conversion (WET) and metadata (WAT)
+    parsers — one length-prefixed walk, type filtering happens above.
+    """
     pos = 0
     n = len(data)
     while pos < n:
@@ -108,6 +124,12 @@ def _parse_records(data: bytes) -> Iterator[tuple]:
             return
         payload = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
+        yield headers, payload
+
+
+def _parse_records(data: bytes) -> Iterator[tuple]:
+    """Parse response records from an uncompressed buffer."""
+    for headers, payload in _iter_raw_records(data):
         if headers.get("warc-type") != "response":
             continue
         status = 0
@@ -269,3 +291,290 @@ def write_warc_blobs(
         return pd.DataFrame({"file_id": [key[0]], "blob": [bytes(out)]})
 
     return keyed.groupBy("_file_id").applyInPandas(build, schema)
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records) — Common Crawl's *.warc.wet.gz
+# ---------------------------------------------------------------------------
+
+WET_RECORD_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("refers_to", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _parse_wet(data: bytes) -> Iterator[tuple]:
+    """Conversion records from an uncompressed buffer.
+
+    WET payloads carry the extracted plain text directly (no HTTP
+    envelope); ``WARC-Refers-To`` links back to the response record the
+    text was derived from — preserved so downstream lineage joins work.
+    """
+    for headers, payload in _iter_raw_records(data):
+        if headers.get("warc-type") != "conversion":
+            continue
+        yield (
+            headers.get("warc-target-uri", ""),
+            headers.get("warc-date", ""),
+            headers.get("warc-refers-to", ""),
+            payload.decode("utf-8", "replace"),
+        )
+
+
+def wet_records(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """DataFrame of WET blobs → one row per conversion (text) record.
+
+    Same scale shape as :func:`warc_records`: one Arrow-batched
+    ``mapInPandas`` over file blobs, records streamed out in 2048-row
+    flushes so an uncompressed multi-GB archive never materializes as
+    one Python list.
+    """
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[blob_col]:
+                for member in _iter_members(bytes(blob or b"")):
+                    for rec in _parse_wet(member):
+                        rows.append(rec)
+                        if len(rows) >= 2048:
+                            yield pd.DataFrame(
+                                rows, columns=WET_RECORD_SCHEMA.fieldNames()
+                            )
+                            rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=WET_RECORD_SCHEMA.fieldNames())
+
+    return df.select(blob_col).mapInPandas(parse, WET_RECORD_SCHEMA)
+
+
+def build_wet_blobs(
+    spark: SparkSession,
+    sf_dir: str,
+    records_per_file: int = 50,
+    gzip_records: bool = True,
+) -> DataFrame:
+    """Deterministic synthetic WET files from ``documents.parquet``.
+
+    Each document's ``text`` becomes one ``WARC-Type: conversion``
+    record (Content-Type ``text/plain``, ``WARC-Refers-To`` derived from
+    the doc id so the oracle can replay it closed-form), per-record
+    gzipped and concatenated exactly like :func:`build_warc_blobs`.
+    """
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") / records_per_file).cast("long").alias("file_id"),
+    )
+    schema = StructType(
+        [StructField("file_id", LongType()), StructField("blob", BinaryType())]
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = bytearray()
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            doc_id = int(row["doc_id"])
+            text = str(row["text"]).encode("utf-8")
+            ts = pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=doc_id)
+            uuid = hashlib.md5(b"warc:%d" % doc_id).hexdigest()
+            head = (
+                "WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Target-URI: http://warc.example.com/doc/{doc_id}\r\n"
+                f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+                f"WARC-Refers-To: <urn:uuid:{uuid}>\r\n"
+                "Content-Type: text/plain\r\n"
+                f"Content-Length: {len(text)}\r\n\r\n"
+            ).encode("latin-1")
+            record = head + text + b"\r\n\r\n"
+            if gzip_records:
+                co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                record = co.compress(record) + co.flush()
+            out += record
+        return pd.DataFrame({"file_id": [key[0]], "blob": [bytes(out)]})
+
+    return docs.groupBy("file_id").applyInPandas(build, schema)
+
+
+# ---------------------------------------------------------------------------
+# WAT (page-metadata records, JSON payloads) — Common Crawl's *.warc.wat.gz
+# ---------------------------------------------------------------------------
+
+WAT_RECORD_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("json", StringType()),
+    ]
+)
+
+#: Spark DDL for the Envelope subset the link/title extractor reads —
+#: ``from_json`` runs JVM-side, so WAT structure parsing never enters
+#: Python (the mapInPandas stage only slices records out of the archive)
+WAT_ENVELOPE_DDL = (
+    "Envelope STRUCT<"
+    "`WARC-Header-Metadata` STRUCT<"
+    "`WARC-Target-URI` STRING, `WARC-Type` STRING, `WARC-Date` STRING>, "
+    "`Payload-Metadata` STRUCT<"
+    "`Actual-Content-Type` STRING, "
+    "`HTTP-Response-Metadata` STRUCT<"
+    "`HTML-Metadata` STRUCT<"
+    "Head STRUCT<Title STRING>, "
+    "Links ARRAY<STRUCT<path STRING, url STRING, text STRING>>>>>>"
+)
+
+
+def _parse_wat(data: bytes) -> Iterator[tuple]:
+    """Metadata records from an uncompressed buffer — raw JSON out."""
+    for headers, payload in _iter_raw_records(data):
+        if headers.get("warc-type") != "metadata":
+            continue
+        yield (
+            headers.get("warc-target-uri", ""),
+            headers.get("warc-date", ""),
+            payload.decode("utf-8", "replace"),
+        )
+
+
+def wat_records(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """DataFrame of WAT blobs → one row per metadata record (raw JSON)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[blob_col]:
+                for member in _iter_members(bytes(blob or b"")):
+                    for rec in _parse_wat(member):
+                        rows.append(rec)
+                        if len(rows) >= 2048:
+                            yield pd.DataFrame(
+                                rows, columns=WAT_RECORD_SCHEMA.fieldNames()
+                            )
+                            rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=WAT_RECORD_SCHEMA.fieldNames())
+
+    return df.select(blob_col).mapInPandas(parse, WAT_RECORD_SCHEMA)
+
+
+def wat_links(df: DataFrame, json_col: str = "json") -> DataFrame:
+    """WAT JSON rows → (url, warc_date, title, link_no, link_path,
+    link_url, link_text), one row per outlink.
+
+    Pure JVM: ``from_json`` with :data:`WAT_ENVELOPE_DDL` +
+    ``posexplode`` — malformed JSON rows yield a NULL envelope and drop
+    out (from_json is lenient, unlike Spark's job-fatal xpath), so one
+    corrupt record cannot fail the job.  This is the WAT-native
+    equivalent of extracting outlinks from raw HTML
+    (``operators/graph.py``) when only the metadata sidecar was fetched.
+    """
+    env = F.from_json(F.col(json_col), WAT_ENVELOPE_DDL).getField("Envelope")
+    html_meta = (
+        env.getField("Payload-Metadata")
+        .getField("HTTP-Response-Metadata")
+        .getField("HTML-Metadata")
+    )
+    return (
+        df.withColumn("title", html_meta.getField("Head").getField("Title"))
+        .withColumn("_links", html_meta.getField("Links"))
+        .where(F.col("_links").isNotNull())
+        .select(
+            "url",
+            "warc_date",
+            "title",
+            F.posexplode("_links").alias("link_no", "_l"),
+        )
+        .select(
+            "url",
+            "warc_date",
+            "title",
+            "link_no",
+            F.col("_l.path").alias("link_path"),
+            F.col("_l.url").alias("link_url"),
+            F.col("_l.text").alias("link_text"),
+        )
+    )
+
+
+def build_wat_blobs(
+    spark: SparkSession,
+    sf_dir: str,
+    records_per_file: int = 50,
+    gzip_records: bool = True,
+) -> DataFrame:
+    """Deterministic synthetic WAT files from ``documents.parquet``.
+
+    One ``WARC-Type: metadata`` record per document whose JSON payload
+    is a Common-Crawl-shaped Envelope (head title + two outlinks with
+    closed-form targets), per-record gzipped.  Planted values are
+    JSON-metacharacter-free by construction, so the oracle can rebuild
+    them with plain string concatenation.
+    """
+    import json as _json
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") / records_per_file).cast("long").alias("file_id"),
+    )
+    schema = StructType(
+        [StructField("file_id", LongType()), StructField("blob", BinaryType())]
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = bytearray()
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            doc_id = int(row["doc_id"])
+            url = f"http://warc.example.com/doc/{doc_id}"
+            ts = pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=doc_id)
+            date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            envelope = {
+                "Envelope": {
+                    "WARC-Header-Metadata": {
+                        "WARC-Target-URI": url,
+                        "WARC-Type": "response",
+                        "WARC-Date": date,
+                    },
+                    "Payload-Metadata": {
+                        "Actual-Content-Type": "application/http; msgtype=response",
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {
+                                "Head": {"Title": f"Doc {doc_id}"},
+                                "Links": [
+                                    {
+                                        "path": "A@/href",
+                                        "url": (
+                                            f"http://site-{(doc_id + j) % 7}"
+                                            f".example.com/p/{doc_id * 2 + j}"
+                                        ),
+                                        "text": f"anchor {doc_id} {j}",
+                                    }
+                                    for j in range(2)
+                                ],
+                            }
+                        },
+                    },
+                }
+            }
+            payload = _json.dumps(envelope, separators=(",", ":")).encode("utf-8")
+            head = (
+                "WARC/1.0\r\n"
+                "WARC-Type: metadata\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {date}\r\n"
+                "Content-Type: application/json\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("latin-1")
+            record = head + payload + b"\r\n\r\n"
+            if gzip_records:
+                co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                record = co.compress(record) + co.flush()
+            out += record
+        return pd.DataFrame({"file_id": [key[0]], "blob": [bytes(out)]})
+
+    return docs.groupBy("file_id").applyInPandas(build, schema)

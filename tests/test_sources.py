@@ -384,3 +384,66 @@ def test_cdx_select_latest_as_of_time_travel(spark):
     assert cdx_select_latest(recs).collect()[0]["offset"] == 2
     assert cdx_select_latest(recs, as_of="20240701000000").collect()[0]["offset"] == 1
     assert cdx_select_latest(recs, as_of="20231231235959").count() == 0
+
+
+def test_wet_records_parse_and_lineage():
+    """Conversion records: text payload byte-exact, WARC-Refers-To kept,
+    non-conversion records skipped."""
+    from graby_spark.sources.warc import _parse_wet
+
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://a/1\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        "WARC-Refers-To: <urn:uuid:abc>\r\n"
+        "Content-Type: text/plain\r\n"
+        "Content-Length: 11\r\n\r\n"
+    ).encode()
+    data = head + b"hello\nworld" + b"\r\n\r\n" + _record("http://a/2", _http(b"x"))
+    rows = list(_parse_wet(data))
+    assert rows == [("http://a/1", "2024-01-01T00:00:00Z", "<urn:uuid:abc>", "hello\nworld")]
+
+
+def test_wet_round_trip_spark(spark):
+    """build_wet_blobs → wet_records round trip at sf0.001: every doc's
+    text survives byte-exact (joined back against the source table)."""
+    from pyspark.sql import functions as F
+
+    from graby_spark.sources.warc import build_wet_blobs, wet_records
+
+    sf = "/root/testdata/sf0.001"
+    recs = wet_records(build_wet_blobs(spark, sf, records_per_file=25))
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "concat('http://warc.example.com/doc/', cast(doc_id as string)) as url",
+        "text as want",
+    )
+    joined = recs.join(docs, "url", "inner")
+    n = joined.count()
+    assert n == docs.count() == 500
+    assert joined.where(F.col("text") != F.col("want")).count() == 0
+
+
+def test_wat_links_jvm_parse(spark):
+    """wat_records slices JSON out of the archive; wat_links parses it
+    JVM-side (from_json) — titles and both planted links come back, and
+    a malformed-JSON record degrades to zero link rows, not a job
+    failure (unlike Spark's xpath)."""
+    from graby_spark.sources.warc import (
+        WAT_RECORD_SCHEMA,
+        build_wat_blobs,
+        wat_links,
+        wat_records,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    links = wat_links(wat_records(build_wat_blobs(spark, sf, records_per_file=25)))
+    rows = links.where("url = 'http://warc.example.com/doc/3'").collect()
+    assert {(r["link_no"], r["link_url"], r["link_text"], r["title"]) for r in rows} == {
+        (0, "http://site-3.example.com/p/6", "anchor 3 0", "Doc 3"),
+        (1, "http://site-4.example.com/p/7", "anchor 3 1", "Doc 3"),
+    }
+    bad = spark.createDataFrame(
+        [("http://a/1", "2024-01-01T00:00:00Z", "{not json")], WAT_RECORD_SCHEMA
+    )
+    assert wat_links(bad).count() == 0
