@@ -2233,6 +2233,127 @@ def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media survey pipeline end-to-end on REAL containers: six
+    formats (PNG, GIF, JPEG, WAV, MP4, MJPEG AVI) produced by this
+    repo's own encoders, surveyed by attach_media_metadata — structural
+    mime sniffing (ftyp / RIFF form type beat weak magics), JVM
+    header-field dims, per-format duration math.  One closed-form oracle
+    over every branch proves the routing table AND each header parser
+    against real encoder output, not planted header bytes
+    (media_mime_sniff's job)."""
+    _ship(spark)
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 5 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_media(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.avi import encode_avi_mjpeg
+        from graby_spark.operators.jpeg import encode_jpeg
+        from graby_spark.operators.multimodal import (
+            encode_gif,
+            encode_mp4_skeleton,
+            encode_png,
+            encode_wav,
+        )
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            t = (mid // 5) % 6
+            if t == 0:
+                out.append(
+                    encode_png(
+                        np.full((3 + mid % 4, 4 + mid % 5), mid % 256, dtype=np.uint8)
+                    )
+                )
+            elif t == 1:
+                pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+                out.append(
+                    encode_gif(np.zeros((2 + mid % 3, 5 + mid % 4), dtype=np.uint8), pal)
+                )
+            elif t == 2:
+                out.append(
+                    encode_jpeg(np.full((8, 8 * (1 + mid % 3)), 128, dtype=np.uint8))
+                )
+            elif t == 3:
+                out.append(encode_wav(np.zeros(40 + mid % 30, dtype=np.int16), 8000))
+            elif t == 4:
+                out.append(
+                    encode_mp4_skeleton(
+                        160 + (mid % 5) * 16,
+                        90 + (mid % 3) * 30,
+                        1000 + (mid * 7) % 60000,
+                    )
+                )
+            else:
+                frame = np.zeros((8, 8 * (1 + mid % 3)), dtype=np.uint8)
+                out.append(
+                    encode_avi_mjpeg([frame] * (2 + mid % 5), rate=4, scale=1)
+                )
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_media("media_id")
+    )
+    out = multimodal.attach_media_metadata(media)
+    return out.select(
+        "media_id",
+        ((F.col("media_id") / 5).cast("long") % 6).alias("kind"),
+        "mime",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
+def q_media_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real G.711 telephony decode on the correctness gate: formula
+    mu-law (even ids) / A-law (odd ids) WAV clips expanded to linear
+    PCM16 through the ITU closed-form tables inside decode_wav; the
+    oracle replays the exact bit-level expansion in SQL (xor/shift
+    arithmetic), so mean and RMS are value-exact — integer sums are
+    exact in float64 and the division/sqrt are IEEE-identical."""
+    _ship(spark)
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 9 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_g711(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.multimodal import encode_wav_g711
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            n = 60 + mid % 40
+            codes = ((mid * 31 + np.arange(n) * 7) % 256).astype(np.uint8)
+            out.append(
+                encode_wav_g711(
+                    codes,
+                    law="mulaw" if mid % 2 == 0 else "alaw",
+                    sample_rate=8000,
+                )
+            )
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_g711("media_id")
+    )
+    out = multimodal.wav_sample_stats(media)
+    return out.select(
+        "media_id",
+        F.when(F.col("media_id") % 2 == 0, F.lit("mulaw"))
+        .otherwise(F.lit("alaw"))
+        .alias("law"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "mean_sample",
+        "rms",
+    )
+
+
 def q_agg_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation — the classic hash-agg plan check."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2329,6 +2450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-verified (r03 overflow + new in r04): MUST all
         # --- sit within the driver sweep's 50-query cap (pinned by test)
         "media_avi_frames": q_media_avi_frames,
+        "media_g711_decode": q_media_g711_decode,
+        "pipeline_media": q_pipeline_media,
         "source_wet": q_source_wet,
         "source_wat": q_source_wat,
         "source_cdx": q_source_cdx,
@@ -4528,6 +4651,63 @@ SELECT media_id,
                         k -> CAST((media_id * 11 + f * 17 + k) % 256 AS DOUBLE)),
          'avg') AS mean_pixel
 FROM fr WHERE f < nf
+""",
+        "pipeline_media": """
+WITH m AS (
+  SELECT doc_id AS media_id, (doc_id // 5) % 6 AS kind
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT media_id,
+       CAST(kind AS BIGINT) AS kind,
+       CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                 WHEN 2 THEN 'image/jpeg' WHEN 3 THEN 'audio/wav'
+                 WHEN 4 THEN 'video/mp4' ELSE 'video/x-msvideo' END AS mime,
+       CAST(CASE kind WHEN 0 THEN 4 + media_id % 5
+                      WHEN 1 THEN 5 + media_id % 4
+                      WHEN 2 THEN 8 * (1 + media_id % 3)
+                      WHEN 4 THEN 160 + (media_id % 5) * 16
+                      WHEN 5 THEN 8 * (1 + media_id % 3) END AS BIGINT) AS width,
+       CAST(CASE kind WHEN 0 THEN 3 + media_id % 4
+                      WHEN 1 THEN 2 + media_id % 3
+                      WHEN 2 THEN 8
+                      WHEN 4 THEN 90 + (media_id % 3) * 30
+                      WHEN 5 THEN 8 END AS BIGINT) AS height,
+       CAST(CASE kind WHEN 3 THEN ((40 + media_id % 30) * 1000) // 8000
+                      WHEN 4 THEN 1000 + (media_id * 7) % 60000
+                      WHEN 5 THEN (2 + media_id % 5) * 250 END AS BIGINT) AS duration_ms
+FROM m
+""",
+        "media_g711_decode": """
+WITH m AS (
+  SELECT doc_id AS media_id, 60 + doc_id % 40 AS n
+  FROM documents WHERE doc_id % 9 = 0
+),
+s AS (SELECT media_id, n, unnest(range(n)) AS k FROM m),
+e AS (
+  SELECT media_id, n, (media_id * 31 + k * 7) % 256 AS u,
+         CASE WHEN media_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS law
+  FROM s
+),
+v AS (
+  SELECT media_id, n, law,
+    CASE WHEN law = 'mulaw' THEN
+      CASE WHEN (255 - u) >= 128
+           THEN 132 - ((((255 - u) % 16) * 8 + 132) << (((255 - u) // 16) % 8))
+           ELSE ((((255 - u) % 16) * 8 + 132) << (((255 - u) // 16) % 8)) - 132 END
+    ELSE
+      CASE WHEN xor(u, 85) >= 128 THEN -1 ELSE 1 END *
+      (CASE WHEN ((xor(u, 85) // 16) % 8) = 0
+            THEN (xor(u, 85) % 16) * 16 + 8
+            ELSE (((xor(u, 85) % 16) * 16 + 264) << (((xor(u, 85) // 16) % 8) - 1)) END)
+    END AS x
+  FROM e
+)
+SELECT media_id, law,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_frames,
+       sum(x) / CAST(n AS DOUBLE) AS mean_sample,
+       sqrt(sum(x * x) / CAST(n AS DOUBLE)) AS rms
+FROM v GROUP BY media_id, law, n
 """,
         "media_jpeg_decode": """
 WITH m AS (

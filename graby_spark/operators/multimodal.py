@@ -1333,14 +1333,39 @@ def encode_gif(
     return bytes(out)
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """ITU-T G.711 expansion tables: (mu_law, a_law), 256 int32 entries
+    each mapping a companded byte to its linear PCM16 value.  Pure
+    integer closed forms, so an oracle can replay them in SQL."""
+    u = np.arange(256)
+    uu = (~u) & 0xFF
+    x = np.left_shift((uu & 0x0F) * 8 + 0x84, (uu >> 4) & 0x07) - 0x84
+    mu = np.where(uu & 0x80, -x, x).astype(np.int32)
+    a = np.arange(256) ^ 0x55
+    exp_a = (a >> 4) & 0x07
+    xa = np.where(
+        exp_a == 0,
+        (a & 0x0F) * 16 + 8,
+        np.left_shift((a & 0x0F) * 16 + 0x108, np.maximum(exp_a, 1) - 1),
+    )
+    al = np.where(a & 0x80, -xa, xa).astype(np.int32)
+    return mu, al
+
+
+_G711_MULAW, _G711_ALAW = _g711_tables()
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """REAL WAV PCM decode with the stdlib only: proper RIFF chunk walk
-    (fmt/data located by id, not fixed offsets), 8-bit unsigned and 16-bit
-    signed little-endian PCM, any channel count.
+    """REAL WAV decode with the stdlib only: proper RIFF chunk walk
+    (fmt/data located by id, not fixed offsets), 8-bit unsigned and
+    16-bit signed little-endian PCM, any channel count, plus G.711
+    mu-law/A-law (format tags 7/6 — the telephony codings ubiquitous in
+    speech corpora) expanded to linear PCM16 through the ITU closed-form
+    tables.
 
     Returns ``(sample_rate, samples)`` with samples shaped
-    (n_frames, n_channels) as int32 (8-bit input is re-centered to signed
-    by subtracting 128).  Non-PCM formats and other bit depths raise
+    (n_frames, n_channels) as int32 (8-bit PCM input is re-centered to
+    signed by subtracting 128).  Other formats and bit depths raise
     ``NotImplementedError``; corrupt streams raise ``ValueError``."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV stream")
@@ -1364,10 +1389,20 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1:
-        raise NotImplementedError(f"WAV format {audio_format} unsupported (PCM only)")
+    if audio_format not in (1, 6, 7):
+        raise NotImplementedError(
+            f"WAV format {audio_format} unsupported (PCM/A-law/mu-law only)"
+        )
     if n_channels < 1:
         raise ValueError("invalid channel count")
+    if audio_format in (6, 7):
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        codes = np.frombuffer(
+            frames[: len(frames) - (len(frames) % n_channels)], dtype=np.uint8
+        )
+        table = _G711_MULAW if audio_format == 7 else _G711_ALAW
+        return sample_rate, table[codes].reshape(-1, n_channels)
     if bits == 16:
         arr = np.frombuffer(
             frames[: len(frames) - (len(frames) % (2 * n_channels))], dtype="<i2"
@@ -1398,6 +1433,25 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     hdr += (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
     hdr += sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
     hdr += (n_channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    hdr += b"data" + len(payload).to_bytes(4, "little")
+    return bytes(hdr) + payload
+
+
+def encode_wav_g711(
+    codes: np.ndarray, law: str = "mulaw", sample_rate: int = 8000
+) -> bytes:
+    """Canonical G.711 WAV (format tag 7 mu-law / 6 A-law, 8-bit) from a
+    1-D array of companded bytes — the fixture writer for the telephony
+    decode path, byte-deterministic."""
+    a = np.asarray(codes, dtype=np.uint8).reshape(-1)
+    tag = {"mulaw": 7, "alaw": 6}[law]
+    payload = a.tobytes()
+    hdr = bytearray(b"RIFF")
+    hdr += (36 + len(payload)).to_bytes(4, "little")
+    hdr += b"WAVEfmt " + (16).to_bytes(4, "little")
+    hdr += tag.to_bytes(2, "little") + (1).to_bytes(2, "little")
+    hdr += sample_rate.to_bytes(4, "little") + sample_rate.to_bytes(4, "little")
+    hdr += (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
     hdr += b"data" + len(payload).to_bytes(4, "little")
     return bytes(hdr) + payload
 

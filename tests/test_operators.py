@@ -2296,3 +2296,48 @@ def test_attach_media_metadata_avi(spark):
     assert (row["width"], row["height"]) == (24, 16)
     # 8 frames * 250000 us/frame = 2000 ms
     assert row["duration_ms"] == 2000
+
+
+def test_g711_tables_itu_reference():
+    """Expansion tables hit the ITU G.711 anchor points: mu-law 0xFF→0
+    and full scale ±32124; A-law 0x55→+8 (smallest positive), 0xD5→-8,
+    full scale ±32256; both tables odd-symmetric under the sign bit."""
+    import numpy as np
+
+    from graby_spark.operators.multimodal import _G711_ALAW, _G711_MULAW
+
+    assert _G711_MULAW[0xFF] == 0 and _G711_MULAW[0x7F] == 0  # both zero codes
+    assert _G711_MULAW[0x00] == -32124 and _G711_MULAW[0x80] == 32124
+    assert int(_G711_MULAW.min()) == -32124 and int(_G711_MULAW.max()) == 32124
+    assert _G711_ALAW[0x55] == 8 and _G711_ALAW[0xD5] == -8
+    assert int(_G711_ALAW.min()) == -32256 and int(_G711_ALAW.max()) == 32256
+    # sign-bit symmetry: flipping bit 7 of the COMPANDED byte negates
+    u = np.arange(128)
+    assert np.array_equal(_G711_MULAW[u], -_G711_MULAW[u | 0x80])
+    a = np.arange(256)
+    assert np.array_equal(_G711_ALAW[a], -_G711_ALAW[a ^ 0x80])
+
+
+def test_g711_wav_round_trip():
+    """encode_wav_g711 → decode_wav expands through the right table for
+    both laws; PCM paths are untouched; 16-bit G.711 is rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graby_spark.operators.multimodal import (
+        _G711_ALAW,
+        _G711_MULAW,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    codes = ((np.arange(200) * 7 + 31) % 256).astype(np.uint8)
+    for law, tab in (("mulaw", _G711_MULAW), ("alaw", _G711_ALAW)):
+        rate, samples = decode_wav(encode_wav_g711(codes, law=law, sample_rate=8000))
+        assert rate == 8000 and samples.shape == (200, 1)
+        assert np.array_equal(samples[:, 0], tab[codes])
+    # format tag 2 (ADPCM) still raises loudly
+    blob = bytearray(encode_wav_g711(codes, law="mulaw"))
+    blob[20:22] = (2).to_bytes(2, "little")
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(blob))

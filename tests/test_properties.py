@@ -284,3 +284,52 @@ def test_media_decoders_total_on_garbage(data, which):
         decoders[which](payload)
     except (ValueError, NotImplementedError):
         pass
+
+
+@given(st.binary(max_size=3000))
+@settings(max_examples=200, deadline=None)
+def test_warc_family_parsers_total(data):
+    """Arbitrary bytes through the gzip-member walk and all three WARC
+    record parsers (response/conversion/metadata) terminate without
+    raising — corrupt archives degrade to fewer records, never to a
+    failed Spark task."""
+    from graby_spark.sources.warc import (
+        _iter_members,
+        _parse_records,
+        _parse_wet,
+        _parse_wat,
+    )
+
+    for member in _iter_members(data):
+        list(_parse_records(member))
+        list(_parse_wet(member))
+        list(_parse_wat(member))
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_avi_parser_total(data):
+    """parse_avi on arbitrary bytes either returns a dict or raises
+    ValueError — never hangs, never raises anything else."""
+    from graby_spark.operators.avi import parse_avi
+
+    try:
+        meta = parse_avi(data)
+    except ValueError:
+        return
+    assert isinstance(meta["frames"], list)
+
+
+@given(st.binary(min_size=0, max_size=1000))
+@settings(max_examples=100, deadline=None)
+def test_avi_parser_total_behind_valid_magic(tail):
+    """Garbage BEHIND a valid RIFF/AVI magic still terminates: either a
+    parsed dict (possibly zero frames) or ValueError."""
+    from graby_spark.operators.avi import parse_avi
+
+    data = b"RIFF" + (len(tail) + 4).to_bytes(4, "little") + b"AVI " + tail
+    try:
+        meta = parse_avi(data)
+        assert isinstance(meta["frames"], list)
+    except ValueError:
+        pass

@@ -447,3 +447,28 @@ def test_wat_links_jvm_parse(spark):
         [("http://a/1", "2024-01-01T00:00:00Z", "{not json")], WAT_RECORD_SCHEMA
     )
     assert wat_links(bad).count() == 0
+
+
+def test_wet_records_streaming(tmp_path, spark):
+    """wet_records is streaming-safe: the same call works under
+    readStream (availableNow) and matches the batch result."""
+    from graby_spark.sources.warc import build_wet_blobs, wet_records
+
+    in_dir = str(tmp_path / "wet_in")
+    build_wet_blobs(spark, "/root/testdata/sf0.001", records_per_file=25).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    stream = spark.readStream.schema("file_id long, blob binary").parquet(in_dir)
+    q = (
+        wet_records(stream)
+        .writeStream.format("memory")
+        .queryName("wet_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select count(*) n, count(distinct url) u from wet_stream_out"
+    ).collect()[0]
+    batch = wet_records(spark.read.parquet(in_dir)).count()
+    assert got["n"] == batch == 500 and got["u"] == 500
