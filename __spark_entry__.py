@@ -1057,6 +1057,44 @@ _DUCK_MD5_PARITY = "('0x' || substr(md5(domain), 1, 15))::BIGINT % 2 = 0"
 # f-string interpolation cannot mangle the backslashes (octal-escape trap):
 # escape every RE2 metachar except '*', replacement = literal backslash +
 # group, then re-anchor the trailing escaped '$'
+#: shared CTE chain replaying perceptual_hash (aHash: 8x8 nearest resize,
+#: mean threshold, two's-complement packing) + 16-bit band bucketing over
+#: the planted-PNG corpus — used by the phash pair AND cluster oracles
+_PHASH_CAND_CTES = """ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 0),
+hp AS (
+  SELECT id, id % 5 AS base, (id // 5) % 2 AS var,
+         16 + (id % 5) * 4 AS w, 16 + (id % 5) * 2 AS h
+  FROM ids
+),
+samp AS (
+  SELECT id,
+    list_transform(range(64), q ->
+      CAST((base * 37
+            + (((q // 8) * h // 8) * w + ((q % 8) * w // 8)) * 13
+            + var * (CASE WHEN ((((q // 8) * h // 8) * w + ((q % 8) * w // 8)) % 41) = 0
+                     THEN 90 ELSE 0 END)) % 256 AS DOUBLE)) AS s
+  FROM hp
+),
+hashes AS (
+  SELECT id,
+    list_aggregate(list_transform(range(63), q ->
+      CASE WHEN s[CAST(q + 1 AS INTEGER)] > list_aggregate(s, 'avg')
+           THEN (1::BIGINT << CAST(q AS INTEGER)) ELSE 0 END), 'sum')
+    + CASE WHEN s[64] > list_aggregate(s, 'avg')
+           THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END AS phash
+  FROM samp
+),
+bands AS (
+  SELECT id, phash, unnest([0, 1, 2, 3]) AS b FROM hashes
+),
+bands2 AS (
+  SELECT id, phash, b, (phash >> CAST(16 * b AS INTEGER)) & 65535 AS bucket FROM bands
+),
+cand AS (
+  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b, x.phash AS ha, y.phash AS hb
+  FROM bands2 x JOIN bands2 y ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id
+)"""
+
 _RB_ESC_CLASS = r"([.^$+?(){}\[\]\\|])"
 _RB_ESC_REPL = r"\\\1"
 _RB_TRAIL_PAT = r"\\\$$"
@@ -2195,6 +2233,46 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale image dedup end to end: the phash pair generation
+    (real PNG decode → aHash → banded buckets → hamming verify) composed
+    with the connected-components operator, materializing a cluster
+    canonical per image — what an image dedup pipeline actually writes.
+    The oracle replays the ENTIRE composition: hash + band join in SQL
+    feeding a recursive-CTE transitive closure."""
+    _ship(spark)
+    import numpy as np
+
+    from graby_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 7 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_png(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.multimodal import encode_png
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            base, var = mid % 5, (mid // 5) % 2
+            w, h = 16 + base * 4, 16 + base * 2
+            j = np.arange(w * h)
+            vals = (base * 37 + j * 13 + var * np.where(j % 41 == 0, 90, 0)) % 256
+            out.append(encode_png(vals.astype(np.uint8).reshape(h, w)))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_png("media_id")
+    )
+    hashes = multimodal.perceptual_hash(media, method="ahash")
+    pairs = multimodal.phash_pairs(hashes, max_hamming=4)
+    clusters = dedup.duplicate_clusters(pairs, a_col="doc_a", b_col="doc_b")
+    return clusters.select(
+        F.col("doc").cast("long").alias("doc"),
+        F.col("canonical").cast("long").alias("canonical"),
+    )
+
+
 def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV PCM decode on the correctness gate: formula clips (flat
     sample j = ((id·17 + j)·97) % 4001 − 2000, varying frame count /
@@ -2452,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_avi_frames": q_media_avi_frames,
         "media_g711_decode": q_media_g711_decode,
         "pipeline_media": q_pipeline_media,
+        "media_phash_clusters": q_media_phash_clusters,
         "source_wet": q_source_wet,
         "source_wat": q_source_wat,
         "source_cdx": q_source_cdx,
@@ -4532,43 +4611,21 @@ SELECT media_id,
          'avg') AS mean_pixel
 FROM m
 """,
-        "media_phash_dedup": """
-WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 0),
-hp AS (
-  SELECT id, id % 5 AS base, (id // 5) % 2 AS var,
-         16 + (id % 5) * 4 AS w, 16 + (id % 5) * 2 AS h
-  FROM ids
-),
-samp AS (
-  SELECT id,
-    list_transform(range(64), q ->
-      CAST((base * 37
-            + (((q // 8) * h // 8) * w + ((q % 8) * w // 8)) * 13
-            + var * (CASE WHEN ((((q // 8) * h // 8) * w + ((q % 8) * w // 8)) % 41) = 0
-                     THEN 90 ELSE 0 END)) % 256 AS DOUBLE)) AS s
-  FROM hp
-),
-hashes AS (
-  SELECT id,
-    list_aggregate(list_transform(range(63), q ->
-      CASE WHEN s[CAST(q + 1 AS INTEGER)] > list_aggregate(s, 'avg')
-           THEN (1::BIGINT << CAST(q AS INTEGER)) ELSE 0 END), 'sum')
-    + CASE WHEN s[64] > list_aggregate(s, 'avg')
-           THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END AS phash
-  FROM samp
-),
-bands AS (
-  SELECT id, phash, unnest([0, 1, 2, 3]) AS b FROM hashes
-),
-bands2 AS (
-  SELECT id, phash, b, (phash >> CAST(16 * b AS INTEGER)) & 65535 AS bucket FROM bands
-),
-cand AS (
-  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b, x.phash AS ha, y.phash AS hb
-  FROM bands2 x JOIN bands2 y ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id
-)
+        "media_phash_dedup": f"""
+WITH {_PHASH_CAND_CTES}
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+""",
+        "media_phash_clusters": f"""
+WITH RECURSIVE {_PHASH_CAND_CTES},
+p AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 4),
+e AS (SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(node, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN e ON reach.r = e.s
+)
+SELECT node AS doc, min(r) AS canonical FROM reach GROUP BY node
 """,
         "media_mp4_meta": """
 SELECT doc_id AS media_id,
