@@ -892,3 +892,58 @@ def test_fused_markdown_column(spark):
         html_col="html",
     ).select("url", "markdown")
     assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, two_hop.collect()))
+
+
+def test_extraction_job_survives_hostile_rows(spark):
+    """Crawl-scale robustness: a pages table salted with hostile rows —
+    truncated tags, raw binary masquerading as HTML, NULL payloads,
+    undeclared charsets, oversized documents, a deflate bomb of nested
+    divs — runs through the FULL job without failing a task, every url
+    comes back exactly once, and the clean rows still extract."""
+    import pyspark.sql.functions as F
+
+    from graby_spark.extract import ExtractOptions
+    from graby_spark.job import run_extraction
+    from graby_spark.pages import build_pages_df, pages_ruleset
+
+    clean = build_pages_df(spark, "/root/testdata/sf0.001").limit(20)
+    hostile_rows = [
+        ("http://evil.example.com/truncated", b"<html><body><p>cut mid attr <a href="),
+        ("http://evil.example.com/binary", bytes(range(256)) * 64),
+        ("http://evil.example.com/empty", b""),
+        ("http://evil.example.com/null", None),
+        ("http://evil.example.com/latin", "caf\xe9 na\xefve".encode("latin-1")),
+        ("http://evil.example.com/bom", b"\xff\xfe" + "<p>utf16</p>".encode("utf-16-le")),
+        ("http://evil.example.com/nested", b"<div>" * 3000 + b"deep" + b"</div>" * 3000),
+        ("http://evil.example.com/huge", b"<p>" + b"x" * 2_000_000 + b"</p>"),
+        ("http://evil.example.com/ctrl", b"<p>a\x00b\x01c\x1fd</p>"),
+        ("http://evil.example.com/warcish", b"<pre>WARC/1.0\r\nContent-Length: -1</pre>"),
+    ]
+    hostile = spark.createDataFrame(
+        [(u, b) for u, b in hostile_rows], "url string, html binary"
+    ).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit("text/html").alias("content_type"),
+        F.lit(200).alias("http_status"),
+    )
+    pages = clean.select(*hostile.columns).unionByName(hostile)
+    out = run_extraction(
+        spark, pages, pages_ruleset(), options=ExtractOptions(xss_filter=False)
+    ).cache()
+    try:
+        total = out.count()
+        assert total == 30
+        assert out.select("url").distinct().count() == 30
+        # clean rows still extract successfully
+        ok = out.where(~F.col("url").startswith("http://evil.")).where("is_success")
+        assert ok.count() == 20
+        # hostile rows are flagged, not dropped, and carry no exception text
+        evil = {r["url"]: r for r in out.where(F.col("url").startswith("http://evil.")).collect()}
+        assert len(evil) == 10
+        assert "Traceback" not in (evil["http://evil.example.com/binary"]["html"] or "")
+    finally:
+        out.unpersist()
