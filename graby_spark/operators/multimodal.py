@@ -1355,6 +1355,78 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 _G711_MULAW, _G711_ALAW = _g711_tables()
 
 
+def video_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_ms: int = 1000,
+    max_frames: int = 4,
+    method: str = "ahash",
+) -> DataFrame:
+    """Frame-sampled perceptual signature for video payloads → one row
+    per sampled frame: (media_id, frame_no, ts_ms, phash).
+
+    Composes :func:`sample_frames` (REAL for animated GIF and MJPEG AVI)
+    with :func:`perceptual_hash` over the sampled canvases.  The hash
+    runs on decoded pixels, so the SAME clip encoded as GIF and as
+    MJPEG AVI yields identical signatures — container-independent visual
+    identity, pinned by test.
+
+    Scale shape: payload crosses into Python once (the sampling stage);
+    the hash stage moves only the small PNG canvases; everything after
+    is JVM columns.
+    """
+    if max_frames > 1000:
+        raise ValueError("max_frames above 1000 breaks the frame-key packing")
+    frames = sample_frames(
+        df,
+        payload_col=payload_col,
+        id_col=id_col,
+        every_ms=every_ms,
+        max_frames=max_frames,
+    ).withColumn("fk", F.col("media_id") * 1000 + F.col("frame_no"))
+    hashed = perceptual_hash(
+        frames.select(F.col("fk").alias("media_id"), F.col("frame").alias("payload")),
+        method=method,
+    ).select(F.col("media_id").alias("fk"), "phash")
+    return (
+        frames.select("fk", "media_id", "frame_no", "ts_ms")
+        .join(hashed, "fk")
+        .select("media_id", "frame_no", "ts_ms", "phash")
+    )
+
+
+def video_phash_pairs(
+    frame_hashes: DataFrame, max_hamming: int = 4, min_frames: int = 2
+) -> DataFrame:
+    """Video near-duplicate pairs from :func:`video_phash` output:
+    (video_a, video_b, matched_frames) where at least ``min_frames``
+    sampled frames of A visually match frames of B within
+    ``max_hamming`` bits.
+
+    Frames match regardless of position — a re-encoded or trimmed clip
+    keeps its content, not its timestamps.  The heavy lifting is the
+    banded :func:`phash_pairs` join over frame keys (shuffles hashes,
+    never pixels); the video-level verdict is one aggregation over the
+    surviving frame pairs.
+    """
+    fk = frame_hashes.select(
+        (F.col("media_id") * 1000 + F.col("frame_no")).alias("media_id"), "phash"
+    )
+    pairs = phash_pairs(fk, max_hamming=max_hamming)
+    return (
+        pairs.select(
+            F.floor(F.col("doc_a") / 1000).cast("long").alias("video_a"),
+            (F.col("doc_a") % 1000).alias("frame_a"),
+            F.floor(F.col("doc_b") / 1000).cast("long").alias("video_b"),
+        )
+        .where(F.col("video_a") != F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(F.countDistinct("frame_a").alias("matched_frames"))
+        .where(F.col("matched_frames") >= min_frames)
+    )
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """REAL WAV decode with the stdlib only: proper RIFF chunk walk
     (fmt/data located by id, not fixed offsets), 8-bit unsigned and

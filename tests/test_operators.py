@@ -2341,3 +2341,47 @@ def test_g711_wav_round_trip():
     blob[20:22] = (2).to_bytes(2, "little")
     with _pytest.raises(NotImplementedError):
         decode_wav(bytes(blob))
+
+
+def test_video_phash_container_independent(spark):
+    """The same clip encoded as animated GIF and as MJPEG AVI yields
+    IDENTICAL frame signatures (the hash runs on decoded pixels, not
+    container bytes), and video_phash_pairs matches the two videos on
+    every sampled frame.  An unrelated clip pairs with neither."""
+    import numpy as np
+
+    from graby_spark.operators import avi
+
+    # 4 gray frames, 8x16, values distinct per frame; 250ms cadence
+    frames = [
+        ((10 + 60 * f + np.arange(8 * 16) // 16) % 256).astype(np.uint8).reshape(8, 16)
+        for f in range(4)
+    ]
+    vals = sorted({int(v) for fr in frames for v in fr.ravel()})
+    pal = np.array([[v, v, v] for v in vals], dtype=np.uint8)
+    lut = {v: i for i, v in enumerate(vals)}
+    gif = multimodal.encode_gif_anim(
+        [np.vectorize(lut.get)(fr).astype(np.uint8) for fr in frames],
+        pal,
+        delays_ms=[250] * 4,
+    )
+    mj = avi.encode_avi_mjpeg(frames, rate=4, scale=1, quant_luma=np.ones((8, 8)))
+    other = avi.encode_avi_mjpeg(
+        [np.full((8, 16), 17 * f + 3, dtype=np.uint8) for f in range(4)],
+        rate=4,
+        scale=1,
+        quant_luma=np.ones((8, 8)),
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(mj)), (3, bytearray(other))],
+        "media_id long, payload binary",
+    )
+    hashes = multimodal.video_phash(df, every_ms=500, max_frames=2)
+    rows = {(r["media_id"], r["frame_no"]): r for r in hashes.collect()}
+    # 500ms schedule over 250ms frames: frames 0 and 2 sampled per video
+    assert sorted(rows) == [(1, 0), (1, 2), (2, 0), (2, 2), (3, 0), (3, 2)]
+    for f in (0, 2):
+        assert rows[(1, f)]["phash"] == rows[(2, f)]["phash"]
+        assert rows[(1, f)]["ts_ms"] == rows[(2, f)]["ts_ms"]
+    got = multimodal.video_phash_pairs(hashes, max_hamming=0, min_frames=2).collect()
+    assert [(r["video_a"], r["video_b"], r["matched_frames"]) for r in got] == [(1, 2, 2)]
