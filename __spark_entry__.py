@@ -2312,14 +2312,14 @@ def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The media survey pipeline end-to-end on REAL containers: six
-    formats (PNG, GIF, JPEG, WAV, MP4, MJPEG AVI) produced by this
-    repo's own encoders, surveyed by attach_media_metadata — structural
-    mime sniffing (ftyp / RIFF form type beat weak magics), JVM
-    header-field dims, per-format duration math.  One closed-form oracle
-    over every branch proves the routing table AND each header parser
-    against real encoder output, not planted header bytes
-    (media_mime_sniff's job)."""
+    """The media survey pipeline end-to-end on REAL containers: seven
+    formats (PNG, GIF, JPEG, WAV, MP4, MJPEG AVI, lossless WebP)
+    produced by this repo's own encoders, surveyed by
+    attach_media_metadata — structural mime sniffing (ftyp / RIFF form
+    type beat weak magics), JVM header-field dims, per-format duration
+    math.  One closed-form oracle over every branch proves the routing
+    table AND each header parser against real encoder output, not
+    planted header bytes (media_mime_sniff's job)."""
     _ship(spark)
     import numpy as np
 
@@ -2335,11 +2335,12 @@ def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_png,
             encode_wav,
         )
+        from graby_spark.operators.webp import encode_webp_vp8l
 
         out = []
         for mid in ids:
             mid = int(mid)
-            t = (mid // 5) % 6
+            t = (mid // 5) % 7
             if t == 0:
                 out.append(
                     encode_png(
@@ -2365,10 +2366,16 @@ def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                         1000 + (mid * 7) % 60000,
                     )
                 )
-            else:
+            elif t == 5:
                 frame = np.zeros((8, 8 * (1 + mid % 3)), dtype=np.uint8)
                 out.append(
                     encode_avi_mjpeg([frame] * (2 + mid % 5), rate=4, scale=1)
+                )
+            else:
+                out.append(
+                    encode_webp_vp8l(
+                        np.full((5 + mid % 5, 10 + mid % 6), mid % 256, dtype=np.uint8)
+                    )
                 )
         return pd.Series(out)
 
@@ -2378,7 +2385,7 @@ def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = multimodal.attach_media_metadata(media)
     return out.select(
         "media_id",
-        ((F.col("media_id") / 5).cast("long") % 6).alias("kind"),
+        ((F.col("media_id") / 5).cast("long") % 7).alias("kind"),
         "mime",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
@@ -4711,24 +4718,27 @@ FROM fr WHERE f < nf
 """,
         "pipeline_media": """
 WITH m AS (
-  SELECT doc_id AS media_id, (doc_id // 5) % 6 AS kind
+  SELECT doc_id AS media_id, (doc_id // 5) % 7 AS kind
   FROM documents WHERE doc_id % 5 = 0
 )
 SELECT media_id,
        CAST(kind AS BIGINT) AS kind,
        CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
                  WHEN 2 THEN 'image/jpeg' WHEN 3 THEN 'audio/wav'
-                 WHEN 4 THEN 'video/mp4' ELSE 'video/x-msvideo' END AS mime,
+                 WHEN 4 THEN 'video/mp4' WHEN 5 THEN 'video/x-msvideo'
+                 ELSE 'image/webp' END AS mime,
        CAST(CASE kind WHEN 0 THEN 4 + media_id % 5
                       WHEN 1 THEN 5 + media_id % 4
                       WHEN 2 THEN 8 * (1 + media_id % 3)
                       WHEN 4 THEN 160 + (media_id % 5) * 16
-                      WHEN 5 THEN 8 * (1 + media_id % 3) END AS BIGINT) AS width,
+                      WHEN 5 THEN 8 * (1 + media_id % 3)
+                      WHEN 6 THEN 10 + media_id % 6 END AS BIGINT) AS width,
        CAST(CASE kind WHEN 0 THEN 3 + media_id % 4
                       WHEN 1 THEN 2 + media_id % 3
                       WHEN 2 THEN 8
                       WHEN 4 THEN 90 + (media_id % 3) * 30
-                      WHEN 5 THEN 8 END AS BIGINT) AS height,
+                      WHEN 5 THEN 8
+                      WHEN 6 THEN 5 + media_id % 5 END AS BIGINT) AS height,
        CAST(CASE kind WHEN 3 THEN ((40 + media_id % 30) * 1000) // 8000
                       WHEN 4 THEN 1000 + (media_id * 7) % 60000
                       WHEN 5 THEN (2 + media_id % 5) * 250 END AS BIGINT) AS duration_ms

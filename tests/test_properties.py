@@ -333,3 +333,20 @@ def test_avi_parser_total_behind_valid_magic(tail):
         assert isinstance(meta["frames"], list)
     except ValueError:
         pass
+
+
+@given(st.binary(max_size=800))
+@settings(max_examples=150, deadline=None)
+def test_webp_decoder_total(tail):
+    """Arbitrary bytes behind a valid RIFF/WEBP container frame either
+    decode, raise ValueError, or raise NotImplementedError (documented
+    subset boundaries) — never hang or fail another way."""
+    from graby_spark.operators.webp import decode_webp
+
+    riff = b"WEBPVP8L" + len(tail).to_bytes(4, "little") + tail
+    data = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+    try:
+        out = decode_webp(data)
+        assert out.ndim == 3 and out.shape[2] == 4
+    except (ValueError, NotImplementedError):
+        pass
