@@ -17,11 +17,19 @@ PNG, GIF, JPEG and WAV decode are REAL, stdlib+numpy only:
 * ``operators.jpeg.decode_jpeg`` — baseline sequential JPEG in pure
   numpy (Huffman entropy decode, dequant, 8x8 IDCT, chroma upsample,
   YCbCr→RGB); ``encode_jpeg`` the matching encoder.
+* ``operators.webp.decode_webp`` — WebP lossless (VP8L subset: both
+  prefix-code forms, LZ77, color cache, subtract-green transform).
+* ``decode_wav`` additionally expands G.711 mu-law/A-law (format tags
+  7/6) through the ITU closed-form tables.
+* ``operators.avi`` — MJPEG AVI container walk; ``sample_frames`` does
+  REAL frame sampling for animated GIF and MJPEG AVI; ``video_phash``
+  gives container-independent visual signatures over sampled frames.
 
 So image/audio decode is REAL end-to-end for every common web format
-(PNG/GIF/JPEG/WAV).  Only genuinely unknown payload formats fall back to
-a clearly-marked deterministic fake (or raise under ``strict=True``), so
-feature plumbing stays testable for arbitrary bytes.
+(PNG/GIF/JPEG/WebP-lossless/WAV).  Only genuinely unknown payload
+formats fall back to a clearly-marked deterministic fake (or raise
+under ``strict=True``), so feature plumbing stays testable for
+arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -70,6 +78,9 @@ __all__ = [
     "mp4_metadata",
     "encode_mp4_skeleton",
     "perceptual_hash",
+    "video_phash",
+    "video_phash_pairs",
+    "encode_wav_g711",
     "phash_pairs",
 ]
 
