@@ -10,9 +10,11 @@ Scope (documented, loud — same policy as "baseline JPEG" / "PNG 8/16"):
 
 - :func:`decode_webp` — VP8L (lossless) streams: both prefix-code forms
   (simple and code-length-coded), LZ77 backward references, the color
-  cache, and the subtract-green transform.  The predictor / color /
-  color-indexing transforms and lossy VP8 raise ``NotImplementedError``
-  (never a fake), as does pixel bundling.
+  cache, the subtract-green transform, and the spatial PREDICTOR
+  transform (all 14 modes, tile-wise mode image decoded as an entropy
+  sub-image).  The color and color-indexing transforms and lossy VP8
+  raise ``NotImplementedError`` (never a fake), as does pixel
+  bundling.
 - :func:`encode_webp_vp8l` — a valid, spec-conformant VP8L writer used
   for fixtures and round-trip pins: literal pixels through real
   canonical prefix codes (code-length-coded transmission with 16/17/18
@@ -252,24 +254,48 @@ def decode_webp(data: bytes) -> np.ndarray:
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
 
-    subtract_green = False
+    transforms: list[tuple[str, object]] = []  # in bitstream read order
     while br.read(1):  # transforms
         ttype = br.read(2)
         if ttype == 2:  # subtract-green
-            subtract_green = True
-        elif ttype == 0:
-            raise NotImplementedError("VP8L predictor transform unsupported")
+            transforms.append(("subtract_green", None))
+        elif ttype == 0:  # predictor
+            tile_bits = br.read(3) + 2
+            tw = (width + (1 << tile_bits) - 1) >> tile_bits
+            th = (height + (1 << tile_bits) - 1) >> tile_bits
+            modes = _decode_entropy_image(br, tw, th, allow_meta=False)[:, 1].copy()
+            transforms.append(("predictor", (tile_bits, tw, modes)))
         elif ttype == 1:
             raise NotImplementedError("VP8L color transform unsupported")
         else:
             raise NotImplementedError("VP8L color-indexing transform unsupported")
 
+    pix = _decode_entropy_image(br, width, height, allow_meta=True)
+
+    # inverse transforms apply in REVERSE bitstream order (spec §3)
+    for name, tdata in reversed(transforms):
+        if name == "subtract_green":
+            g = pix[:, 1].astype(np.int32)
+            pix[:, 0] = ((pix[:, 0].astype(np.int32) + g) & 0xFF).astype(np.uint8)
+            pix[:, 2] = ((pix[:, 2].astype(np.int32) + g) & 0xFF).astype(np.uint8)
+        else:
+            tile_bits, tw, modes = tdata
+            pix = _inverse_predictor(pix, width, height, tile_bits, tw, modes)
+    return pix.reshape(height, width, 4)
+
+
+def _decode_entropy_image(
+    br: _BitReader, width: int, height: int, allow_meta: bool
+) -> np.ndarray:
+    """One VP8L entropy-coded image → (n, 4) uint8 RGBA in scan order.
+    Used for the main image and for transform sub-images (which carry
+    their own color-cache flag but never meta prefix codes)."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("bad color cache size")
-    if br.read(1):
+    if allow_meta and br.read(1):
         raise NotImplementedError("VP8L meta prefix codes unsupported")
 
     cache_size = (1 << cache_bits) if cache_bits else 0
@@ -323,13 +349,90 @@ def decode_webp(data: bytes) -> np.ndarray:
                 (argb >> 24) & 0xFF,
             )
             i += 1
+    return pix
 
-    if subtract_green:
-        # inverse: red/blue had green subtracted at encode time
-        g = pix[:, 1].astype(np.int32)
-        pix[:, 0] = ((pix[:, 0].astype(np.int32) + g) & 0xFF).astype(np.uint8)
-        pix[:, 2] = ((pix[:, 2].astype(np.int32) + g) & 0xFF).astype(np.uint8)
-    return pix.reshape(height, width, 4)
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a + b) // 2
+
+
+def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
+    """Spatial prediction, one pixel, RGBA int32 vectors (spec §4.2.2).
+
+    Mode 11 (Select) follows the libwebp tie rule (prefer TOP on equal
+    Manhattan distance); mode 13 uses C-style truncating division for
+    the half-step.  Shared verbatim by the encoder's residual pass and
+    the decoder's inverse, and the edge rules are pinned independently
+    by a hand-assembled stream test."""
+    if mode == 0:
+        return np.array([0, 0, 0, 255], dtype=np.int64)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:
+        p = L + T - TL
+        return T if np.abs(p - T).sum() <= np.abs(p - L).sum() else L
+    if mode == 12:
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:
+        ave = _avg2(L, T)
+        d = ave - TL
+        half = np.where(d >= 0, d // 2, -((-d) // 2))  # trunc toward zero
+        return np.clip(ave + half, 0, 255)
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _predictor_for(p: np.ndarray, w: int, x: int, y: int, mode: int) -> np.ndarray:
+    """Prediction input for pixel (x, y) with the spec edge rules: the
+    very first pixel predicts opaque black, the first row predicts from
+    L, the first column from T; top-right on the last column wraps to
+    the first pixel of the row above (documented assumption — the
+    encoder shares this exact rule, and the hand-built stream pins the
+    first-pixel/row/column cases from the spec text)."""
+    i = y * w + x
+    if x == 0 and y == 0:
+        return np.array([0, 0, 0, 255], dtype=np.int64)
+    if y == 0:
+        return p[i - 1]
+    if x == 0:
+        return p[i - w]
+    L = p[i - 1]
+    T = p[i - w]
+    TL = p[i - w - 1]
+    TR = p[i - w + 1] if x + 1 < w else p[(y - 1) * w]
+    return _predict(mode, L, T, TL, TR)
+
+
+def _inverse_predictor(
+    pix: np.ndarray, w: int, h: int, tile_bits: int, tw: int, modes: np.ndarray
+) -> np.ndarray:
+    """Reconstruct actual pixels from predictor residuals in scan order
+    (each prediction reads already-reconstructed neighbors)."""
+    p = pix.astype(np.int64)
+    for y in range(h):
+        for x in range(w):
+            mode = int(modes[(y >> tile_bits) * tw + (x >> tile_bits)])
+            pred = _predictor_for(p, w, x, y, mode)
+            i = y * w + x
+            p[i] = (p[i] + pred) & 0xFF
+    return p.astype(np.uint8)
 
 
 def _code_lengths_for(freq: np.ndarray, max_len: int = 15) -> list[int]:
@@ -456,10 +559,21 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> dict[int, tuple[in
     return _canonical_codes(lengths)
 
 
-def encode_webp_vp8l(arr: np.ndarray, subtract_green: bool = False) -> bytes:
+def encode_webp_vp8l(
+    arr: np.ndarray,
+    subtract_green: bool = False,
+    predictor_mode: int | None = None,
+) -> bytes:
     """Spec-conformant VP8L fixture writer from (h, w[, c]) uint8 (c in
     1/3/4; gray expands to RGB, missing alpha = 255).  Literal pixels
-    through real canonical prefix codes; no LZ77, no color cache."""
+    through real canonical prefix codes; no LZ77, no color cache.
+
+    ``predictor_mode`` emits a predictor transform whose mode image is
+    uniform (one mode for every tile, 0-13) — residuals are computed
+    with the same shared :func:`_predict` the decoder inverts, so every
+    mode's inverse sits on a round-trip test.  With both options, the
+    stream lists subtract-green then predictor, so the decoder's
+    reverse-order inverse application reconstructs exactly."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -485,6 +599,33 @@ def encode_webp_vp8l(arr: np.ndarray, subtract_green: bool = False) -> bytes:
     if subtract_green:
         bw.write(1, 1)  # a transform follows
         bw.write(2, 2)  # subtract-green
+    if predictor_mode is not None:
+        if not 0 <= predictor_mode <= 13:
+            raise ValueError("predictor mode out of range")
+        tile_bits = 4
+        bw.write(1, 1)  # a transform follows
+        bw.write(0, 2)  # predictor
+        bw.write(tile_bits - 2, 3)
+        # uniform mode image: entropy image with five degenerate codes
+        bw.write(0, 1)  # no color cache
+        for sym in (predictor_mode, 0, 0, 255, 0):  # G,R,B,A,dist
+            bw.write(1, 1)  # simple
+            bw.write(0, 1)  # one symbol
+            if sym > 1:
+                bw.write(1, 1)
+                bw.write(sym, 8)
+            else:
+                bw.write(0, 1)
+                bw.write(sym, 1)
+        # residual pass: predictions read ACTUAL pixels (reconstruction
+        # is exact, so decoder-side neighbors equal these)
+        actual = rgba.astype(np.int64)
+        res = actual.copy()
+        for y in range(h):
+            for x in range(w):
+                pred = _predictor_for(actual, w, x, y, predictor_mode)
+                res[y * w + x] = (actual[y * w + x] - pred) & 0xFF
+        rgba = res.astype(np.int32)
     bw.write(0, 1)  # no (more) transforms
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix codes

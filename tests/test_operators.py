@@ -2519,3 +2519,72 @@ def test_attach_media_metadata_webp(spark):
         20 * 33 * 4
     )
     assert stat["mean_pixel"] == want
+
+
+def test_webp_predictor_handmade_stream_and_round_trips():
+    """Predictor transform: (a) a hand-assembled 2x2 stream (uniform
+    mode 2 = TOP, residuals single-valued so every prefix code is
+    degenerate) pins the transform header, tile math, mode image and
+    the first-pixel/first-row/first-column edge rules from spec-derived
+    bits; (b) every one of the 14 modes round-trips bit-exact through
+    the encoder's shared-predictor residual pass, across tile
+    boundaries and composed with subtract-green."""
+    import numpy as np
+
+    from graby_spark.operators.webp import decode_webp, encode_webp_vp8l
+
+    bits = []
+
+    def put(v, n):
+        for i in range(n):
+            bits.append((v >> i) & 1)
+
+    def simple1(sym):  # one-symbol prefix code
+        put(1, 1), put(0, 1)
+        if sym > 1:
+            put(1, 1), put(sym, 8)
+        else:
+            put(0, 1), put(sym, 1)
+
+    put(1, 14), put(1, 14), put(0, 1), put(0, 3)  # 2x2, v0
+    put(1, 1), put(0, 2)  # transform: predictor
+    put(0, 3)  # tile_bits 2 -> one tile
+    put(0, 1)  # mode image: no color cache
+    for sym in (2, 0, 0, 255, 0):  # G=mode 2 (TOP), R, B, A, dist
+        simple1(sym)
+    put(0, 1)  # no more transforms
+    put(0, 1), put(0, 1)  # main: no cache, no meta
+    for sym in (7, 3, 9, 0, 0):  # G,R,B,A,dist — residuals all (3,7,9,0)
+        simple1(sym)
+    # zero payload bits: every code is degenerate
+    data = bytearray()
+    for i, b in enumerate(bits):
+        if i % 8 == 0:
+            data.append(0)
+        if b:
+            data[-1] |= 1 << (i % 8)
+    payload = b"\x2f" + bytes(data)
+    riff = (
+        b"WEBPVP8L"
+        + len(payload).to_bytes(4, "little")
+        + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+    out = decode_webp(b"RIFF" + len(riff).to_bytes(4, "little") + riff)
+    assert out.tolist() == [
+        [[3, 7, 9, 255], [6, 14, 18, 255]],
+        [[6, 14, 18, 255], [9, 21, 27, 255]],
+    ]
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (9, 21, 4)).astype(np.uint8)
+    wide = rng.randint(0, 256, (20, 40, 3)).astype(np.uint8)
+    for mode in range(14):
+        got = decode_webp(
+            encode_webp_vp8l(img, subtract_green=(mode % 2 == 1), predictor_mode=mode)
+        )
+        assert np.array_equal(got, img), mode
+    for mode in (1, 5, 11, 12, 13):  # tiles: 40 px wide = 3 tiles of 16
+        got = decode_webp(encode_webp_vp8l(wide, predictor_mode=mode))
+        exp = np.concatenate([wide, np.full((20, 40, 1), 255, np.uint8)], axis=2)
+        assert np.array_equal(got, exp), mode
