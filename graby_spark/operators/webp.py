@@ -10,15 +10,16 @@ Scope (documented, loud — same policy as "baseline JPEG" / "PNG 8/16"):
 
 - :func:`decode_webp` — VP8L (lossless) streams: both prefix-code forms
   (simple and code-length-coded), LZ77 backward references, the color
-  cache, the subtract-green transform, and the spatial PREDICTOR
-  transform (all 14 modes, tile-wise mode image decoded as an entropy
-  sub-image).  The color and color-indexing transforms and lossy VP8
-  raise ``NotImplementedError`` (never a fake), as does pixel
-  bundling.
+  cache, and ALL FOUR transforms — subtract-green, spatial predictor
+  (14 modes, tile-wise mode image), color transform (signed 3.5
+  fixed-point cross-channel deltas) and color-indexing (delta-coded
+  palette).  Lossy VP8, the VP8X extended container and pixel bundling
+  (palettes <= 16 colors) raise ``NotImplementedError`` (never a fake).
 - :func:`encode_webp_vp8l` — a valid, spec-conformant VP8L writer used
   for fixtures and round-trip pins: literal pixels through real
-  canonical prefix codes (code-length-coded transmission with 16/17/18
-  run codes), optional subtract-green transform, no LZ77 emission.
+  canonical prefix codes (code-length-coded transmission with 17/18
+  run codes), with optional subtract-green / uniform-mode predictor /
+  uniform-element color transform / palette emission; no LZ77.
 
 Bit conventions per the VP8L specification: the bitstream is packed
 LSB-first within bytes; canonical prefix codes follow the DEFLATE
@@ -265,10 +266,21 @@ def decode_webp(data: bytes) -> np.ndarray:
             th = (height + (1 << tile_bits) - 1) >> tile_bits
             modes = _decode_entropy_image(br, tw, th, allow_meta=False)[:, 1].copy()
             transforms.append(("predictor", (tile_bits, tw, modes)))
-        elif ttype == 1:
-            raise NotImplementedError("VP8L color transform unsupported")
-        else:
-            raise NotImplementedError("VP8L color-indexing transform unsupported")
+        elif ttype == 1:  # color transform
+            tile_bits = br.read(3) + 2
+            tw = (width + (1 << tile_bits) - 1) >> tile_bits
+            th = (height + (1 << tile_bits) - 1) >> tile_bits
+            elements = _decode_entropy_image(br, tw, th, allow_meta=False)
+            transforms.append(("color", (tile_bits, tw, elements)))
+        else:  # color-indexing (palette)
+            n_colors = br.read(8) + 1
+            if n_colors <= 16:
+                raise NotImplementedError(
+                    "VP8L pixel bundling (palette <= 16 colors) unsupported"
+                )
+            deltas = _decode_entropy_image(br, n_colors, 1, allow_meta=False)
+            palette = np.cumsum(deltas.astype(np.int64), axis=0) & 0xFF
+            transforms.append(("palette", palette.astype(np.uint8)))
 
     pix = _decode_entropy_image(br, width, height, allow_meta=True)
 
@@ -278,10 +290,45 @@ def decode_webp(data: bytes) -> np.ndarray:
             g = pix[:, 1].astype(np.int32)
             pix[:, 0] = ((pix[:, 0].astype(np.int32) + g) & 0xFF).astype(np.uint8)
             pix[:, 2] = ((pix[:, 2].astype(np.int32) + g) & 0xFF).astype(np.uint8)
-        else:
+        elif name == "predictor":
             tile_bits, tw, modes = tdata
             pix = _inverse_predictor(pix, width, height, tile_bits, tw, modes)
+        elif name == "color":
+            tile_bits, tw, elements = tdata
+            pix = _inverse_color_transform(
+                pix, width, height, tile_bits, tw, elements
+            )
+        else:  # palette
+            pix = tdata[pix[:, 1].astype(np.int64)]
     return pix.reshape(height, width, 4)
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta (spec §4.2.3): both operands as SIGNED 8-bit,
+    product arithmetic-shifted right by 5."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _inverse_color_transform(
+    pix: np.ndarray, w: int, h: int, tile_bits: int, tw: int, elements: np.ndarray
+) -> np.ndarray:
+    """Per-tile cross-channel decorrelation inverse: red gains the
+    green_to_red delta, then blue gains green_to_blue plus red_to_blue
+    computed from the RECONSTRUCTED red (spec order)."""
+    p = pix.astype(np.int64)
+    for y in range(h):
+        trow = (y >> tile_bits) * tw
+        for x in range(w):
+            el = elements[trow + (x >> tile_bits)]
+            g2r, g2b, r2b = int(el[0]), int(el[1]), int(el[2])
+            i = y * w + x
+            r, g, b, a = (int(v) for v in p[i])
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+            p[i] = (r, g, b, a)
+    return p.astype(np.uint8)
 
 
 def _decode_entropy_image(
@@ -559,10 +606,48 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> dict[int, tuple[in
     return _canonical_codes(lengths)
 
 
+def _write_entropy_image(bw: _BitWriter, rgba: np.ndarray, allow_meta: bool) -> None:
+    """One entropy-coded image: cache/meta flags off, five prefix codes
+    from the plane histograms, literal pixels.  ``rgba`` is (n, 4)
+    R,G,B,A ints in scan order."""
+    bw.write(0, 1)  # no color cache
+    if allow_meta:
+        bw.write(0, 1)  # no meta prefix codes
+    planes = {
+        "green": np.bincount(rgba[:, 1], minlength=_GREEN_LITERALS + _LENGTH_CODES),
+        "red": np.bincount(rgba[:, 0], minlength=256),
+        "blue": np.bincount(rgba[:, 2], minlength=256),
+        "alpha": np.bincount(rgba[:, 3], minlength=256),
+    }
+    codes: dict[str, dict[int, tuple[int, int]]] = {}
+    for name in ("green", "red", "blue", "alpha"):
+        codes[name] = _write_prefix_code(
+            bw, _code_lengths_for(planes[name], max_len=15)
+        )
+    # distance code: never used (no LZ77) — transmit a 1-symbol simple code
+    bw.write(1, 1)
+    bw.write(0, 1)  # one symbol
+    bw.write(0, 1)  # 1-bit symbol
+    bw.write(0, 1)  # symbol 0
+
+    def put(code_map, sym):
+        code, ln = code_map[sym]
+        for b in range(ln - 1, -1, -1):
+            bw.write((code >> b) & 1, 1)
+
+    for r, g, b, al in rgba:
+        put(codes["green"], int(g))
+        put(codes["red"], int(r))
+        put(codes["blue"], int(b))
+        put(codes["alpha"], int(al))
+
+
 def encode_webp_vp8l(
     arr: np.ndarray,
     subtract_green: bool = False,
     predictor_mode: int | None = None,
+    color_elements: tuple[int, int, int] | None = None,
+    palette: bool = False,
 ) -> bytes:
     """Spec-conformant VP8L fixture writer from (h, w[, c]) uint8 (c in
     1/3/4; gray expands to RGB, missing alpha = 255).  Literal pixels
@@ -596,9 +681,65 @@ def encode_webp_vp8l(
     bw.write(h - 1, 14)
     bw.write(1 if np.any(a[:, :, 3] != 255) else 0, 1)  # alpha hint
     bw.write(0, 3)  # version
+    if palette:
+        if subtract_green or predictor_mode is not None or color_elements is not None:
+            raise ValueError("palette fixtures do not compose with other transforms")
+        colors, inverse = np.unique(rgba, axis=0, return_inverse=True)
+        if not 16 < len(colors) <= 256:
+            raise ValueError(
+                "palette fixture needs 17-256 distinct colors "
+                "(<=16 means pixel bundling, unimplemented)"
+            )
+        bw.write(1, 1)  # a transform follows
+        bw.write(3, 2)  # color-indexing
+        bw.write(len(colors) - 1, 8)
+        stored = np.vstack(
+            [colors[:1], (colors[1:].astype(np.int64) - colors[:-1]) & 0xFF]
+        ).astype(np.int64)
+        _write_entropy_image(bw, stored, allow_meta=False)
+        rgba = np.column_stack(
+            [
+                np.zeros(len(inverse), dtype=np.int64),
+                inverse.astype(np.int64),
+                np.zeros(len(inverse), dtype=np.int64),
+                np.full(len(inverse), 255, dtype=np.int64),
+            ]
+        )
     if subtract_green:
         bw.write(1, 1)  # a transform follows
         bw.write(2, 2)  # subtract-green
+    if color_elements is not None:
+        g2r, g2b, r2b = (int(v) & 0xFF for v in color_elements)
+        tile_bits = 4
+        bw.write(1, 1)  # a transform follows
+        bw.write(1, 2)  # color transform
+        bw.write(tile_bits - 2, 3)
+        # uniform element sub-image: G carries green_to_blue, R
+        # green_to_red, B red_to_blue (the spec's ARGB packing)
+        bw.write(0, 1)  # no color cache
+        for sym in (g2b, g2r, r2b, 255, 0):  # G,R,B,A,dist code order
+            bw.write(1, 1)
+            bw.write(0, 1)
+            if sym > 1:
+                bw.write(1, 1)
+                bw.write(sym, 8)
+            else:
+                bw.write(0, 1)
+                bw.write(sym, 1)
+        # forward transform: subtract deltas (decoder adds them back,
+        # r2b against the reconstructed == original red)
+        g_signed = np.where(rgba[:, 1] >= 128, rgba[:, 1] - 256, rgba[:, 1])
+        r_orig = rgba[:, 0].copy()
+        r_signed = np.where(r_orig >= 128, r_orig - 256, r_orig)
+
+        def scalar_delta(t: int, cs: np.ndarray) -> np.ndarray:
+            ts = t - 256 if t >= 128 else t
+            return (ts * cs) >> 5
+
+        rgba[:, 0] = (rgba[:, 0] - scalar_delta(g2r, g_signed)) & 0xFF
+        rgba[:, 2] = (
+            rgba[:, 2] - scalar_delta(g2b, g_signed) - scalar_delta(r2b, r_signed)
+        ) & 0xFF
     if predictor_mode is not None:
         if not 0 <= predictor_mode <= 13:
             raise ValueError("predictor mode out of range")
@@ -627,36 +768,7 @@ def encode_webp_vp8l(
                 res[y * w + x] = (actual[y * w + x] - pred) & 0xFF
         rgba = res.astype(np.int32)
     bw.write(0, 1)  # no (more) transforms
-    bw.write(0, 1)  # no color cache
-    bw.write(0, 1)  # no meta prefix codes
-
-    planes = {
-        "green": np.bincount(rgba[:, 1], minlength=_GREEN_LITERALS + _LENGTH_CODES),
-        "red": np.bincount(rgba[:, 0], minlength=256),
-        "blue": np.bincount(rgba[:, 2], minlength=256),
-        "alpha": np.bincount(rgba[:, 3], minlength=256),
-    }
-    codes: dict[str, dict[int, tuple[int, int]]] = {}
-    for name in ("green", "red", "blue", "alpha"):
-        codes[name] = _write_prefix_code(
-            bw, _code_lengths_for(planes[name], max_len=15)
-        )
-    # distance code: never used (no LZ77) — transmit a 1-symbol simple code
-    bw.write(1, 1)
-    bw.write(0, 1)  # one symbol
-    bw.write(0, 1)  # 1-bit symbol
-    bw.write(0, 1)  # symbol 0
-
-    def put(code_map, sym):
-        code, ln = code_map[sym]
-        for b in range(ln - 1, -1, -1):
-            bw.write((code >> b) & 1, 1)
-
-    for r, g, b, al in rgba:
-        put(codes["green"], int(g))
-        put(codes["red"], int(r))
-        put(codes["blue"], int(b))
-        put(codes["alpha"], int(al))
+    _write_entropy_image(bw, rgba, allow_meta=True)
 
     payload = b"\x2f" + bw.bytes()
     if len(payload) % 2:

@@ -2588,3 +2588,31 @@ def test_webp_predictor_handmade_stream_and_round_trips():
         got = decode_webp(encode_webp_vp8l(wide, predictor_mode=mode))
         exp = np.concatenate([wide, np.full((20, 40, 1), 255, np.uint8)], axis=2)
         assert np.array_equal(got, exp), mode
+
+
+def test_webp_color_transform_and_palette_round_trips():
+    """The remaining VP8L transforms: color transform (signed 3.5
+    fixed-point deltas, r2b against reconstructed red, composed with
+    subtract-green and predictor in spec inverse order) and
+    color-indexing (delta-coded palette) — all bit-exact round trips;
+    <=16-color palettes (pixel bundling) stay loudly unimplemented."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graby_spark.operators.webp import decode_webp, encode_webp_vp8l
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (11, 17, 4)).astype(np.uint8)
+    for els in [(0, 0, 0), (127, 128, 255), (200, 77, 13)]:
+        for pm in (None, 7, 12):
+            out = decode_webp(
+                encode_webp_vp8l(
+                    img, subtract_green=True, predictor_mode=pm, color_elements=els
+                )
+            )
+            assert np.array_equal(out, img), (els, pm)
+    base = rng.randint(0, 256, (30, 4)).astype(np.uint8)
+    pimg = base[rng.randint(0, 30, (13, 19))]
+    assert np.array_equal(decode_webp(encode_webp_vp8l(pimg, palette=True)), pimg)
+    with _pytest.raises(ValueError):
+        encode_webp_vp8l(np.zeros((4, 4, 3), dtype=np.uint8), palette=True)
