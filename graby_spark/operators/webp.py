@@ -13,8 +13,9 @@ Scope (documented, loud — same policy as "baseline JPEG" / "PNG 8/16"):
   cache, and ALL FOUR transforms — subtract-green, spatial predictor
   (14 modes, tile-wise mode image), color transform (signed 3.5
   fixed-point cross-channel deltas) and color-indexing (delta-coded
-  palette).  Lossy VP8, the VP8X extended container and pixel bundling
-  (palettes <= 16 colors) raise ``NotImplementedError`` (never a fake).
+  palette, INCLUDING pixel bundling for palettes <= 16 colors).
+  Lossy VP8, the VP8X extended container and meta prefix codes raise
+  ``NotImplementedError`` (never a fake).
 - :func:`encode_webp_vp8l` — a valid, spec-conformant VP8L writer used
   for fixtures and round-trip pins: literal pixels through real
   canonical prefix codes (code-length-coded transmission with 17/18
@@ -255,34 +256,40 @@ def decode_webp(data: bytes) -> np.ndarray:
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
 
+    # each transform records the image width CURRENT when it was read:
+    # color-indexing with pixel bundling shrinks the width for everything
+    # downstream (incl. the main image), and the reverse-order inverse
+    # application restores it (spec §4.2.4)
     transforms: list[tuple[str, object]] = []  # in bitstream read order
+    cur_width = width
     while br.read(1):  # transforms
         ttype = br.read(2)
         if ttype == 2:  # subtract-green
             transforms.append(("subtract_green", None))
         elif ttype == 0:  # predictor
             tile_bits = br.read(3) + 2
-            tw = (width + (1 << tile_bits) - 1) >> tile_bits
+            tw = (cur_width + (1 << tile_bits) - 1) >> tile_bits
             th = (height + (1 << tile_bits) - 1) >> tile_bits
             modes = _decode_entropy_image(br, tw, th, allow_meta=False)[:, 1].copy()
-            transforms.append(("predictor", (tile_bits, tw, modes)))
+            transforms.append(("predictor", (tile_bits, tw, modes, cur_width)))
         elif ttype == 1:  # color transform
             tile_bits = br.read(3) + 2
-            tw = (width + (1 << tile_bits) - 1) >> tile_bits
+            tw = (cur_width + (1 << tile_bits) - 1) >> tile_bits
             th = (height + (1 << tile_bits) - 1) >> tile_bits
             elements = _decode_entropy_image(br, tw, th, allow_meta=False)
-            transforms.append(("color", (tile_bits, tw, elements)))
+            transforms.append(("color", (tile_bits, tw, elements, cur_width)))
         else:  # color-indexing (palette)
             n_colors = br.read(8) + 1
-            if n_colors <= 16:
-                raise NotImplementedError(
-                    "VP8L pixel bundling (palette <= 16 colors) unsupported"
-                )
             deltas = _decode_entropy_image(br, n_colors, 1, allow_meta=False)
-            palette = np.cumsum(deltas.astype(np.int64), axis=0) & 0xFF
-            transforms.append(("palette", palette.astype(np.uint8)))
+            palette = (np.cumsum(deltas.astype(np.int64), axis=0) & 0xFF).astype(
+                np.uint8
+            )
+            wb = 3 if n_colors <= 2 else 2 if n_colors <= 4 else 1 if n_colors <= 16 else 0
+            transforms.append(("palette", (palette, wb, cur_width)))
+            if wb:
+                cur_width = (cur_width + (1 << wb) - 1) >> wb
 
-    pix = _decode_entropy_image(br, width, height, allow_meta=True)
+    pix = _decode_entropy_image(br, cur_width, height, allow_meta=True)
 
     # inverse transforms apply in REVERSE bitstream order (spec §3)
     for name, tdata in reversed(transforms):
@@ -291,15 +298,29 @@ def decode_webp(data: bytes) -> np.ndarray:
             pix[:, 0] = ((pix[:, 0].astype(np.int32) + g) & 0xFF).astype(np.uint8)
             pix[:, 2] = ((pix[:, 2].astype(np.int32) + g) & 0xFF).astype(np.uint8)
         elif name == "predictor":
-            tile_bits, tw, modes = tdata
-            pix = _inverse_predictor(pix, width, height, tile_bits, tw, modes)
+            tile_bits, tw, modes, t_w = tdata
+            pix = _inverse_predictor(pix, t_w, height, tile_bits, tw, modes)
         elif name == "color":
-            tile_bits, tw, elements = tdata
+            tile_bits, tw, elements, t_w = tdata
             pix = _inverse_color_transform(
-                pix, width, height, tile_bits, tw, elements
+                pix, t_w, height, tile_bits, tw, elements
             )
-        else:  # palette
-            pix = tdata[pix[:, 1].astype(np.int64)]
+        else:  # palette (+ pixel-bundle expansion)
+            palette, wb, full_w = tdata
+            if wb:
+                packed_w = (full_w + (1 << wb) - 1) >> wb
+                bits_px = 8 >> wb
+                g = pix[:, 1].astype(np.int64).reshape(height, packed_w)
+                xs = np.arange(full_w)
+                idx = (g[:, xs >> wb] >> ((xs & ((1 << wb) - 1)) * bits_px)) & (
+                    (1 << bits_px) - 1
+                )
+                idx = idx.reshape(-1)
+            else:
+                idx = pix[:, 1].astype(np.int64)
+            # out-of-range indices on malformed streams clamp rather than
+            # crash the task (libwebp treats them as invalid-but-safe)
+            pix = palette[np.clip(idx, 0, len(palette) - 1)]
     return pix.reshape(height, width, 4)
 
 
@@ -685,11 +706,8 @@ def encode_webp_vp8l(
         if subtract_green or predictor_mode is not None or color_elements is not None:
             raise ValueError("palette fixtures do not compose with other transforms")
         colors, inverse = np.unique(rgba, axis=0, return_inverse=True)
-        if not 16 < len(colors) <= 256:
-            raise ValueError(
-                "palette fixture needs 17-256 distinct colors "
-                "(<=16 means pixel bundling, unimplemented)"
-            )
+        if len(colors) > 256:
+            raise ValueError("palette fixture needs <= 256 distinct colors")
         bw.write(1, 1)  # a transform follows
         bw.write(3, 2)  # color-indexing
         bw.write(len(colors) - 1, 8)
@@ -697,12 +715,25 @@ def encode_webp_vp8l(
             [colors[:1], (colors[1:].astype(np.int64) - colors[:-1]) & 0xFF]
         ).astype(np.int64)
         _write_entropy_image(bw, stored, allow_meta=False)
+        n_colors = len(colors)
+        wb = 3 if n_colors <= 2 else 2 if n_colors <= 4 else 1 if n_colors <= 16 else 0
+        idx = inverse.astype(np.int64).reshape(h, w)
+        if wb:  # pixel bundling: pack (1 << wb) indices per green byte
+            bits_px = 8 >> wb
+            packed_w = (w + (1 << wb) - 1) >> wb
+            packed = np.zeros((h, packed_w), dtype=np.int64)
+            for off in range(1 << wb):
+                cols = idx[:, off :: (1 << wb)]
+                packed[:, : cols.shape[1]] |= cols << (off * bits_px)
+            idx = packed
+            w = packed_w  # the main image is the packed one
+        flat = idx.reshape(-1)
         rgba = np.column_stack(
             [
-                np.zeros(len(inverse), dtype=np.int64),
-                inverse.astype(np.int64),
-                np.zeros(len(inverse), dtype=np.int64),
-                np.full(len(inverse), 255, dtype=np.int64),
+                np.zeros(len(flat), dtype=np.int64),
+                flat,
+                np.zeros(len(flat), dtype=np.int64),
+                np.full(len(flat), 255, dtype=np.int64),
             ]
         )
     if subtract_green:

@@ -2616,3 +2616,21 @@ def test_webp_color_transform_and_palette_round_trips():
     assert np.array_equal(decode_webp(encode_webp_vp8l(pimg, palette=True)), pimg)
     with _pytest.raises(ValueError):
         encode_webp_vp8l(np.zeros((4, 4, 3), dtype=np.uint8), palette=True)
+
+
+def test_webp_palette_pixel_bundling():
+    """Palettes of every bundling class (8/4/2 indices per byte and
+    unbundled) round-trip bit-exact, including widths that leave a
+    partial final byte."""
+    import numpy as np
+
+    from graby_spark.operators.webp import decode_webp, encode_webp_vp8l
+
+    rng = np.random.RandomState(9)
+    for ncol in (1, 2, 3, 4, 5, 13, 16, 17, 256):
+        base = np.unique(rng.randint(0, 256, (ncol, 4)).astype(np.uint8), axis=0)
+        for w, h in [(19, 7), (1, 5), (33, 3)]:
+            img = base[rng.randint(0, len(base), (h, w))]
+            assert np.array_equal(
+                decode_webp(encode_webp_vp8l(img, palette=True)), img
+            ), (ncol, w, h)
