@@ -2615,7 +2615,9 @@ def test_webp_color_transform_and_palette_round_trips():
     pimg = base[rng.randint(0, 30, (13, 19))]
     assert np.array_equal(decode_webp(encode_webp_vp8l(pimg, palette=True)), pimg)
     with _pytest.raises(ValueError):
-        encode_webp_vp8l(np.zeros((4, 4, 3), dtype=np.uint8), palette=True)
+        encode_webp_vp8l(
+            rng.randint(0, 256, (32, 32, 4)).astype(np.uint8), palette=True
+        )  # > 256 distinct colors
 
 
 def test_webp_palette_pixel_bundling():
