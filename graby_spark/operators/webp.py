@@ -13,9 +13,11 @@ Scope (documented, loud — same policy as "baseline JPEG" / "PNG 8/16"):
   cache, and ALL FOUR transforms — subtract-green, spatial predictor
   (14 modes, tile-wise mode image), color transform (signed 3.5
   fixed-point cross-channel deltas) and color-indexing (delta-coded
-  palette, INCLUDING pixel bundling for palettes <= 16 colors).
-  Lossy VP8, the VP8X extended container and meta prefix codes raise
-  ``NotImplementedError`` (never a fake).
+  palette, INCLUDING pixel bundling for palettes <= 16 colors),
+  meta prefix codes (multiple Huffman groups via the tile-wise meta
+  image), and still-lossless frames inside the VP8X extended container.
+  Only lossy VP8 and animated WebP raise ``NotImplementedError``
+  (never a fake) — the complete VP8L lossless format decodes.
 - :func:`encode_webp_vp8l` — a valid, spec-conformant VP8L writer used
   for fixtures and round-trip pins: literal pixels through real
   canonical prefix codes (code-length-coded transmission with 17/18
@@ -242,11 +244,29 @@ def decode_webp(data: bytes) -> np.ndarray:
     if fourcc == b"VP8 ":
         raise NotImplementedError("lossy VP8 decode unsupported (VP8L only)")
     if fourcc == b"VP8X":
-        raise NotImplementedError("extended WebP container unsupported (VP8L only)")
-    if fourcc != b"VP8L":
+        # extended container: walk sibling chunks to the VP8L frame
+        # (still lossless images; ICCP/EXIF/XMP/ALPH are skipped)
+        pos = 12
+        payload = None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            csize = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body = data[pos + 8 : pos + 8 + csize]
+            pos += 8 + csize + (csize & 1)  # chunks are even-padded
+            if cid == b"VP8L":
+                payload = body
+                break
+            if cid == b"ANIM" or cid == b"ANMF":
+                raise NotImplementedError("animated WebP unsupported")
+            if cid == b"VP8 ":
+                raise NotImplementedError("lossy VP8 decode unsupported (VP8L only)")
+        if payload is None:
+            raise ValueError("VP8X container without a VP8L frame")
+    elif fourcc != b"VP8L":
         raise ValueError(f"unknown WebP chunk {fourcc!r}")
-    size = int.from_bytes(data[16:20], "little")
-    payload = data[20 : 20 + size]
+    else:
+        size = int.from_bytes(data[16:20], "little")
+        payload = data[20 : 20 + size]
     if not payload or payload[0] != 0x2F:
         raise ValueError("bad VP8L signature")
     br = _BitReader(payload[1:])
@@ -356,30 +376,55 @@ def _decode_entropy_image(
     br: _BitReader, width: int, height: int, allow_meta: bool
 ) -> np.ndarray:
     """One VP8L entropy-coded image → (n, 4) uint8 RGBA in scan order.
-    Used for the main image and for transform sub-images (which carry
-    their own color-cache flag but never meta prefix codes)."""
+    Used for the main image (which may carry meta prefix codes — a
+    tile-wise entropy sub-image selecting one of several Huffman groups
+    per pixel) and for transform sub-images (own color-cache flag, no
+    meta)."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("bad color cache size")
+    meta_ids = None
+    meta_bits = 0
+    mtw = 0
     if allow_meta and br.read(1):
-        raise NotImplementedError("VP8L meta prefix codes unsupported")
+        meta_bits = br.read(3) + 2
+        mtw = (width + (1 << meta_bits) - 1) >> meta_bits
+        mth = (height + (1 << meta_bits) - 1) >> meta_bits
+        meta = _decode_entropy_image(br, mtw, mth, allow_meta=False)
+        # group id = (red << 8) | green of the tile pixel (spec §5.3)
+        meta_ids = (meta[:, 0].astype(np.int64) << 8) | meta[:, 1]
+    num_groups = int(meta_ids.max()) + 1 if meta_ids is not None else 1
+    if num_groups > 1024:
+        raise ValueError("implausible VP8L meta group count")
 
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green_code = _read_prefix_code(
-        br, _GREEN_LITERALS + _LENGTH_CODES + cache_size
-    )
-    red_code = _read_prefix_code(br, 256)
-    blue_code = _read_prefix_code(br, 256)
-    alpha_code = _read_prefix_code(br, 256)
-    dist_code = _read_prefix_code(br, _DISTANCE_CODES)
+    groups = []
+    for _ in range(num_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, _GREEN_LITERALS + _LENGTH_CODES + cache_size),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, _DISTANCE_CODES),
+            )
+        )
 
     n = width * height
     pix = np.zeros((n, 4), dtype=np.uint8)  # R,G,B,A
     cache = [0] * cache_size
     i = 0
     while i < n:
+        if meta_ids is None:
+            green_code, red_code, blue_code, alpha_code, dist_code = groups[0]
+        else:
+            y, x = divmod(i, width)
+            gid = int(meta_ids[(y >> meta_bits) * mtw + (x >> meta_bits)])
+            if gid >= num_groups:
+                raise ValueError("VP8L meta group out of range")
+            green_code, red_code, blue_code, alpha_code, dist_code = groups[gid]
         sym = green_code.read(br)
         if sym < _GREEN_LITERALS:
             g = sym
@@ -663,12 +708,66 @@ def _write_entropy_image(bw: _BitWriter, rgba: np.ndarray, allow_meta: bool) -> 
         put(codes["alpha"], int(al))
 
 
+def _write_entropy_image_meta(
+    bw: _BitWriter, rgba: np.ndarray, w: int, h: int, hbits: int
+) -> None:
+    """Main image with meta prefix codes: tiles alternate between two
+    Huffman groups by tile-column parity, each group coded from its own
+    histograms — exercises the decoder's group-selection path."""
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix codes present
+    bw.write(hbits - 2, 3)
+    mtw = (w + (1 << hbits) - 1) >> hbits
+    mth = (h + (1 << hbits) - 1) >> hbits
+    tile_gid = np.arange(mtw, dtype=np.int64) % 2
+    num_groups = int(tile_gid.max()) + 1
+    meta_rows = np.column_stack(
+        [
+            np.zeros(mtw * mth, dtype=np.int64),
+            np.tile(tile_gid, mth),
+            np.zeros(mtw * mth, dtype=np.int64),
+            np.full(mtw * mth, 255, dtype=np.int64),
+        ]
+    )
+    _write_entropy_image(bw, meta_rows, allow_meta=False)
+
+    gids = np.tile((np.arange(w, dtype=np.int64) >> hbits) % 2, h)
+    group_codes = []
+    for gid in range(num_groups):
+        sel = rgba[gids == gid]
+        codes = {}
+        for name, col, minlen in (
+            ("green", 1, _GREEN_LITERALS + _LENGTH_CODES),
+            ("red", 0, 256),
+            ("blue", 2, 256),
+            ("alpha", 3, 256),
+        ):
+            codes[name] = _write_prefix_code(
+                bw, _code_lengths_for(np.bincount(sel[:, col], minlength=minlen))
+            )
+        bw.write(1, 1), bw.write(0, 1), bw.write(0, 1), bw.write(0, 1)  # dist {0}
+        group_codes.append(codes)
+
+    def put(code_map, sym):
+        code, ln = code_map[sym]
+        for b in range(ln - 1, -1, -1):
+            bw.write((code >> b) & 1, 1)
+
+    for i, (r, g, b, al) in enumerate(rgba):
+        codes = group_codes[int(gids[i])]
+        put(codes["green"], int(g))
+        put(codes["red"], int(r))
+        put(codes["blue"], int(b))
+        put(codes["alpha"], int(al))
+
+
 def encode_webp_vp8l(
     arr: np.ndarray,
     subtract_green: bool = False,
     predictor_mode: int | None = None,
     color_elements: tuple[int, int, int] | None = None,
     palette: bool = False,
+    meta_split: bool = False,
 ) -> bytes:
     """Spec-conformant VP8L fixture writer from (h, w[, c]) uint8 (c in
     1/3/4; gray expands to RGB, missing alpha = 255).  Literal pixels
@@ -799,7 +898,12 @@ def encode_webp_vp8l(
                 res[y * w + x] = (actual[y * w + x] - pred) & 0xFF
         rgba = res.astype(np.int32)
     bw.write(0, 1)  # no (more) transforms
-    _write_entropy_image(bw, rgba, allow_meta=True)
+    if meta_split:
+        if subtract_green or predictor_mode is not None or color_elements is not None or palette:
+            raise ValueError("meta_split fixture is standalone")
+        _write_entropy_image_meta(bw, rgba, w, h, hbits=2)
+    else:
+        _write_entropy_image(bw, rgba, allow_meta=True)
 
     payload = b"\x2f" + bw.bytes()
     if len(payload) % 2:

@@ -2636,3 +2636,32 @@ def test_webp_palette_pixel_bundling():
             assert np.array_equal(
                 decode_webp(encode_webp_vp8l(img, palette=True)), img
             ), (ncol, w, h)
+
+
+def test_webp_meta_codes_and_vp8x_container():
+    """Meta prefix codes (two Huffman groups alternating by tile
+    column) round-trip bit-exact, including degenerate single-group
+    small images; a VP8X extended container wrapping a VP8L frame
+    (with an odd-sized ICCP chunk exercising even-padding) decodes,
+    and animated WebP raises loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graby_spark.operators.webp import decode_webp, encode_webp_vp8l
+
+    rng = np.random.RandomState(11)
+    for w, h in [(17, 9), (3, 3), (4, 1), (40, 12)]:
+        img = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+        assert np.array_equal(
+            decode_webp(encode_webp_vp8l(img, meta_split=True)), img
+        ), (w, h)
+    img = rng.randint(0, 256, (6, 10, 4)).astype(np.uint8)
+    vp8l_chunk = encode_webp_vp8l(img)[12:]
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes(10)
+    iccp = b"ICCP" + (3).to_bytes(4, "little") + b"abc\x00"
+    body = b"WEBP" + vp8x + iccp + vp8l_chunk
+    out = decode_webp(b"RIFF" + len(body).to_bytes(4, "little") + body)
+    assert np.array_equal(out, img)
+    anim = b"WEBP" + vp8x + b"ANIM" + (6).to_bytes(4, "little") + bytes(6)
+    with _pytest.raises(NotImplementedError):
+        decode_webp(b"RIFF" + len(anim).to_bytes(4, "little") + anim)
