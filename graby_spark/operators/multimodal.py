@@ -194,6 +194,14 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
     webp_w = be(22, 1) + (be(23, 1) % 64) * 256 + 1
     webp_h = F.floor(be(23, 1) / 64) + be(24, 1) * 4 + (be(25, 1) % 16) * 1024 + 1
+    # VP8X canvas dims: 24-bit LE minus-one fields after the flags word
+    vp8x_ok = (
+        is_webp
+        & (F.length(payload) >= 30)
+        & (F.expr(f"substring({payload_col}, 13, 4)") == F.lit(b"VP8X"))
+    )
+    vp8x_w = be(25, 1) + be(26, 1) * 256 + be(27, 1) * 65536 + 1
+    vp8x_h = be(28, 1) + be(29, 1) * 256 + be(30, 1) * 65536 + 1
     # canonical writer layout (hdrl first, avih first inside it) puts the
     # avih payload at byte 33 (1-indexed) — a pure-JVM header-field read,
     # exactly like the canonical-WAV duration below; non-canonical
@@ -237,6 +245,7 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .when(F.col("mime") == "video/mp4", mp4_dim(1))
         .when(avih_ok, le32(65))
         .when(vp8l_ok, webp_w.cast("int"))
+        .when(vp8x_ok, vp8x_w.cast("int"))
     )
     height = (
         F.when(png_ok & (F.col("mime") == "image/png"), be(21, 4))
@@ -245,6 +254,7 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .when(F.col("mime") == "video/mp4", mp4_dim(2))
         .when(avih_ok, le32(69))
         .when(vp8l_ok, webp_h.cast("int"))
+        .when(vp8x_ok, vp8x_h.cast("int"))
     )
     # WAV duration from the canonical RIFF layout (PCM fmt chunk directly
     # after WAVE, data chunk at offset 37): declared data size / byte rate.
@@ -1785,6 +1795,28 @@ def sample_frames(
                     next_sample = 0
                     kept = 0
                     for fno, (delay, canvas) in enumerate(decode_gif_frames(data)):
+                        if kept >= max_frames:
+                            break
+                        if ts >= next_sample:
+                            out.append(
+                                {
+                                    "media_id": mid,
+                                    "frame_no": fno,
+                                    "ts_ms": ts,
+                                    "frame": encode_png(canvas),
+                                }
+                            )
+                            kept += 1
+                            next_sample = ts + every_ms
+                        ts += delay
+                    continue
+                if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+                    from graby_spark.operators.webp import decode_webp_frames
+
+                    ts = 0
+                    next_sample = 0
+                    kept = 0
+                    for fno, (delay, canvas) in enumerate(decode_webp_frames(data)):
                         if kept >= max_frames:
                             break
                         if ts >= next_sample:

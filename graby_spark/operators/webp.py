@@ -16,8 +16,12 @@ Scope (documented, loud — same policy as "baseline JPEG" / "PNG 8/16"):
   palette, INCLUDING pixel bundling for palettes <= 16 colors),
   meta prefix codes (multiple Huffman groups via the tile-wise meta
   image), and still-lossless frames inside the VP8X extended container.
-  Only lossy VP8 and animated WebP raise ``NotImplementedError``
-  (never a fake) — the complete VP8L lossless format decodes.
+  Only lossy VP8 raises ``NotImplementedError`` (never a fake) —
+  the complete VP8L lossless format decodes.
+- :func:`decode_webp_frames` / :func:`encode_webp_anim` — ANIMATED
+  WebP (ANIM/ANMF): subframe placement at 2x-coded offsets, spec alpha
+  blending, disposal-to-background; mirrored by ``sample_frames``,
+  which samples animated WebP for real alongside GIF and MJPEG AVI.
 - :func:`encode_webp_vp8l` — a valid, spec-conformant VP8L writer used
   for fixtures and round-trip pins: literal pixels through real
   canonical prefix codes (code-length-coded transmission with 17/18
@@ -41,7 +45,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["decode_webp", "encode_webp_vp8l"]
+__all__ = ["decode_webp", "encode_webp_vp8l", "decode_webp_frames", "encode_webp_anim"]
 
 #: code-length-code transmission order (VP8L spec §6.2.2)
 _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
@@ -911,4 +915,152 @@ def encode_webp_vp8l(
     else:
         padded = payload
     riff = b"WEBPVP8L" + len(payload).to_bytes(4, "little") + padded
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def decode_webp_frames(
+    data: bytes, max_frames: int | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Animated WebP (VP8X + ANIM/ANMF with VP8L frame payloads) →
+    [(duration_ms, composed RGBA canvas)], mirroring
+    ``multimodal.decode_gif_frames``'s contract.
+
+    Composition per the spec: each ANMF places its subframe at its
+    (2x-coded) offsets on the running canvas; the blending flag
+    alpha-composites over the previous canvas (simple OVER), clear =
+    overwrite; the disposal flag restores the frame rectangle to the
+    ANIM background color afterwards.  Lossy (VP8) frames raise
+    ``NotImplementedError``.
+    """
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP stream")
+    if data[12:16] != b"VP8X":
+        # a still image is a single zero-duration frame
+        return [(0, decode_webp(data))]
+    pos = 12
+    canvas_w = canvas_h = None
+    bg = np.array([255, 255, 255, 255], dtype=np.uint8)
+    canvas = None
+    out: list[tuple[int, np.ndarray]] = []
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        csize = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+        if cid == b"VP8X" and len(body) >= 10:
+            canvas_w = int.from_bytes(body[4:7], "little") + 1
+            canvas_h = int.from_bytes(body[7:10], "little") + 1
+        elif cid == b"ANIM" and len(body) >= 6:
+            # background color is stored B,G,R,A
+            bg = np.array(
+                [body[2], body[1], body[0], body[3]], dtype=np.uint8
+            )
+        elif cid == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("truncated ANMF chunk")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            blend = not (flags & 0x02)  # bit1 set = do NOT blend
+            dispose = bool(flags & 0x01)
+            sub = body[16:]
+            # frame payload: optional ALPH then VP8/VP8L
+            spos = 0
+            frame_img = None
+            while spos + 8 <= len(sub):
+                scid = sub[spos : spos + 4]
+                ssize = int.from_bytes(sub[spos + 4 : spos + 8], "little")
+                sbody = sub[spos + 8 : spos + 8 + ssize]
+                spos += 8 + ssize + (ssize & 1)
+                if scid == b"VP8L":
+                    riff = b"WEBPVP8L" + len(sbody).to_bytes(4, "little") + sbody
+                    frame_img = decode_webp(
+                        b"RIFF" + len(riff).to_bytes(4, "little") + riff
+                    )
+                    break
+                if scid == b"VP8 ":
+                    raise NotImplementedError("lossy animated WebP unsupported")
+            if frame_img is None:
+                raise ValueError("ANMF without an image payload")
+            if frame_img.shape[:2] != (fh, fw):
+                raise ValueError("ANMF geometry mismatch")
+            if canvas is None:
+                if canvas_w is None:
+                    raise ValueError("ANMF before VP8X header")
+                canvas = np.tile(bg, (canvas_h, canvas_w, 1)).reshape(
+                    canvas_h, canvas_w, 4
+                )
+            if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
+                raise ValueError("ANMF frame outside the canvas")
+            region = canvas[fy : fy + fh, fx : fx + fw].astype(np.int64)
+            if blend:
+                # spec alpha-blending: out_a = fa + ca*(1-fa/255);
+                # out_rgb = (f_rgb*fa + c_rgb*ca*(1-fa/255)) / out_a
+                # (integer arithmetic truncates; exact for the opaque /
+                # transparent cases the fixtures pin)
+                fa = frame_img[:, :, 3:4].astype(np.int64)
+                ca = region[:, :, 3:4]
+                out_a = fa + ca * (255 - fa) // 255
+                num = (
+                    frame_img[:, :, :3].astype(np.int64) * fa * 255
+                    + region[:, :, :3] * ca * (255 - fa)
+                )
+                rgb = np.where(out_a > 0, num // np.maximum(out_a * 255, 1), 0)
+                mixed = np.concatenate([rgb, out_a], axis=2)
+                canvas[fy : fy + fh, fx : fx + fw] = mixed.astype(np.uint8)
+            else:
+                canvas[fy : fy + fh, fx : fx + fw] = frame_img
+            out.append((dur, canvas.copy()))
+            if dispose:
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+            if max_frames is not None and len(out) >= max_frames:
+                return out
+    if not out:
+        raise ValueError("animated WebP without ANMF frames")
+    return out
+
+
+def encode_webp_anim(
+    frames: list[tuple[int, int, np.ndarray]],
+    canvas_size: tuple[int, int],
+    delays_ms: list[int],
+    background: tuple[int, int, int, int] = (255, 255, 255, 255),
+    blend: bool = False,
+    dispose: bool = False,
+) -> bytes:
+    """Animated WebP fixture writer: ``frames`` is a list of
+    (x, y, rgba array) subframes (x/y must be even per the 2x coding),
+    each VP8L-encoded; ``canvas_size`` is (w, h)."""
+    cw, ch = canvas_size
+    chunks = bytearray()
+    vp8x = bytearray(10)
+    vp8x[0] = 0x02  # animation flag
+    vp8x[4:7] = (cw - 1).to_bytes(3, "little")
+    vp8x[7:10] = (ch - 1).to_bytes(3, "little")
+    chunks += b"VP8X" + (10).to_bytes(4, "little") + bytes(vp8x)
+    r, g, b, a = background
+    anim = bytes([b, g, r, a]) + (0).to_bytes(2, "little")  # loop forever
+    chunks += b"ANIM" + len(anim).to_bytes(4, "little") + anim
+    for (x, y, img), dur in zip(frames, delays_ms):
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        still = encode_webp_vp8l(img)
+        vp8l_chunk = still[12:]  # 'VP8L' + size + payload (+pad)
+        h, w = img.shape[:2]
+        head = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([(0 if blend else 0x02) | (0x01 if dispose else 0)])
+        )
+        body = head + vp8l_chunk
+        chunks += b"ANMF" + len(body).to_bytes(4, "little") + bytes(body)
+        if len(body) % 2:
+            chunks += b"\x00"
+    riff = b"WEBP" + bytes(chunks)
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff

@@ -2665,3 +2665,81 @@ def test_webp_meta_codes_and_vp8x_container():
     anim = b"WEBP" + vp8x + b"ANIM" + (6).to_bytes(4, "little") + bytes(6)
     with _pytest.raises(NotImplementedError):
         decode_webp(b"RIFF" + len(anim).to_bytes(4, "little") + anim)
+
+
+def test_webp_animation_decode_and_sampling(spark):
+    """Animated WebP: ANMF subframe placement, disposal-to-background,
+    spec alpha blending (opaque overwrite / transparent keep), and REAL
+    frame sampling through sample_frames on the same 250ms/500ms
+    schedule the GIF and AVI paths use."""
+    import numpy as np
+
+    from graby_spark.operators.webp import (
+        decode_webp_frames,
+        encode_webp_anim,
+        encode_webp_vp8l,
+    )
+
+    base = np.full((4, 4, 4), 10, dtype=np.uint8)
+    base[:, :, 3] = 255
+    sub = np.full((2, 2, 4), 200, dtype=np.uint8)
+    sub[:, :, 3] = 255
+    blob = encode_webp_anim([(0, 0, base), (2, 2, sub)], (4, 4), [50, 60])
+    f1, f2 = decode_webp_frames(blob)
+    assert f1[0] == 50 and np.array_equal(f1[1], base)
+    exp2 = base.copy()
+    exp2[2:4, 2:4] = sub
+    assert f2[0] == 60 and np.array_equal(f2[1], exp2)
+    # blending: fully opaque overlay overwrites, fully transparent keeps
+    clear = np.zeros((4, 4, 4), dtype=np.uint8)
+    blob2 = encode_webp_anim(
+        [(0, 0, base), (0, 0, clear)], (4, 4), [50, 60], blend=True
+    )
+    g1, g2 = decode_webp_frames(blob2)
+    assert np.array_equal(g2[1], g1[1])  # alpha-0 frame changes nothing
+    # disposal restores the background color
+    blob3 = encode_webp_anim(
+        [(0, 0, sub), (0, 0, sub)],
+        (4, 4),
+        [50, 60],
+        background=(1, 2, 3, 255),
+        dispose=True,
+    )
+    h1, h2 = decode_webp_frames(blob3)
+    assert tuple(h2[1][3, 3]) == (1, 2, 3, 255)  # outside frame rect: bg
+    # still image = one zero-duration frame
+    still = encode_webp_vp8l(base)
+    sf = decode_webp_frames(still)
+    assert len(sf) == 1 and sf[0][0] == 0 and np.array_equal(sf[0][1], base)
+
+    # sample_frames: 4 frames at 250ms, 500ms schedule -> frames 0 and 2
+    frames4 = [np.full((4, 6, 4), 60 * f, dtype=np.uint8) for f in range(4)]
+    for f in frames4:
+        f[:, :, 3] = 255
+    anim = encode_webp_anim(
+        [(0, 0, f) for f in frames4], (6, 4), [250] * 4
+    )
+    df = spark.createDataFrame([(5, bytearray(anim))], "media_id long, payload binary")
+    got = sorted(
+        multimodal.sample_frames(df, every_ms=500, max_frames=3).collect(),
+        key=lambda r: r["ts_ms"],
+    )
+    assert [(r["frame_no"], r["ts_ms"]) for r in got] == [(0, 0), (2, 500)]
+    for r, f in zip(got, (0, 2)):
+        canvas = multimodal.decode_png(bytes(r["frame"]))
+        assert np.array_equal(canvas, frames4[f])
+
+
+def test_attach_media_metadata_vp8x(spark):
+    """VP8X (extended/animated WebP) rows sniff as image/webp with
+    JVM-side canvas dims from the 24-bit header fields."""
+    import numpy as np
+
+    from graby_spark.operators.webp import encode_webp_anim
+
+    frame = np.full((300, 70, 4), 5, dtype=np.uint8)
+    blob = encode_webp_anim([(0, 0, frame)], (70, 300), [40])
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, payload binary")
+    row = multimodal.attach_media_metadata(df).collect()[0]
+    assert row["mime"] == "image/webp"
+    assert (row["width"], row["height"]) == (70, 300)
