@@ -1693,6 +1693,10 @@ def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = 
                     from .jpeg import decode_jpeg
 
                     feats = _grid16(decode_jpeg(data).astype(np.float32))
+                elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+                    from .webp import decode_webp
+
+                    feats = _grid16(decode_webp(data).astype(np.float32))
                 else:
                     img = decode_image(data)
                     feats = (img.flatten().reshape(16, 4).mean(axis=1) / 255.0).astype(

@@ -2743,3 +2743,30 @@ def test_attach_media_metadata_vp8x(spark):
     row = multimodal.attach_media_metadata(df).collect()[0]
     assert row["mime"] == "image/webp"
     assert (row["width"], row["height"]) == (70, 300)
+
+
+def test_webp_flows_through_feature_and_resize_stages(spark):
+    """image/webp payloads ride the whole downstream media pipeline for
+    real: extract_features reflects actual pixels (black → zeros, white
+    → ones) and resize_images decodes + resamples them."""
+    import numpy as np
+
+    from graby_spark.operators.webp import encode_webp_vp8l
+
+    black = encode_webp_vp8l(np.zeros((8, 8), dtype=np.uint8))
+    white = encode_webp_vp8l(np.full((6, 10, 3), 255, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(black)), (2, bytearray(white))], "media_id long, payload binary"
+    )
+    res = {r["media_id"]: r["features"] for r in multimodal.extract_features(df).collect()}
+    # alpha channel is opaque (255) in both, so the all-black image
+    # featurizes to values strictly below the all-white one everywhere
+    assert len(res[1]) == len(res[2]) == 16
+    assert all(v == 1.0 for v in res[2])
+    rz = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(df, 4, 4, method="nearest").collect()
+    }
+    assert (rz[1]["width"], rz[1]["height"]) == (4, 4)
+    stats = multimodal.decode_png(bytes(rz[2]["resized_png"]))
+    assert int(stats.min()) == 255  # white stays white through resize
