@@ -2770,3 +2770,47 @@ def test_webp_flows_through_feature_and_resize_stages(spark):
     assert (rz[1]["width"], rz[1]["height"]) == (4, 4)
     stats = multimodal.decode_png(bytes(rz[2]["resized_png"]))
     assert int(stats.min()) == 255  # white stays white through resize
+
+
+def test_exif_parse_both_byte_orders(spark):
+    """EXIF: hand-built APP1/TIFF fixtures in II and MM byte orders
+    parse identically — orientation, make/model, datetime, and signed
+    GPS coordinates; the spliced JPEG still decodes and still reports
+    its dimensions; the image_exif Spark stage surfaces has_gps as the
+    image-side PII flag."""
+    import numpy as np
+
+    from graby_spark.operators import exif
+    from graby_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from graby_spark.operators.multimodal import jpeg_dims
+
+    base = encode_jpeg(np.full((16, 24), 100, dtype=np.uint8))
+    for bo in ("II", "MM"):
+        j = exif.build_exif_jpeg(
+            base,
+            orientation=6,
+            make="TestCam",
+            model="X100",
+            datetime="2023:05:04 12:00:01",
+            gps=(48.8566, -2.3522),
+            byte_order=bo,
+        )
+        m = exif.parse_exif(j)
+        assert m["orientation"] == 6 and m["make"] == "TestCam"
+        assert m["model"] == "X100" and m["datetime"] == "2023:05:04 12:00:01"
+        assert abs(m["gps_lat"] - 48.8566) < 1e-4
+        assert abs(m["gps_lon"] - (-2.3522)) < 1e-4
+        assert decode_jpeg(j).shape == (16, 24, 1)
+        assert jpeg_dims(j) == (24, 16)
+    plain = exif.parse_exif(base)
+    assert all(v is None for v in plain.values())
+
+    withgps = exif.build_exif_jpeg(base, gps=(1.5, 2.5))
+    nogps = exif.build_exif_jpeg(base, orientation=3)
+    df = spark.createDataFrame(
+        [(1, bytearray(withgps)), (2, bytearray(nogps)), (3, bytearray(base))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in exif.image_exif(df).collect()}
+    assert rows[1]["has_gps"] and not rows[2]["has_gps"] and not rows[3]["has_gps"]
+    assert rows[2]["orientation"] == 3 and rows[3]["orientation"] is None

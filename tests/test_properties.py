@@ -350,3 +350,19 @@ def test_webp_decoder_total(tail):
         assert out.ndim == 3 and out.shape[2] == 4
     except (ValueError, NotImplementedError):
         pass
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=150, deadline=None)
+def test_exif_parser_total(tail):
+    """parse_exif on arbitrary bytes behind a JPEG SOI (including a
+    fake APP1/Exif header) always returns the dict — never raises."""
+    from graby_spark.operators.exif import parse_exif
+
+    for data in (
+        tail,
+        b"\xff\xd8" + tail,
+        b"\xff\xd8\xff\xe1" + len(tail).to_bytes(2, "big") + b"Exif\x00\x00" + tail,
+    ):
+        out = parse_exif(data)
+        assert set(out) >= {"orientation", "gps_lat", "gps_lon"}
