@@ -20,7 +20,8 @@ PNG, GIF, JPEG and WAV decode are REAL, stdlib+numpy only:
 * ``operators.webp.decode_webp`` — WebP lossless (VP8L subset: both
   prefix-code forms, LZ77, color cache, subtract-green transform).
 * ``decode_wav`` additionally expands G.711 mu-law/A-law (format tags
-  7/6) through the ITU closed-form tables.
+  7/6) through the ITU closed-form tables and decodes mono IMA ADPCM
+  (format 17) blocks — the 4-bit speech/game codec.
 * ``operators.avi`` — MJPEG AVI container walk; ``sample_frames`` does
   REAL frame sampling for animated GIF and MJPEG AVI; ``video_phash``
   gives container-independent visual signatures over sampled frames.
@@ -81,6 +82,7 @@ __all__ = [
     "video_phash",
     "video_phash_pairs",
     "encode_wav_g711",
+    "encode_wav_adpcm",
     "phash_pairs",
 ]
 
@@ -1389,6 +1391,36 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _G711_MULAW, _G711_ALAW = _g711_tables()
 
+#: IMA ADPCM step-size table (89 entries) and index-advance table —
+#: generated from the published recurrence (step *= 1.1 with the
+#: standard rounding), matching the canonical table values
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step → (new_predictor, new_index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX[nibble]))
+    return predictor, index
+
 
 def video_phash(
     df: DataFrame,
@@ -1496,12 +1528,33 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format not in (1, 6, 7):
+    if audio_format not in (1, 6, 7, 17):
         raise NotImplementedError(
-            f"WAV format {audio_format} unsupported (PCM/A-law/mu-law only)"
+            f"WAV format {audio_format} unsupported (PCM/A-law/mu-law/IMA-ADPCM only)"
         )
     if n_channels < 1:
         raise ValueError("invalid channel count")
+    if audio_format == 17:  # IMA ADPCM
+        if n_channels != 1:
+            raise NotImplementedError("IMA ADPCM decode is mono-only here")
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV must be 4-bit, got {bits}")
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if block_align < 4:
+            raise ValueError("IMA ADPCM block align too small")
+        samples = []
+        for bstart in range(0, len(frames) - 3, block_align):
+            block = frames[bstart : bstart + block_align]
+            if len(block) < 4:
+                break
+            predictor = int.from_bytes(block[0:2], "little", signed=True)
+            index = max(0, min(88, block[2]))
+            samples.append(predictor)  # header predictor IS sample 0
+            for byte in block[4:]:
+                for nibble in (byte & 0x0F, byte >> 4):  # low nibble first
+                    predictor, index = _ima_step(predictor, index, nibble)
+                    samples.append(predictor)
+        return sample_rate, np.asarray(samples, dtype=np.int32).reshape(-1, 1)
     if audio_format in (6, 7):
         if bits != 8:
             raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
@@ -1561,6 +1614,74 @@ def encode_wav_g711(
     hdr += (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
     hdr += b"data" + len(payload).to_bytes(4, "little")
     return bytes(hdr) + payload
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_samples: int = 505
+) -> tuple[bytes, np.ndarray]:
+    """IMA ADPCM WAV (format 17, mono) from int16 samples, plus the
+    encoder's own reconstruction.
+
+    ADPCM is lossy, so round-trip equality is against the RECONSTRUCTION
+    (the decoder replays the identical state machine) — that is what the
+    tests pin, alongside hand-computed state-machine vectors.  Block
+    layout: 4-byte header (predictor=sample 0, step index), then two
+    low-nibble-first samples per byte; ``block_samples`` must be odd so
+    blocks pack whole bytes (1 header sample + even nibble count).
+    """
+    a = np.asarray(samples, dtype=np.int64).reshape(-1)
+    if block_samples % 2 == 0:
+        raise ValueError("block_samples must be odd (header sample + nibble pairs)")
+    block_align = 4 + (block_samples - 1) // 2
+    payload = bytearray()
+    recon = []
+    index = 0
+    for bstart in range(0, len(a), block_samples):
+        chunk = a[bstart : bstart + block_samples]
+        predictor = int(np.clip(chunk[0], -32768, 32767))
+        recon.append(predictor)
+        payload += int(predictor).to_bytes(2, "little", signed=True)
+        payload += bytes([index, 0])
+        nibbles = []
+        for target in chunk[1:]:
+            step = _IMA_STEPS[index]
+            delta = int(target) - predictor
+            nibble = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                nibble |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nibble |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nibble |= 1
+            predictor, index = _ima_step(predictor, index, nibble)
+            recon.append(predictor)
+            nibbles.append(nibble)
+        if len(nibbles) % 2:
+            nibbles.append(0)  # pad nibble (decoder emits one extra sample)
+            predictor, index = _ima_step(predictor, index, 0)
+            recon.append(predictor)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            payload += bytes([lo | (hi << 4)])
+        # pad the final short block to block_align (all-zero nibbles)
+        short = block_align - 4 - len(nibbles) // 2
+        for _ in range(short):
+            for _n in (0, 0):
+                predictor, index = _ima_step(predictor, index, 0)
+                recon.append(predictor)
+            payload += b"\x00"
+    byte_rate = sample_rate * block_align // block_samples
+    hdr = bytearray(b"RIFF")
+    hdr += (40 + len(payload)).to_bytes(4, "little")
+    hdr += b"WAVEfmt " + (20).to_bytes(4, "little")
+    hdr += (17).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    hdr += sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+    hdr += block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+    hdr += (2).to_bytes(2, "little") + block_samples.to_bytes(2, "little")
+    hdr += b"data" + len(payload).to_bytes(4, "little")
+    return bytes(hdr) + bytes(payload), np.asarray(recon, dtype=np.int32)
 
 
 def decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
