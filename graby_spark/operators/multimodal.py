@@ -83,6 +83,8 @@ __all__ = [
     "video_phash_pairs",
     "encode_wav_g711",
     "encode_wav_adpcm",
+    "decode_bmp",
+    "encode_bmp",
     "phash_pairs",
 ]
 
@@ -186,6 +188,22 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     mime = F.when(is_avi, F.lit("video/x-msvideo")).otherwise(mime)
     is_webp = F.expr(f"substring({payload_col}, 9, 4)") == F.lit(b"WEBP")
     mime = F.when(is_webp, F.lit("image/webp")).otherwise(mime)
+    # BMP: the 2-byte magic is weak, so require a known DIB header size
+    # too before classifying (structural, like ftyp / RIFF form types)
+    is_bmp = (
+        (F.expr(f"substring({payload_col}, 1, 2)") == F.lit(b"BM"))
+        & (F.length(payload) >= 54)
+        & F.conv(F.hex(F.reverse(F.substring(payload, 15, 4))), 16, 10)
+        .cast("long")
+        .isin(40, 108, 124)
+    )
+    mime = F.when(is_bmp, F.lit("image/bmp")).otherwise(mime)
+    bmp_h_raw = (
+        be(23, 1)
+        + be(24, 1) * 256
+        + be(25, 1) * 65536
+        + be(26, 1).cast("long") * 16777216
+    ).cast("long")
     # VP8L header dims, pure JVM: 14-bit width-1 then 14-bit height-1,
     # LSB-first from the byte after the 0x2F signature (payload byte 21)
     vp8l_ok = (
@@ -248,6 +266,7 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .when(avih_ok, le32(65))
         .when(vp8l_ok, webp_w.cast("int"))
         .when(vp8x_ok, vp8x_w.cast("int"))
+        .when(is_bmp, le32(19).cast("int"))
     )
     height = (
         F.when(png_ok & (F.col("mime") == "image/png"), be(21, 4))
@@ -257,6 +276,13 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .when(avih_ok, le32(69))
         .when(vp8l_ok, webp_h.cast("int"))
         .when(vp8x_ok, vp8x_h.cast("int"))
+        .when(
+            is_bmp,
+            # i32: negative height means top-down; magnitude is the height
+            F.when(bmp_h_raw > 2147483647, F.lit(4294967296).cast("long") - bmp_h_raw)
+            .otherwise(bmp_h_raw)
+            .cast("int"),
+        )
     )
     # WAV duration from the canonical RIFF layout (PCM fmt chunk directly
     # after WAVE, data chunk at offset 37): declared data size / byte rate.
@@ -1616,6 +1642,76 @@ def encode_wav_g711(
     return bytes(hdr) + payload
 
 
+def decode_bmp(data: bytes) -> np.ndarray:
+    """REAL BMP decode (the legacy web bitmap): BITMAPINFOHEADER,
+    BI_RGB (uncompressed) at 8 (palette), 24 and 32 bpp, 4-byte row
+    padding, bottom-up or top-down (negative height) row order, BGR(A)
+    channel order.  Returns (h, w, 3|4) uint8.  Compressed or exotic
+    variants raise (loud, never a fake)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    off_bits = int.from_bytes(data[10:14], "little")
+    hdr_size = int.from_bytes(data[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP unsupported")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} unsupported")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bpp BMP unsupported (8/24/32 only)")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0 or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("bad BMP geometry")
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    pix = data[off_bits : off_bits + row_bytes * h]
+    if len(pix) < row_bytes * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(pix, dtype=np.uint8).reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        n_colors = int.from_bytes(data[46:50], "little") or 256
+        pal_raw = data[14 + hdr_size : 14 + hdr_size + n_colors * 4]
+        if len(pal_raw) < n_colors * 4:
+            raise ValueError("truncated BMP palette")
+        pal = np.frombuffer(pal_raw, dtype=np.uint8).reshape(-1, 4)[:, [2, 1, 0]]
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        return pal[idx]
+    ch = bpp // 8
+    img = rows[:, : w * ch].reshape(h, w, ch)
+    if ch == 3:
+        return img[:, :, [2, 1, 0]].copy()  # BGR -> RGB
+    return img[:, :, [2, 1, 0, 3]].copy()  # BGRA -> RGBA
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Canonical bottom-up 24-bit BI_RGB BMP from (h, w[, 3]) uint8."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w, _ = a.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = a[y, :, [2, 1, 0]].T.tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    hdr = bytearray(b"BM")
+    hdr += (54 + len(body)).to_bytes(4, "little") + bytes(4)
+    hdr += (54).to_bytes(4, "little")
+    hdr += (40).to_bytes(4, "little")
+    hdr += w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+    hdr += (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    hdr += (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+    hdr += bytes(16)
+    return bytes(hdr) + bytes(body)
+
+
 def encode_wav_adpcm(
     samples: np.ndarray, sample_rate: int = 8000, block_samples: int = 505
 ) -> tuple[bytes, np.ndarray]:
@@ -1701,6 +1797,8 @@ def decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
         from .webp import decode_webp
 
         return decode_webp(data).astype(np.float32)
+    if data[:2] == b"BM" and len(data) >= 54:
+        return decode_bmp(data).astype(np.float32)
     if data[:8] == _PNG_SIG:
         arr = decode_png(data)
         if arr.dtype == np.uint16:
@@ -1752,6 +1850,8 @@ def image_pixel_stats(
                     fmt = "jpeg"
                 elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
                     fmt = "webp"
+                elif data[:2] == b"BM" and len(data) >= 54:
+                    fmt = "bmp"
                 else:
                     fmt = "unknown"
                 arr = decode_image(data, strict=True)

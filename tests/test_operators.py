@@ -2852,3 +2852,33 @@ def test_ima_adpcm_wav_decode():
     stereo[22:24] = (2).to_bytes(2, "little")
     with _pytest.raises(NotImplementedError):
         decode_wav(bytes(stereo))
+
+
+def test_bmp_decode_and_metadata(spark):
+    """BMP: 24-bit round trip (bottom-up rows, padding), structural
+    mime sniff with JVM header dims (incl. a negative top-down height),
+    and real routing through image_pixel_stats."""
+    import numpy as np
+
+    from graby_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+    blob = encode_bmp(img)
+    assert np.array_equal(decode_bmp(blob), img)
+    # top-down variant: negate the height field, pre-flip the rows
+    td = bytearray(encode_bmp(img[::-1]))
+    td[22:26] = (-5).to_bytes(4, "little", signed=True)
+    assert np.array_equal(decode_bmp(bytes(td)), img)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(bytes(td)))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in multimodal.attach_media_metadata(df).collect()}
+    for mid in (1, 2):
+        assert rows[mid]["mime"] == "image/bmp"
+        assert (rows[mid]["width"], rows[mid]["height"]) == (7, 5)
+    stat = multimodal.image_pixel_stats(df).collect()[0]
+    assert stat["format"] == "bmp" and (stat["width"], stat["height"]) == (7, 5)
+    assert stat["mean_pixel"] == img.sum() / img.size
