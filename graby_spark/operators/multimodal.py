@@ -85,6 +85,10 @@ __all__ = [
     "encode_wav_adpcm",
     "decode_bmp",
     "encode_bmp",
+    "decode_ico",
+    "encode_ico",
+    "decode_tiff",
+    "encode_tiff",
     "phash_pairs",
 ]
 
@@ -102,6 +106,9 @@ MEDIA_SCHEMA = StructType(
 
 _MAGIC = [
     (b"\x89PNG", "image/png"),
+    (b"\x00\x00\x01\x00", "image/x-icon"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
     (b"RIFF", "audio/wav"),
@@ -1712,6 +1719,229 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return bytes(hdr) + bytes(body)
 
 
+def decode_ico(data: bytes) -> np.ndarray:
+    """ICO (favicon) decode: picks the largest directory entry and
+    decodes its payload — PNG-compressed entries go through
+    :func:`decode_png`, classic entries are headerless BMP DIBs (the
+    doubled-height XOR+AND layout) routed through :func:`decode_bmp`
+    with a synthesized file header.  The 1-bit AND mask is applied as
+    transparency for non-32bpp entries (32bpp carries real alpha).
+    Returns (h, w, channels) uint8."""
+    if len(data) < 6 or data[0:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO stream")
+    count = int.from_bytes(data[4:6], "little")
+    if count == 0:
+        raise ValueError("empty ICO directory")
+    best = None
+    for i in range(count):
+        e = data[6 + i * 16 : 6 + (i + 1) * 16]
+        if len(e) < 16:
+            break
+        w = e[0] or 256
+        h = e[1] or 256
+        size = int.from_bytes(e[8:12], "little")
+        off = int.from_bytes(e[12:16], "little")
+        if best is None or w * h > best[0]:
+            best = (w * h, off, size)
+    if best is None:
+        raise ValueError("truncated ICO directory")
+    _, off, size = best
+    body = data[off : off + size]
+    if body[:8] == _PNG_SIG:
+        arr = decode_png(body)
+        if arr.dtype == np.uint16:
+            arr = (arr >> 8).astype(np.uint8)
+        return arr
+    if len(body) < 40:
+        raise ValueError("truncated ICO image")
+    hdr_size = int.from_bytes(body[0:4], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER ICO unsupported")
+    w = int.from_bytes(body[4:8], "little", signed=True)
+    h2 = int.from_bytes(body[8:12], "little", signed=True)
+    h = abs(h2) // 2  # doubled height: XOR image + AND mask
+    bpp = int.from_bytes(body[14:16], "little")
+    n_colors = int.from_bytes(body[32:36], "little") or (
+        (1 << bpp) if bpp <= 8 else 0
+    )
+    # synthesize a BMP file header over the XOR part only
+    patched = bytearray(body)
+    patched[8:12] = h.to_bytes(4, "little", signed=True)
+    pal_bytes = n_colors * 4 if bpp <= 8 else 0
+    off_bits = 14 + hdr_size + pal_bytes
+    bmp = (
+        b"BM"
+        + (14 + len(patched)).to_bytes(4, "little")
+        + bytes(4)
+        + off_bits.to_bytes(4, "little")
+        + bytes(patched)
+    )
+    img = decode_bmp(bmp)
+    if bpp != 32:
+        # AND mask: 1-bit rows (4-byte padded), bottom-up, 1 = transparent
+        xor_row = (w * bpp // 8 + 3) & ~3
+        mask_off = hdr_size + pal_bytes + xor_row * h
+        mask_row = ((w + 31) // 32) * 4
+        mask_data = body[mask_off : mask_off + mask_row * h]
+        if len(mask_data) >= mask_row * h:
+            bits = np.unpackbits(
+                np.frombuffer(mask_data, dtype=np.uint8).reshape(h, mask_row), axis=1
+            )[:, :w][::-1]
+            alpha = np.where(bits == 1, 0, 255).astype(np.uint8)
+            img = np.concatenate([img[:, :, :3], alpha[:, :, None]], axis=2)
+    return img
+
+
+def encode_ico(arrs: list[np.ndarray], as_png: bool = True) -> bytes:
+    """ICO fixture writer: each (h, w[, 3]) uint8 array becomes one
+    directory entry — PNG-compressed (the modern favicon layout) or a
+    classic headerless BMP DIB with doubled height and an all-visible
+    AND mask."""
+    payloads = []
+    dims = []
+    for a in arrs:
+        a = np.asarray(a, dtype=np.uint8)
+        h, w = a.shape[:2]
+        if not (1 <= w <= 256 and 1 <= h <= 256):
+            raise ValueError("ICO entries are at most 256x256")
+        dims.append((w, h))
+        if as_png:
+            payloads.append(encode_png(a))
+        else:
+            dib = bytearray(encode_bmp(a)[14:])
+            dib[8:12] = (h * 2).to_bytes(4, "little", signed=True)
+            mask_row = ((w + 31) // 32) * 4
+            payloads.append(bytes(dib) + b"\x00" * (mask_row * h))
+    out = bytearray(b"\x00\x00\x01\x00" + len(arrs).to_bytes(2, "little"))
+    off = 6 + 16 * len(arrs)
+    for (w, h), p in zip(dims, payloads):
+        out += bytes([w % 256, h % 256, 0, 0]) + (1).to_bytes(2, "little")
+        out += (32).to_bytes(2, "little")
+        out += len(p).to_bytes(4, "little") + off.to_bytes(4, "little")
+        off += len(p)
+    for p in payloads:
+        out += p
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """REAL baseline TIFF decode: IFD walk (both byte orders, via the
+    shared EXIF reader), uncompressed (Compression=1) strips, 8-bit
+    grayscale or RGB(A).  Returns (h, w, channels) uint8; other
+    compressions and depths raise (loud, never a fake)."""
+    from graby_spark.operators.exif import _read_ifd
+
+    if len(data) < 8 or data[0:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF stream")
+    endian = "<" if data[0:2] == b"II" else ">"
+    import struct as _struct
+
+    if _struct.unpack_from(endian + "H", data, 2)[0] != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd_off,) = _struct.unpack_from(endian + "I", data, 4)
+    ifd = _read_ifd(data, 0, ifd_off, endian)
+
+    def uint(tag, default=None):
+        e = ifd.get(tag)
+        if e is None:
+            return default
+        typ, n, val = e
+        fmt = {3: "H", 4: "I"}.get(typ)
+        if fmt is None or len(val) < _struct.calcsize(endian + fmt):
+            return default
+        return _struct.unpack_from(endian + fmt, val)[0]
+
+    def uint_list(tag):
+        e = ifd.get(tag)
+        if e is None:
+            return []
+        typ, n, val = e
+        fmt = {3: "H", 4: "I"}[typ]
+        size = _struct.calcsize(endian + fmt)
+        return [
+            _struct.unpack_from(endian + fmt, val, i * size)[0] for i in range(n)
+        ]
+
+    w = uint(256)
+    h = uint(257)
+    if not w or not h or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("bad TIFF geometry")
+    if uint(259, 1) != 1:
+        raise NotImplementedError("compressed TIFF unsupported (baseline only)")
+    spp = uint(277, 1)
+    bits = uint_list(258) or [8]
+    if any(b != 8 for b in bits) or spp not in (1, 3, 4):
+        raise NotImplementedError("only 8-bit gray/RGB(A) TIFF supported")
+    offsets = uint_list(273)
+    counts = uint_list(279)
+    if not offsets or len(offsets) != len(counts):
+        raise ValueError("TIFF strips missing")
+    raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+    need = w * h * spp
+    if len(raw) < need:
+        raise ValueError("truncated TIFF strip data")
+    return np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, spp)
+
+
+def encode_tiff(arr: np.ndarray, byte_order: str = "II") -> bytes:
+    """Baseline uncompressed TIFF fixture writer (8-bit, single strip),
+    either byte order — exercises the IFD reader against spec-derived
+    structures, not copied binaries."""
+    import struct as _struct
+
+    endian = "<" if byte_order == "II" else ">"
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, spp = a.shape
+    pix = a.tobytes()
+    # layout: header(8) | IFD | bits heap | pixel data
+    tags = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, spp, None),  # BitsPerSample (heap when spp > 2)
+        (259, 3, 1, 1),
+        (262, 3, 1, 1 if spp == 1 else 2),
+        (273, 4, 1, None),  # StripOffsets (patched below)
+        (277, 3, 1, spp),
+        (278, 4, 1, h),
+        (279, 4, 1, len(pix)),
+    ]
+    n = len(tags)
+    ifd_off = 8
+    heap_off = ifd_off + 2 + n * 12 + 4
+    heap = bytearray()
+    entries = b""
+    bits_off = None
+    if spp > 2:
+        bits_off = heap_off + len(heap)
+        for _ in range(spp):
+            heap += _struct.pack(endian + "H", 8)
+    pix_off = heap_off + len(heap)
+    for tag, typ, cnt, val in tags:
+        if tag == 258:
+            if spp <= 2:
+                packed = _struct.pack(endian + "H", 8).ljust(4, b"\x00")
+            else:
+                packed = _struct.pack(endian + "I", bits_off)
+        elif tag == 273:
+            packed = _struct.pack(endian + "I", pix_off)
+        elif typ == 3:
+            packed = _struct.pack(endian + "H", val).ljust(4, b"\x00")
+        else:
+            packed = _struct.pack(endian + "I", val)
+        entries += _struct.pack(endian + "HHI", tag, typ, cnt) + packed
+    ifd = _struct.pack(endian + "H", n) + entries + _struct.pack(endian + "I", 0)
+    return (
+        byte_order.encode()
+        + _struct.pack(endian + "H", 42)
+        + _struct.pack(endian + "I", ifd_off)
+        + ifd
+        + bytes(heap)
+        + pix
+    )
+
+
 def encode_wav_adpcm(
     samples: np.ndarray, sample_rate: int = 8000, block_samples: int = 505
 ) -> tuple[bytes, np.ndarray]:
@@ -1799,6 +2029,10 @@ def decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
         return decode_webp(data).astype(np.float32)
     if data[:2] == b"BM" and len(data) >= 54:
         return decode_bmp(data).astype(np.float32)
+    if data[:4] == b"\x00\x00\x01\x00":
+        return decode_ico(data).astype(np.float32)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(data).astype(np.float32)
     if data[:8] == _PNG_SIG:
         arr = decode_png(data)
         if arr.dtype == np.uint16:
@@ -1852,6 +2086,10 @@ def image_pixel_stats(
                     fmt = "webp"
                 elif data[:2] == b"BM" and len(data) >= 54:
                     fmt = "bmp"
+                elif data[:4] == b"\x00\x00\x01\x00":
+                    fmt = "ico"
+                elif data[:4] in (b"II*\x00", b"MM\x00*"):
+                    fmt = "tiff"
                 else:
                     fmt = "unknown"
                 arr = decode_image(data, strict=True)

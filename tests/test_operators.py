@@ -2882,3 +2882,44 @@ def test_bmp_decode_and_metadata(spark):
     stat = multimodal.image_pixel_stats(df).collect()[0]
     assert stat["format"] == "bmp" and (stat["width"], stat["height"]) == (7, 5)
     assert stat["mean_pixel"] == img.sum() / img.size
+
+
+def test_ico_and_tiff_decode(spark):
+    """Favicons and baseline TIFF: ICO picks the largest entry (PNG or
+    classic DIB+mask layouts), TIFF round-trips 8-bit gray/RGB in both
+    byte orders through the shared EXIF IFD reader, and both formats
+    route through mime sniffing and image_pixel_stats for real."""
+    import numpy as np
+
+    from graby_spark.operators.multimodal import (
+        decode_ico,
+        decode_tiff,
+        encode_ico,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(21)
+    small = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    big = rng.randint(0, 256, (16, 12, 3)).astype(np.uint8)
+    assert np.array_equal(decode_ico(encode_ico([small, big]))[:, :, :3], big)
+    dib = decode_ico(encode_ico([big], as_png=False))
+    assert np.array_equal(dib[:, :, :3], big) and np.all(dib[:, :, 3] == 255)
+    for bo in ("II", "MM"):
+        g = rng.randint(0, 256, (9, 13)).astype(np.uint8)
+        c = rng.randint(0, 256, (5, 6, 3)).astype(np.uint8)
+        assert np.array_equal(decode_tiff(encode_tiff(g, bo))[:, :, 0], g)
+        assert np.array_equal(decode_tiff(encode_tiff(c, bo)), c)
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ico([big]))),
+            (2, bytearray(encode_tiff(big))),
+        ],
+        "media_id long, payload binary",
+    )
+    meta = {r["media_id"]: r["mime"] for r in multimodal.attach_media_metadata(df).collect()}
+    assert meta == {1: "image/x-icon", 2: "image/tiff"}
+    stats = {r["media_id"]: r for r in multimodal.image_pixel_stats(df).collect()}
+    assert stats[1]["format"] == "ico" and stats[2]["format"] == "tiff"
+    assert (stats[2]["width"], stats[2]["height"]) == (12, 16)
+    assert stats[2]["mean_pixel"] == big.sum() / big.size

@@ -366,3 +366,22 @@ def test_exif_parser_total(tail):
     ):
         out = parse_exif(data)
         assert set(out) >= {"orientation", "gps_lat", "gps_lon"}
+
+
+@given(st.binary(max_size=800))
+@settings(max_examples=150, deadline=None)
+def test_ico_tiff_bmp_parsers_total(tail):
+    """Arbitrary bytes behind the ICO/TIFF/BMP magics decode, raise
+    ValueError, or raise NotImplementedError — never anything else."""
+    from graby_spark.operators.multimodal import decode_bmp, decode_ico, decode_tiff
+
+    for fn, prefix in (
+        (decode_ico, b"\x00\x00\x01\x00"),
+        (decode_tiff, b"II*\x00"),
+        (decode_tiff, b"MM\x00*"),
+        (decode_bmp, b"BM"),
+    ):
+        try:
+            fn(prefix + tail)
+        except (ValueError, NotImplementedError):
+            pass
