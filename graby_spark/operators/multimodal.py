@@ -205,6 +205,26 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .isin(40, 108, 124)
     )
     mime = F.when(is_bmp, F.lit("image/bmp")).otherwise(mime)
+    # FLAC: STREAMINFO is required to be the first metadata block, so
+    # sample rate (20 bits at byte 18) and total samples (36 bits ending
+    # byte 25) are fixed-offset JVM reads -> duration without Python
+    is_flac = (
+        (F.expr(f"substring({payload_col}, 1, 4)") == F.lit(b"fLaC"))
+        & (F.length(payload) >= 26)
+    )
+    mime = F.when(is_flac, F.lit("audio/flac")).otherwise(mime)
+    flac_rate = (
+        be(19, 1).cast("long") * 4096
+        + be(20, 1).cast("long") * 16
+        + F.floor(be(21, 1) / 16).cast("long")
+    )
+    flac_total = (
+        (be(22, 1) % 16).cast("long") * 4294967296
+        + be(23, 1).cast("long") * 16777216
+        + be(24, 1).cast("long") * 65536
+        + be(25, 1).cast("long") * 256
+        + be(26, 1).cast("long")
+    )
     bmp_h_raw = (
         be(23, 1)
         + be(24, 1) * 256
@@ -354,12 +374,18 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
             avi_total_frames.cast("long") * avi_us_per_frame.cast("long") / 1000
         ).cast("int"),
     )
+    flac_duration = F.when(
+        is_flac & (flac_rate > 0) & (flac_total > 0),
+        F.floor(flac_total * 1000 / flac_rate).cast("int"),
+    )
     return (
         out.withColumn("width", width)
         .withColumn("height", height)
         .withColumn(
             "duration_ms",
-            F.coalesce(wav_duration, mp3_duration, mp4_duration, avi_duration),
+            F.coalesce(
+                wav_duration, mp3_duration, mp4_duration, avi_duration, flac_duration
+            ),
         )
         .drop("_jwh", "_mp3_tag", "_mp4")
     )
@@ -777,7 +803,13 @@ def wav_sample_stats(
         for batch in batches:
             out = []
             for mid, payload in zip(batch["media_id"], batch["payload"]):
-                rate, samples = decode_wav(bytes(payload or b""))
+                data = bytes(payload or b"")
+                if data[:4] == b"fLaC":
+                    from graby_spark.operators.flac import decode_flac
+
+                    rate, samples = decode_flac(data)
+                else:
+                    rate, samples = decode_wav(data)
                 flat = samples.astype(np.float64)
                 empty = samples.shape[0] == 0
                 out.append(

@@ -2923,3 +2923,49 @@ def test_ico_and_tiff_decode(spark):
     assert stats[1]["format"] == "ico" and stats[2]["format"] == "tiff"
     assert (stats[2]["width"], stats[2]["height"]) == (12, 16)
     assert stats[2]["mean_pixel"] == big.sum() / big.size
+
+
+def test_flac_decode_matrix(spark):
+    """FLAC: every subframe type (constant/verbatim/fixed 0-2) and all
+    three stereo decorrelations round-trip bit-exact with VERIFIED
+    frame CRCs; a corrupted byte fails the CRC loudly; the JVM
+    STREAMINFO survey yields mime + duration and wav_sample_stats
+    dispatches FLAC payloads for real."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graby_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.RandomState(23)
+    mono = (
+        1000 * np.sin(np.arange(3000) * 0.03) + rng.randint(-50, 50, 3000)
+    ).astype(np.int64)
+    for sub in ("verbatim", "fixed0", "fixed1", "fixed2"):
+        rate, out = decode_flac(encode_flac(mono, 16000, subframe=sub))
+        assert rate == 16000 and np.array_equal(out[:, 0], mono), sub
+    stereo = np.stack([mono, (mono * 0.7).astype(np.int64) + 3], axis=1)
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        _, out = decode_flac(encode_flac(stereo, 44100, stereo_mode=mode))
+        assert np.array_equal(out, stereo), mode
+    const = np.full(2048, -123, dtype=np.int64)
+    assert np.array_equal(
+        decode_flac(encode_flac(const, 8000, subframe="constant"))[1][:, 0], const
+    )
+    assert np.array_equal(
+        decode_flac(encode_flac(mono[:2048], 8000, subframe="fixed1", partition_order=3))[1][:, 0],
+        mono[:2048],
+    )
+    # CRC verification is real: flip one payload byte -> loud failure
+    blob = bytearray(encode_flac(mono[:512], 8000))
+    blob[-10] ^= 0x40
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(blob))
+
+    good = encode_flac(mono, 16000)
+    df = spark.createDataFrame([(1, bytearray(good))], "media_id long, payload binary")
+    meta = multimodal.attach_media_metadata(df).collect()[0]
+    assert meta["mime"] == "audio/flac"
+    assert meta["duration_ms"] == 3000 * 1000 // 16000
+    stat = multimodal.wav_sample_stats(df).collect()[0]
+    assert (stat["sample_rate"], stat["n_frames"], stat["channels"]) == (16000, 3000, 1)
+    assert stat["mean_sample"] == mono.sum() / len(mono)

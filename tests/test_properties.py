@@ -385,3 +385,18 @@ def test_ico_tiff_bmp_parsers_total(tail):
             fn(prefix + tail)
         except (ValueError, NotImplementedError):
             pass
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=150, deadline=None)
+def test_flac_parser_total(tail):
+    """Arbitrary bytes behind the fLaC magic (and a valid STREAMINFO
+    header shape) decode or raise ValueError — never hang or fail
+    another way (CRC checks catch garbage frames)."""
+    from graby_spark.operators.flac import decode_flac
+
+    for data in (b"fLaC" + tail, tail):
+        try:
+            decode_flac(data, max_samples=4096)
+        except ValueError:
+            pass
