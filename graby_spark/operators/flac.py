@@ -377,7 +377,13 @@ def decode_flac(data: bytes, max_samples: int | None = None) -> tuple[int, np.nd
 
 
 def _encode_residual(
-    bw: _MsbWriter, res: list[int], blocksize: int, order: int, param: int, po: int
+    bw: _MsbWriter,
+    res: list[int],
+    blocksize: int,
+    order: int,
+    param: int,
+    po: int,
+    escape_bits: int | None = None,
 ) -> None:
     bw.write(0, 2)  # Rice, 4-bit params
     bw.write(po, 4)
@@ -385,6 +391,14 @@ def _encode_residual(
     idx = 0
     for p in range(1 << po):
         n = psize - (order if p == 0 else 0)
+        if escape_bits is not None:
+            # escape partition: param 0b1111 then raw signed residuals
+            bw.write(15, 4)
+            bw.write(escape_bits, 5)
+            for _ in range(n):
+                bw.write_signed(res[idx], escape_bits)
+                idx += 1
+            continue
         bw.write(param, 4)
         for _ in range(n):
             r = res[idx]
@@ -403,6 +417,7 @@ def encode_flac(
     rice_param: int = 6,
     partition_order: int = 0,
     stereo_mode: str = "independent",
+    escape_bits: int | None = None,
 ) -> bytes:
     """Valid FLAC fixture from (n[, channels]) int samples.
 
@@ -442,6 +457,26 @@ def encode_flac(
             bw.write(0, 1), bw.write(0, 6), bw.write(0, 1)
             bw.write_signed(int(chan[0]), eff_bps)
             return
+        if subframe == "lpc2":
+            # order-2 LPC with quantized coeffs [3, -1] at shift 1:
+            # pred = (3*s[-1] - s[-2]) >> 1 — a real LPC path distinct
+            # from every fixed predictor
+            order, precision, shift, coeffs = 2, 5, 1, [3, -1]
+            bw.write(0, 1), bw.write(32 + order - 1, 6), bw.write(0, 1)
+            for s in chan[:order]:
+                bw.write_signed(int(s), eff_bps)
+            bw.write(precision - 1, 4)
+            bw.write_signed(shift, 5)
+            for c in coeffs:
+                bw.write_signed(c, precision)
+            res = []
+            for i in range(order, len(chan)):
+                pred = sum(c * chan[i - 1 - j] for j, c in enumerate(coeffs)) >> shift
+                res.append(int(chan[i]) - pred)
+            _encode_residual(
+                bw, res, len(chan), order, rice_param, partition_order, escape_bits
+            )
+            return
         order = int(subframe[-1])
         coeffs = _FIXED_COEFFS[order]
         bw.write(0, 1), bw.write(8 + order, 6), bw.write(0, 1)
@@ -451,7 +486,9 @@ def encode_flac(
         for i in range(order, len(chan)):
             pred = sum(c * chan[i - 1 - j] for j, c in enumerate(coeffs))
             res.append(int(chan[i]) - pred)
-        _encode_residual(bw, res, len(chan), order, rice_param, partition_order)
+        _encode_residual(
+            bw, res, len(chan), order, rice_param, partition_order, escape_bits
+        )
 
     frames = bytearray()
     frame_no = 0

@@ -2940,7 +2940,7 @@ def test_flac_decode_matrix(spark):
     mono = (
         1000 * np.sin(np.arange(3000) * 0.03) + rng.randint(-50, 50, 3000)
     ).astype(np.int64)
-    for sub in ("verbatim", "fixed0", "fixed1", "fixed2"):
+    for sub in ("verbatim", "fixed0", "fixed1", "fixed2", "lpc2"):
         rate, out = decode_flac(encode_flac(mono, 16000, subframe=sub))
         assert rate == 16000 and np.array_equal(out[:, 0], mono), sub
     stereo = np.stack([mono, (mono * 0.7).astype(np.int64) + 3], axis=1)
@@ -2969,3 +2969,21 @@ def test_flac_decode_matrix(spark):
     stat = multimodal.wav_sample_stats(df).collect()[0]
     assert (stat["sample_rate"], stat["n_frames"], stat["channels"]) == (16000, 3000, 1)
     assert stat["mean_sample"] == mono.sum() / len(mono)
+
+
+def test_flac_lpc_and_escape_paths():
+    """The LPC subframe type and the Rice escape-raw partition form —
+    the two less-common decode paths — round-trip exactly from the
+    encoder's lpc2 / escape_bits emission."""
+    import numpy as np
+
+    from graby_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.RandomState(31)
+    mono = rng.randint(-5000, 5000, 2000).astype(np.int64)
+    _, out = decode_flac(encode_flac(mono, 8000, subframe="lpc2"))
+    assert np.array_equal(out[:, 0], mono)
+    _, out = decode_flac(
+        encode_flac(mono, 8000, subframe="fixed1", escape_bits=16, partition_order=2)
+    )
+    assert np.array_equal(out[:, 0], mono)
