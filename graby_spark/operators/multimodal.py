@@ -1066,7 +1066,13 @@ def audio_features(
         for batch in batches:
             out = []
             for mid, payload in zip(batch["media_id"], batch["payload"]):
-                _, samples = decode_wav(bytes(payload or b""))
+                data = bytes(payload or b"")
+                if data[:4] == b"fLaC":
+                    from graby_spark.operators.flac import decode_flac
+
+                    _, samples = decode_flac(data)
+                else:
+                    _, samples = decode_wav(data)
                 ch0 = samples[:, 0].astype(np.float64)
                 n = len(ch0)
                 for w in range((n + window - 1) // window):

@@ -2987,3 +2987,27 @@ def test_flac_lpc_and_escape_paths():
         encode_flac(mono, 8000, subframe="fixed1", escape_bits=16, partition_order=2)
     )
     assert np.array_equal(out[:, 0], mono)
+
+
+def test_audio_features_dispatch_flac(spark):
+    """audio_features treats FLAC payloads exactly like the equivalent
+    WAV: identical windows, RMS and ZCR (the dispatch is transparent)."""
+    import numpy as np
+
+    from graby_spark.operators.flac import encode_flac
+    from graby_spark.operators.multimodal import encode_wav
+
+    rng = np.random.RandomState(33)
+    sig = rng.randint(-3000, 3000, 1200).astype(np.int64)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(sig.astype(np.int16), 8000))),
+            (2, bytearray(encode_flac(sig, 8000))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = multimodal.audio_features(df, window=400).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], {})[r["window"]] = (r["n"], r["rms"], r["zcr"])
+    assert by[1] == by[2] and len(by[1]) == 3
