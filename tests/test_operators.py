@@ -3011,3 +3011,50 @@ def test_audio_features_dispatch_flac(spark):
     for r in rows:
         by.setdefault(r["media_id"], {})[r["window"]] = (r["n"], r["rms"], r["zcr"])
     assert by[1] == by[2] and len(by[1]) == 3
+
+
+def test_flac_handmade_spec_frame():
+    """A FLAC stream assembled bit-by-bit from the spec layout (own
+    MSB-first packer, independent of the module's writer): STREAMINFO,
+    frame header with 8-bit blocksize-at-end coding and UTF-8 frame
+    number, a constant subframe, and real CRCs — whose implementations
+    are themselves pinned by the standard check vectors (CRC-8/0x07 of
+    b'123456789' = 0xF4; CRC-16/0x8005 init 0 = 0xFEE8)."""
+    from graby_spark.operators.flac import _crc8, _crc16, decode_flac
+
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+    bits: list[int] = []
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def to_bytes():
+        ba = bytearray()
+        for i, b in enumerate(bits):
+            if i % 8 == 0:
+                ba.append(0)
+            if b:
+                ba[-1] |= 1 << (7 - (i % 8))
+        return bytes(ba)
+
+    put(4, 16), put(4, 16), put(0, 24), put(0, 24)
+    put(8000, 20), put(0, 3), put(7, 5), put(4, 36)
+    si = to_bytes() + bytes(16)
+    head = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    bits = []
+    put(0b11111111111110, 14), put(0, 1), put(0, 1)
+    put(6, 4), put(0, 4), put(0, 4), put(1, 3), put(0, 1)
+    put(0, 8)  # UTF-8 frame number 0
+    put(3, 8)  # blocksize-1
+    hdr = to_bytes()
+    hdr += bytes([_crc8(hdr)])
+    bits = []
+    put(0, 1), put(0, 6), put(0, 1), put((-5) & 0xFF, 8)  # constant -5
+    body = hdr + to_bytes()
+    frame = body + _crc16(body).to_bytes(2, "big")
+    rate, out = decode_flac(head + frame)
+    assert rate == 8000 and out[:, 0].tolist() == [-5, -5, -5, -5]
