@@ -1934,14 +1934,19 @@ def q_media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real baseline-JPEG decode on the correctness gate.  JPEG is lossy,
-    so the oracle uses the one shape where the DCT math is EXACT: 8x8
-    BLOCK-CONSTANT grayscale images under a unit quantization table (a
-    constant block's DCT is DC-only; quant 1 preserves it; the IDCT
-    returns the constant bit-for-bit).  Block k of image id carries value
+    """Real JPEG decode on the correctness gate — BOTH coding modes:
+    odd ids encode progressive (SOF2: spectral-selection bands +
+    successive-approximation refinement scans), even ids baseline
+    sequential (SOF0).  JPEG is lossy, so the oracle uses the one shape
+    where the DCT math is EXACT: 8x8 BLOCK-CONSTANT grayscale images
+    under a unit quantization table (a constant block's DCT is DC-only;
+    quant 1 preserves it; the IDCT returns the constant bit-for-bit) —
+    and progressive carries the same quantized coefficients as baseline,
+    so its decode is exact too.  Block k of image id carries value
     (id·11 + k) % 256, so the decoded mean is closed-form.  The full
-    entropy pipeline (Huffman DC/AC, zigzag, bit unstuffing) is on the
-    hot path of this value-exact check."""
+    entropy pipeline of both modes (Huffman DC/AC, zigzag, bit
+    unstuffing, EOB-run + correction-bit scans) is on the hot path of
+    this value-exact check."""
     _ship(spark)
     import numpy as np
 
@@ -1960,7 +1965,7 @@ def q_media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nby, nbx
             )
             img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
-            out.append(encode_jpeg(img, quant_luma=ones))
+            out.append(encode_jpeg(img, quant_luma=ones, progressive=bool(mid % 2)))
         return pd.Series(out)
 
     media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
@@ -1970,6 +1975,7 @@ def q_media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id",
         "format",
+        (F.col("media_id") % 2).cast("long").alias("progressive"),
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("channels").cast("long").alias("channels"),
@@ -4784,6 +4790,7 @@ WITH m AS (
 )
 SELECT media_id,
        'jpeg' AS format,
+       CAST(media_id % 2 AS BIGINT) AS progressive,
        CAST(nbx * 8 AS BIGINT) AS width,
        CAST(nby * 8 AS BIGINT) AS height,
        CAST(1 AS BIGINT) AS channels,

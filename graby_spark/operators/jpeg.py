@@ -1,22 +1,32 @@
-"""Baseline JPEG codec in pure numpy — no external image library.
+"""JPEG codec in pure numpy — no external image library.
 
 Closes the last multimodal decode stub (VERDICT r02/r03 "real image
 decode"): ``decode_jpeg`` handles baseline sequential DCT JFIF streams
-(SOF0) — marker parse (DQT 8/16-bit, DHT canonical Huffman, DRI restart
-intervals, SOS), MSB-first entropy-coded segment with 0xFF00 unstuffing
-and RSTn resync, DC-diff + AC run-length Huffman decode, dezigzag,
-dequantize, 8x8 IDCT as two matmuls against the orthonormal DCT-II basis,
-nearest-neighbor chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF
-YCbCr→RGB.  Progressive (SOF2), arithmetic coding, 12-bit precision and
-hierarchical modes raise ``NotImplementedError`` — loud, never a fake.
+(SOF0, SOF1) — marker parse (DQT 8/16-bit, DHT canonical Huffman, DRI
+restart intervals, SOS), MSB-first entropy-coded segment with 0xFF00
+unstuffing and RSTn resync, DC-diff + AC run-length Huffman decode,
+dezigzag, dequantize, 8x8 IDCT as two matmuls against the orthonormal
+DCT-II basis, nearest-neighbor chroma upsampling (4:4:4 / 4:2:2 /
+4:2:0), JFIF YCbCr→RGB — AND progressive streams (SOF2, T.81 Annex G.1.2:
+multi-scan spectral selection + successive approximation, EOB-run
+codes, refinement correction bits, interleaved DC / non-interleaved AC
+scan geometry), the other JPEG mode the web actually serves.
+Arithmetic coding, 12-bit precision, lossless and hierarchical modes
+raise ``NotImplementedError`` — loud, never a fake.
 
 ``encode_jpeg`` is the matching encoder (Annex-K example Huffman tables,
-quality-scaled Annex-K quantization or caller tables, optional 4:2:0).
+quality-scaled Annex-K quantization or caller tables, optional 4:2:0;
+``progressive=True`` writes a SOF2 scan script — DC first/refine,
+per-component AC bands at two successive-approximation levels — with a
+custom flat-9-bit AC table carrying the EOBn symbols Annex K lacks).
 Like the PNG/GIF pairs, encoder and decoder are written independently
 against the spec (ITU-T T.81 / JFIF 1.02), so round-trip tests
 cross-check both; JPEG being lossy, exactness is pinned where the math IS
 exact (flat 8x8-aligned blocks under unit quantization) and tolerance-
-bounded elsewhere.
+bounded elsewhere — plus a mode-equality pin: baseline and progressive
+streams of the same image carry the same quantized coefficients, so
+their decodes must be BIT-IDENTICAL, which cross-checks every
+progressive path against the sequential decoder exactly.
 
 Everything here derives from the public T.81 spec text; no reference-repo
 code is involved (the reference never decodes images at all —
@@ -233,6 +243,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ac_tables: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    store: list[np.ndarray] | None = None  # progressive coefficient planes
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -269,7 +280,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + n])
                 (dc_tables if cls == 0 else ac_tables)[tid] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG unsupported")
@@ -282,8 +293,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": sampling >> 4, "v": sampling & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (non-baseline mode) unsupported"
             )
@@ -293,15 +304,35 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_map = {}
+            scan_comps = []
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_map[cid] = (tables >> 4, tables & 0x0F)
-            return _decode_scan(
-                data, pos + 2 + ln, frame, scan_map, qt, dc_tables, ac_tables,
-                restart_interval,
+                scan_comps.append((cid, (tables >> 4, tables & 0x0F)))
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos + 2 + ln, frame, dict(scan_comps), qt, dc_tables,
+                    ac_tables, restart_interval,
+                )
+            # progressive: accumulate coefficients across scans (T.81 G.1.2)
+            if store is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+                store = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                    for c in frame["comps"]
+                ]
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_, al_ = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            pos = _decode_prog_scan(
+                data, pos + 2 + ln, frame, scan_comps, ss_, se_, ah_, al_,
+                dc_tables, ac_tables, store, restart_interval,
             )
+            continue
         pos += 2 + ln
+    if store is not None:
+        return _reconstruct_progressive(frame, store, qt)
     raise ValueError("JPEG contains no scan data")
 
 
@@ -356,7 +387,11 @@ def _decode_scan(data, pos, frame, scan_map, qt, dc_tables, ac_tables, restart_i
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
-    # upsample to full resolution (nearest), crop, color-convert
+    return _postprocess(planes, comps, h, w, hmax, vmax)
+
+
+def _postprocess(planes, comps, h, w, hmax, vmax):
+    """Upsample to full resolution (nearest), crop, color-convert."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -371,6 +406,203 @@ def _decode_scan(data, pos, frame, scan_map, qt, dc_tables, ac_tables, restart_i
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive mode (SOF2, T.81 G.1.2): coefficients accumulate across
+# scans — spectral-selection bands and successive-approximation bit
+# planes — and a single IDCT pass reconstructs the image at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _comp_blocks(frame, c):
+    """(blocks_y, blocks_x) of a component's NON-interleaved scan grid
+    (T.81 A.2.2: the component's own sample grid, not MCU-padded)."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Stream position of the next real marker at/after ``pos`` —
+    skips entropy bytes, stuffed 0xFF00 pairs and RSTn."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan_comps, ss, se, ah, al,
+    dc_tables, ac_tables, store, restart_interval,
+):
+    """Decode one progressive SOS into ``store`` (zigzag-order int32
+    coefficient planes, mutated in place); returns the position of the
+    marker that follows the scan's entropy data.
+
+    DC scans (Ss=0) may be interleaved; AC scans are one component,
+    non-interleaved, over a spectral band [Ss, Se].  Ah=0 scans deliver
+    the coefficients' high bits (point-transformed by Al); Ah>0 scans
+    refine one successive-approximation bit per coefficient, with the
+    shared-EOB-run correction-bit protocol of G.1.2.3.
+    """
+    comps = frame["comps"]
+    idx = {c["id"]: i for i, c in enumerate(comps)}
+    hmax = max(c["h"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        vmax = max(c["v"] for c in comps)
+        mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+        n_mcus = mcux * mcuy
+    else:
+        bh, bw = _comp_blocks(frame, comps[idx[scan_comps[0][0]]])
+        n_mcus = bh * bw
+    reader = _BitReader(data, pos)
+    eobrun = 0
+    preds = {cid: 0 for cid, _ in scan_comps}
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.restart()
+            preds = {cid: 0 for cid, _ in scan_comps}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(mcu, mcux)
+            for cid, (td, _ta) in scan_comps:
+                c = comps[idx[cid]]
+                plane = store[idx[cid]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block = plane[my * c["v"] + by, mx * c["h"] + bx]
+                        _dc_prog(block, reader, dc_tables.get(td), preds, cid, ah, al)
+        else:
+            cid, (td, ta) = scan_comps[0]
+            by, bx = divmod(mcu, bw)
+            block = store[idx[cid]][by, bx]
+            if ss == 0:
+                _dc_prog(block, reader, dc_tables.get(td), preds, cid, ah, al)
+            elif ah == 0:
+                eobrun = _ac_first(block, reader, ac_tables[ta], ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(block, reader, ac_tables[ta], ss, se, al, eobrun)
+    return _next_marker(data, reader.pos)
+
+
+def _dc_prog(block, reader, dc_t, preds, cid, ah, al):
+    """DC coefficient, progressive: first scan is DPCM over the
+    point-transformed values; refinement is one raw bit at plane Al."""
+    if ah == 0:
+        t = reader.read_code(dc_t)
+        diff = _extend(reader.read_bits(t), t) if t else 0
+        preds[cid] += diff
+        block[0] = preds[cid] << al
+    elif reader.read_bit():
+        block[0] |= 1 << al
+
+
+def _ac_first(block, reader, ac_t, ss, se, al, eobrun):
+    """First AC scan of a band (Ah=0, G.1.2.2): run-length/magnitude
+    codes as in sequential, plus EOBn run codes covering whole blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_code(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index overflow in progressive scan")
+        block[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(block, reader, ac_t, ss, se, al, eobrun):
+    """AC refinement scan (Ah>0, G.1.2.3): newly-significant coefficients
+    arrive as r/s=1 codes whose run counts only zero-history positions;
+    every nonzero-history coefficient crossed — including the remainder
+    of blocks inside an EOB run — carries one correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_code(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: cross 16 zero-history coefficients
+            elif s == 1:
+                val = p1 if reader.read_bit() else m1
+            else:
+                raise ValueError("invalid magnitude in AC refinement scan")
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read_bit() and not (block[k] & p1):
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                if reader.read_bit() and not (block[k] & p1):
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, store, qt):
+    """Dequantize + IDCT every accumulated coefficient block, then the
+    shared upsample/crop/color tail.  The IDCT is evaluated per block
+    with exactly the baseline path's expression (same float association)
+    so a progressive stream decodes bit-identical to the sequential
+    stream carrying the same coefficients; entropy decode dominates the
+    profile, not this loop."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        zz = store[ci].astype(np.float64)  # (by, bx, 64) zigzag order
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz
+        by, bx = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(by, bx, 8, 8) * qt[c["tq"]][None, None]
+        plane = np.empty((by * 8, bx * 8), dtype=np.float64)
+        for m in range(by):
+            for n in range(bx):
+                plane[m * 8 : m * 8 + 8, n * 8 : n * 8 + 8] = (
+                    _C.T @ blocks[m, n] @ _C + 128.0
+                )
+        planes.append(plane)
+    return _postprocess(planes, comps, frame["h"], frame["w"], hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -448,11 +680,16 @@ def encode_jpeg(
     subsample: bool = False,
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
+    progressive: bool = False,
 ) -> bytes:
     """Baseline JFIF from (h, w[, 3]) uint8.  ``subsample=True`` uses
     4:2:0 chroma; explicit quant tables override the quality scaling
     (pass ``np.ones((8, 8))`` for the near-lossless unit-quantizer used
-    by the exactness tests)."""
+    by the exactness tests).  ``progressive=True`` writes SOF2 with a
+    spectral-selection + two-level successive-approximation scan script
+    (DC first/refine, per-component AC bands at Al=1 then their Al=0
+    refinements) — same quantized coefficients as the baseline stream,
+    so both decode to bit-identical pixels."""
     a = np.asarray(arr, dtype=np.float64)
     gray = a.ndim == 2 or a.shape[2] == 1
     if a.ndim == 3 and a.shape[2] == 1:
@@ -507,6 +744,9 @@ def encode_jpeg(
         pp[:, p.shape[1] :] = pp[:, p.shape[1] - 1 : p.shape[1]]
         padded.append(pp)
 
+    if progressive:
+        return _encode_progressive(h, w, gray, padded, samplings, qtabs, qids, ql, qc)
+
     dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -559,6 +799,276 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+#: progressive AC Huffman table: every symbol a progressive encoder can
+#: emit — r/s for s 1..10, ZRL, and the EOBn run codes (r 0..14) that
+#: Annex K's sequential-only tables lack — all at a flat 9 bits
+#: (canonical codes 0..175; the all-ones 9-bit code stays unused, as
+#: T.81 C.2 requires).
+PROG_AC_VALS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(15)]
+    + [0xF0]
+)
+PROG_AC_BITS = [0] * 8 + [len(PROG_AC_VALS)] + [0] * 7
+
+
+def _quantize_plane(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Padded sample plane → (by, bx, 64) quantized coefficients in
+    zigzag order (the addressing progressive scans use).  Evaluated per
+    block with exactly ``_encode_block``'s expression — same float
+    association — so a progressive stream carries the same quantized
+    coefficients as the baseline stream of the same image and both
+    decode bit-identical."""
+    by, bx = p.shape[0] // 8, p.shape[1] // 8
+    out = np.empty((by, bx, 64), dtype=np.int64)
+    for m in range(by):
+        for n in range(bx):
+            block = p[m * 8 : m * 8 + 8, n * 8 : n * 8 + 8]
+            coeffs = _C @ (block - 128.0) @ _C.T
+            out[m, n] = np.round(coeffs / q).astype(np.int64).flatten()[ZIGZAG]
+    return out
+
+
+def _enc_ac_first(writer, blocks, grid, ac_codes, ss, se, al):
+    """AC first scan (T.81 G.1.2.2, encoder): sequential r/s coding of
+    the point-transformed band, EOBn run codes shared across blocks."""
+    bh, bw = grid
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            writer.write(code, ln)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = blocks[by, bx]
+            # point transform: integer division truncating toward zero
+            vals = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                vals.append(-((-v) >> al) if v < 0 else v >> al)
+            kend = -1
+            for i, v in enumerate(vals):
+                if v:
+                    kend = i
+            if kend < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(kend + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    writer.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_codes[(run << 4) | s]
+                writer.write(code, ln)
+                writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if kend < len(vals) - 1:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(writer, blocks, grid, ac_codes, ss, se, al):
+    """AC refinement scan (T.81 G.1.2.3, encoder).  Runs count
+    zero-history positions only; correction bits for crossed
+    nonzero-history coefficients are buffered and flushed after each
+    emitted code — ZRLs are emitted the moment the pending run exceeds
+    15 at ANY nonzero coefficient, so the bit stream interleaves exactly
+    the way the decoder's crossing loop consumes it — and the tail bits
+    of EOB-run blocks ride the shared EOBn code."""
+    bh, bw = grid
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            writer.write(code, ln)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+        for b in pending:
+            writer.write(b, 1)
+        eobrun = 0
+        pending = []
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = blocks[by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            kend = -1  # last newly-significant position
+            for i, av in enumerate(absv):
+                if av == 1:
+                    kend = i
+            if kend < 0:
+                eobrun += 1
+                pending.extend(av & 1 for av in absv if av > 1)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            r = 0
+            br: list[int] = []
+            for i in range(kend + 1):
+                av = absv[i]
+                if av == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    writer.write(code, ln)
+                    r -= 16
+                    for b in br:
+                        writer.write(b, 1)
+                    br = []
+                if av > 1:
+                    br.append(av & 1)
+                    continue
+                code, ln = ac_codes[(r << 4) | 1]
+                writer.write(code, ln)
+                writer.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+                for b in br:
+                    writer.write(b, 1)
+                br = []
+                r = 0
+            if kend < len(absv) - 1:
+                eobrun += 1
+                pending.extend(
+                    absv[i] & 1 for i in range(kend + 1, len(absv)) if absv[i] > 1
+                )
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _encode_progressive(h, w, gray, padded, samplings, qtabs, qids, ql, qc):
+    """Write the SOF2 stream: headers, then the scan script — DC first
+    (Al=1) → per-component AC bands (Al=1) → DC refine → AC refines of
+    the same bands (Al=0)."""
+    qz = [_quantize_plane(p, q) for p, q in zip(padded, qtabs)]
+    ncomp = 1 if gray else 3
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcux = padded[0].shape[1] // (8 * samplings[0][0])
+    mcuy = padded[0].shape[0] // (8 * samplings[0][1])
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    if not gray:
+        dcc = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        dc_codes += [dcc, dcc]
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(ql.flatten()[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qc.flatten()[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samplings[i][0] << 4) | samplings[i][1], qids[i]])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00] + DC_LUMA_BITS + DC_LUMA_VALS))
+    if not gray:
+        out += seg(0xC4, bytes([0x01] + DC_CHROMA_BITS + DC_CHROMA_VALS))
+    out += seg(0xC4, bytes([0x10] + PROG_AC_BITS + PROG_AC_VALS))
+
+    def sos(comp_specs, ss, se, ah, al):
+        p = bytes([len(comp_specs)])
+        for cid, tdta in comp_specs:
+            p += bytes([cid, tdta])
+        return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_blocks():
+        """(comp, by, bx) in DC scan order: interleaved MCU order for
+        color, the component's own row-major grid for grayscale (a
+        one-component scan is non-interleaved per A.2)."""
+        if gray:
+            for by in range(qz[0].shape[0]):
+                for bx in range(qz[0].shape[1]):
+                    yield 0, by, bx
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (sh, sv) in enumerate(samplings):
+                        for by in range(sv):
+                            for bx in range(sh):
+                                yield ci, my * sv + by, mx * sh + bx
+
+    dcspec = [(i + 1, (0 if i == 0 else 1) << 4) for i in range(ncomp)]
+    al = 1
+
+    # scan 1: DC first, point transform Al=1 (arithmetic shift per G.1.2.1)
+    w_ = _BitWriter()
+    preds = [0] * ncomp
+    for ci, by, bx in dc_blocks():
+        v = int(qz[ci][by, bx, 0]) >> al
+        diff = v - preds[ci]
+        preds[ci] = v
+        t = _category(diff)
+        code, ln = dc_codes[ci][t]
+        w_.write(code, ln)
+        if t:
+            w_.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    w_.flush()
+    out += sos(dcspec, 0, 0, 0, al) + w_.out
+
+    # AC first scans: luma split into two spectral bands, chroma whole
+    bands = {0: [(1, 5), (6, 63)]} if not gray else {0: [(1, 63)]}
+    if not gray:
+        bands[1] = [(1, 63)]
+        bands[2] = [(1, 63)]
+    comp_grid = {}
+    for ci in range(ncomp):
+        sh, sv = samplings[ci]
+        ch = -(-h * sv // vmax)  # component sample dims (A.1.1)
+        cw = -(-w * sh // hmax)
+        comp_grid[ci] = (-(-ch // 8), -(-cw // 8))
+    for ci in range(ncomp):
+        for ss_, se_ in bands[ci]:
+            w_ = _BitWriter()
+            _enc_ac_first(w_, qz[ci], comp_grid[ci], ac_codes, ss_, se_, al)
+            w_.flush()
+            out += sos([(ci + 1, 0x00)], ss_, se_, 0, al) + w_.out
+
+    # DC refinement: one raw bit (plane 0) per block
+    w_ = _BitWriter()
+    for ci, by, bx in dc_blocks():
+        w_.write(int(qz[ci][by, bx, 0]) & 1, 1)
+    w_.flush()
+    out += sos(dcspec, 0, 0, 1, 0) + w_.out
+
+    # AC refinements of the same bands
+    for ci in range(ncomp):
+        for ss_, se_ in bands[ci]:
+            w_ = _BitWriter()
+            _enc_ac_refine(w_, qz[ci], comp_grid[ci], ac_codes, ss_, se_, 0)
+            w_.flush()
+            out += sos([(ci + 1, 0x00)], ss_, se_, 1, 0) + w_.out
+
     out += b"\xff\xd9"
     return bytes(out)
 
