@@ -631,6 +631,11 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
 
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn (modulo-8 counter per spec)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
 
 def _scale_quant(table: np.ndarray, quality: int) -> np.ndarray:
     """libjpeg-compatible quality scaling of a base table (public IJG
@@ -681,6 +686,7 @@ def encode_jpeg(
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF from (h, w[, 3]) uint8.  ``subsample=True`` uses
     4:2:0 chroma; explicit quant tables override the quality scaling
@@ -745,7 +751,9 @@ def encode_jpeg(
         padded.append(pp)
 
     if progressive:
-        return _encode_progressive(h, w, gray, padded, samplings, qtabs, qids, ql, qc)
+        return _encode_progressive(
+            h, w, gray, padded, samplings, qtabs, qids, ql, qc, restart_interval
+        )
 
     dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -755,8 +763,13 @@ def encode_jpeg(
 
     writer = _BitWriter()
     preds = [0] * len(planes)
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.restart(mcu_count // restart_interval - 1)
+                preds = [0] * len(planes)
+            mcu_count += 1
             for ci, (p, (sh, sv)) in enumerate(zip(padded, samplings)):
                 for by in range(sv):
                     for bx in range(sh):
@@ -793,6 +806,8 @@ def encode_jpeg(
     if not gray:
         out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
     sos = bytes([len(planes)])
     for i in range(len(planes)):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
@@ -833,9 +848,10 @@ def _quantize_plane(p: np.ndarray, q: np.ndarray) -> np.ndarray:
     return out
 
 
-def _enc_ac_first(writer, blocks, grid, ac_codes, ss, se, al):
+def _enc_ac_first(writer, blocks, grid, ac_codes, ss, se, al, restart_interval=0):
     """AC first scan (T.81 G.1.2.2, encoder): sequential r/s coding of
-    the point-transformed band, EOBn run codes shared across blocks."""
+    the point-transformed band, EOBn run codes shared across blocks.
+    EOB runs never cross a restart boundary (flushed before each RSTn)."""
     bh, bw = grid
     eobrun = 0
 
@@ -849,8 +865,13 @@ def _enc_ac_first(writer, blocks, grid, ac_codes, ss, se, al):
                 writer.write(eobrun - (1 << r), r)
             eobrun = 0
 
+    nblk = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and nblk and nblk % restart_interval == 0:
+                flush_eob()
+                writer.restart(nblk // restart_interval - 1)
+            nblk += 1
             zz = blocks[by, bx]
             # point transform: integer division truncating toward zero
             vals = []
@@ -889,7 +910,7 @@ def _enc_ac_first(writer, blocks, grid, ac_codes, ss, se, al):
     flush_eob()
 
 
-def _enc_ac_refine(writer, blocks, grid, ac_codes, ss, se, al):
+def _enc_ac_refine(writer, blocks, grid, ac_codes, ss, se, al, restart_interval=0):
     """AC refinement scan (T.81 G.1.2.3, encoder).  Runs count
     zero-history positions only; correction bits for crossed
     nonzero-history coefficients are buffered and flushed after each
@@ -914,8 +935,13 @@ def _enc_ac_refine(writer, blocks, grid, ac_codes, ss, se, al):
         eobrun = 0
         pending = []
 
+    nblk = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and nblk and nblk % restart_interval == 0:
+                flush_eob()
+                writer.restart(nblk // restart_interval - 1)
+            nblk += 1
             zz = blocks[by, bx]
             absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
             kend = -1  # last newly-significant position
@@ -963,10 +989,15 @@ def _enc_ac_refine(writer, blocks, grid, ac_codes, ss, se, al):
     flush_eob()
 
 
-def _encode_progressive(h, w, gray, padded, samplings, qtabs, qids, ql, qc):
+def _encode_progressive(
+    h, w, gray, padded, samplings, qtabs, qids, ql, qc, restart_interval=0
+):
     """Write the SOF2 stream: headers, then the scan script — DC first
     (Al=1) → per-component AC bands (Al=1) → DC refine → AC refines of
-    the same bands (Al=0)."""
+    the same bands (Al=0).  A nonzero ``restart_interval`` emits DRI and
+    RSTn markers in every scan (MCU-counted in the DC scans,
+    block-counted in the non-interleaved AC scans), resetting DC
+    predictions and EOB runs exactly as the decoder expects."""
     qz = [_quantize_plane(p, q) for p, q in zip(padded, qtabs)]
     ncomp = 1 if gray else 3
     hmax = max(s[0] for s in samplings)
@@ -995,6 +1026,8 @@ def _encode_progressive(h, w, gray, padded, samplings, qtabs, qids, ql, qc):
     if not gray:
         out += seg(0xC4, bytes([0x01] + DC_CHROMA_BITS + DC_CHROMA_VALS))
     out += seg(0xC4, bytes([0x10] + PROG_AC_BITS + PROG_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
 
     def sos(comp_specs, ss, se, ah, al):
         p = bytes([len(comp_specs)])
@@ -1002,21 +1035,23 @@ def _encode_progressive(h, w, gray, padded, samplings, qtabs, qids, ql, qc):
             p += bytes([cid, tdta])
         return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
 
-    def dc_blocks():
-        """(comp, by, bx) in DC scan order: interleaved MCU order for
-        color, the component's own row-major grid for grayscale (a
-        one-component scan is non-interleaved per A.2)."""
+    def dc_mcus():
+        """MCUs as lists of (comp, by, bx): interleaved MCU order for
+        color, one block per MCU for grayscale (a one-component scan is
+        non-interleaved per A.2)."""
         if gray:
             for by in range(qz[0].shape[0]):
                 for bx in range(qz[0].shape[1]):
-                    yield 0, by, bx
+                    yield [(0, by, bx)]
         else:
             for my in range(mcuy):
                 for mx in range(mcux):
-                    for ci, (sh, sv) in enumerate(samplings):
-                        for by in range(sv):
-                            for bx in range(sh):
-                                yield ci, my * sv + by, mx * sh + bx
+                    yield [
+                        (ci, my * sv + by, mx * sh + bx)
+                        for ci, (sh, sv) in enumerate(samplings)
+                        for by in range(sv)
+                        for bx in range(sh)
+                    ]
 
     dcspec = [(i + 1, (0 if i == 0 else 1) << 4) for i in range(ncomp)]
     al = 1
@@ -1024,15 +1059,19 @@ def _encode_progressive(h, w, gray, padded, samplings, qtabs, qids, ql, qc):
     # scan 1: DC first, point transform Al=1 (arithmetic shift per G.1.2.1)
     w_ = _BitWriter()
     preds = [0] * ncomp
-    for ci, by, bx in dc_blocks():
-        v = int(qz[ci][by, bx, 0]) >> al
-        diff = v - preds[ci]
-        preds[ci] = v
-        t = _category(diff)
-        code, ln = dc_codes[ci][t]
-        w_.write(code, ln)
-        if t:
-            w_.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    for mcu, units in enumerate(dc_mcus()):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            w_.restart(mcu // restart_interval - 1)
+            preds = [0] * ncomp
+        for ci, by, bx in units:
+            v = int(qz[ci][by, bx, 0]) >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = _category(diff)
+            code, ln = dc_codes[ci][t]
+            w_.write(code, ln)
+            if t:
+                w_.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
     w_.flush()
     out += sos(dcspec, 0, 0, 0, al) + w_.out
 
@@ -1050,14 +1089,19 @@ def _encode_progressive(h, w, gray, padded, samplings, qtabs, qids, ql, qc):
     for ci in range(ncomp):
         for ss_, se_ in bands[ci]:
             w_ = _BitWriter()
-            _enc_ac_first(w_, qz[ci], comp_grid[ci], ac_codes, ss_, se_, al)
+            _enc_ac_first(
+                w_, qz[ci], comp_grid[ci], ac_codes, ss_, se_, al, restart_interval
+            )
             w_.flush()
             out += sos([(ci + 1, 0x00)], ss_, se_, 0, al) + w_.out
 
     # DC refinement: one raw bit (plane 0) per block
     w_ = _BitWriter()
-    for ci, by, bx in dc_blocks():
-        w_.write(int(qz[ci][by, bx, 0]) & 1, 1)
+    for mcu, units in enumerate(dc_mcus()):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            w_.restart(mcu // restart_interval - 1)
+        for ci, by, bx in units:
+            w_.write(int(qz[ci][by, bx, 0]) & 1, 1)
     w_.flush()
     out += sos(dcspec, 0, 0, 1, 0) + w_.out
 
@@ -1065,7 +1109,9 @@ def _encode_progressive(h, w, gray, padded, samplings, qtabs, qids, ql, qc):
     for ci in range(ncomp):
         for ss_, se_ in bands[ci]:
             w_ = _BitWriter()
-            _enc_ac_refine(w_, qz[ci], comp_grid[ci], ac_codes, ss_, se_, 0)
+            _enc_ac_refine(
+                w_, qz[ci], comp_grid[ci], ac_codes, ss_, se_, 0, restart_interval
+            )
             w_.flush()
             out += sos([(ci + 1, 0x00)], ss_, se_, 1, 0) + w_.out
 

@@ -186,6 +186,28 @@ def test_progressive_hand_assembled_stream():
     assert np.array_equal(out[:, :, 0], expected)
 
 
+def test_restart_intervals_both_modes():
+    """DRI/RSTn: the encoder emits restart markers (DC predictions and
+    EOB runs reset at each boundary) and both decoders resync — decoded
+    pixels must equal the marker-free stream's decode exactly."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(17, 25), dtype=np.uint8)
+    for src, kw in [
+        (img, dict(quant_luma=ONES, quant_chroma=ONES)),
+        (img, dict(quality=70, subsample=True)),
+        (gray, dict(quant_luma=ONES)),
+    ]:
+        plain = decode_jpeg(encode_jpeg(src, **kw))
+        for ri in (1, 2, 5):
+            seq = encode_jpeg(src, restart_interval=ri, **kw)
+            prog = encode_jpeg(src, restart_interval=ri, progressive=True, **kw)
+            assert b"\xff\xdd" in seq and b"\xff\xd0" in seq
+            assert b"\xff\xdd" in prog and b"\xff\xd0" in prog
+            assert np.array_equal(decode_jpeg(seq), plain), ri
+            assert np.array_equal(decode_jpeg(prog), plain), ri
+
+
 def test_progressive_dispatch_through_decode_image():
     """decode_image routes SOF2 streams through the same JPEG entry."""
     from graby_spark.operators import multimodal
