@@ -2529,6 +2529,94 @@ def q_join_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction to normalized grids (operators/tables.py):
+    deterministic pages carry one table each — a header row (sometimes
+    thead-wrapped, sometimes bare th), 3-4 data rows, 2-3 columns, and
+    for odd ids a rowspan=2 cell whose value must fill down into the
+    covered slot — so the span-aware grid algorithm, header detection
+    and document-order table walk are all on a closed-form oracle.
+
+    STAGED FOR THE r05 REGISTRY ROTATION: the r04 driver sweep cap (50)
+    is exactly filled by the never-driver-verified block, so this query
+    is pytest-gated against the same DuckDB oracle (tests/test_tables.py)
+    until the r05 rotation promotes it into ``queries()``."""
+    _ship(spark)
+    from graby_spark.operators.tables import extract_tables
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 5 = 0")
+
+    @F.pandas_udf("string")
+    def gen_html(ids: pd.Series) -> pd.Series:
+        def page(i: int) -> str:
+            i = int(i)
+            nrows, ncols = 3 + i % 2, 2 + i % 2
+            hdr = "".join(f"<th>h{c}</th>" for c in range(ncols))
+            hdr_row = f"<tr>{hdr}</tr>"
+            if i % 3 == 0:
+                hdr_row = f"<thead>{hdr_row}</thead>"
+            body = []
+            for r in range(1, nrows + 1):
+                cells = []
+                for c in range(ncols):
+                    if i % 2 == 1 and r == 2 and c == 0:
+                        continue  # slot covered by row 1's rowspan
+                    span = (
+                        ' rowspan="2"' if (i % 2 == 1 and r == 1 and c == 0) else ""
+                    )
+                    cells.append(f"<td{span}>{(i * 7 + r * ncols + c) % 100}</td>")
+                body.append("<tr>" + "".join(cells) + "</tr>")
+            return (
+                "<html><body><p>intro</p><table>"
+                + hdr_row
+                + "".join(body)
+                + "</table></body></html>"
+            )
+
+        return pd.Series([page(i) for i in ids])
+
+    pages = docs.select(
+        F.concat(F.lit("http://tables.example/"), F.col("doc_id")).alias("url"),
+        gen_html("doc_id").alias("html"),
+    )
+    rows = extract_tables(pages)
+    return rows.select(
+        "url",
+        "table_idx",
+        "row_idx",
+        "is_header",
+        "n_cols",
+        F.array_join("cells", "|").alias("cells_str"),
+    )
+
+
+#: oracle for the staged query above — same DuckDB dialect as
+#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+R05_ORACLE_EXTRACT_HTML_TABLES = """
+WITH m AS (
+  SELECT doc_id AS id, 3 + doc_id % 2 AS nr, 2 + doc_id % 2 AS nc
+  FROM documents WHERE doc_id % 5 = 0
+), rows_ AS (
+  SELECT id, nr, nc, unnest(range(0, nr + 1)) AS r FROM m
+)
+SELECT 'http://tables.example/' || id AS url,
+       CAST(0 AS INT) AS table_idx,
+       CAST(r AS INT) AS row_idx,
+       r = 0 AS is_header,
+       CAST(nc AS INT) AS n_cols,
+       CASE WHEN r = 0
+            THEN list_aggregate(list_transform(range(nc), c -> 'h' || c),
+                                'string_agg', '|')
+            ELSE list_aggregate(list_transform(range(nc), c ->
+                 CAST(CASE WHEN id % 2 = 1 AND r = 2 AND c = 0
+                      THEN (id * 7 + nc) % 100
+                      ELSE (id * 7 + r * nc + c) % 100 END AS VARCHAR)),
+                 'string_agg', '|')
+       END AS cells_str
+FROM rows_
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep, which caps at 50
     # queries taken in dict order (VERDICT r03 #2): the leading block holds
