@@ -1623,7 +1623,10 @@ def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-content URL-shape features for frontier ranking: six planted
     URL shapes (root, article slug, index page, tilde user page, query
     search, numeric directory) through graby_spark.urls.url_features;
-    the oracle replays the same RE2-safe regex arithmetic in DuckDB."""
+    the oracle replays the same RE2-safe regex arithmetic in DuckDB.
+    Hosts vary across the shapes (www-prefixed multi-label ccTLD,
+    deep subdomain, bare IP literal) so the eTLD+1 ``registrable_domain``
+    column exercises every branch of the PSL-subset algorithm."""
     from graby_spark.urls import url_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1631,11 +1634,11 @@ def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         """
         CASE cast(doc_id % 6 AS int)
-        WHEN 0 THEN 'http://www.ex.com/'
+        WHEN 0 THEN 'http://www.news.co.uk/'
         WHEN 1 THEN concat('http://ex.com/a/b/my-article-', doc_id, '.html')
         WHEN 2 THEN 'http://ex.com/blog/index.html'
-        WHEN 3 THEN concat('http://ex.com/~user', doc_id % 5, '/page', doc_id)
-        WHEN 4 THEN concat('http://ex.com/search?q=spark&page=', doc_id % 9)
+        WHEN 3 THEN concat('http://a.blog.example.org/~user', doc_id % 5, '/page', doc_id)
+        WHEN 4 THEN concat('http://192.168.4.21/search?q=spark&page=', doc_id % 9)
         ELSE concat('http://ex.com/p/', doc_id, '/')
         END as url
         """,
@@ -2590,6 +2593,15 @@ def q_extract_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _suffixes_sql() -> str:
+    """The PSL-subset literal shared with the engine expression, as a
+    SQL IN-list — imported from urls.MULTI_LABEL_SUFFIXES so the two
+    sides cannot drift."""
+    from graby_spark.urls import MULTI_LABEL_SUFFIXES
+
+    return ",".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+
+
 #: oracle for the staged query above — same DuckDB dialect as
 #: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
 R05_ORACLE_EXTRACT_HTML_TABLES = """
@@ -3434,11 +3446,11 @@ FROM best WHERE rn = 1
 WITH pages AS (
   SELECT doc_id,
     CASE doc_id % 6
-    WHEN 0 THEN 'http://www.ex.com/'
+    WHEN 0 THEN 'http://www.news.co.uk/'
     WHEN 1 THEN concat('http://ex.com/a/b/my-article-', doc_id, '.html')
     WHEN 2 THEN 'http://ex.com/blog/index.html'
-    WHEN 3 THEN concat('http://ex.com/~user', doc_id % 5, '/page', doc_id)
-    WHEN 4 THEN concat('http://ex.com/search?q=spark&page=', doc_id % 9)
+    WHEN 3 THEN concat('http://a.blog.example.org/~user', doc_id % 5, '/page', doc_id)
+    WHEN 4 THEN concat('http://192.168.4.21/search?q=spark&page=', doc_id % 9)
     ELSE concat('http://ex.com/p/', doc_id, '/')
     END AS url
   FROM documents
@@ -3446,11 +3458,13 @@ WITH pages AS (
   SELECT doc_id, url,
     regexp_replace(regexp_replace(url, '^[a-z][a-z0-9+.\\-]*://[^/?#]*', ''), '[?#].*$', '') AS path,
     regexp_extract(url, '\\?([^#]*)', 1) AS query,
-    length(regexp_replace(url, '[^0-9]', '', 'g')) AS n_digits
+    length(regexp_replace(url, '[^0-9]', '', 'g')) AS n_digits,
+    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)), '\\.$', '') AS host
   FROM pages
 ), g AS (
   SELECT *, list_filter(string_split(path, '/'), s -> s <> '') AS segs,
-    regexp_extract(path, '([^/]+)/?$', 1) AS slug
+    regexp_extract(path, '([^/]+)/?$', 1) AS slug,
+    string_split(host, '.') AS parts
   FROM f
 )
 SELECT doc_id, url,
@@ -3461,9 +3475,14 @@ SELECT doc_id, url,
   contains(path, '~') AS has_tilde,
   (query = '' AND len(segs) >= 1
    AND regexp_matches(slug, '^[A-Za-z0-9][A-Za-z0-9_\\-]*(\\.html?)?$')
-   AND NOT regexp_matches(lower(slug), '^(index|default)(\\.html?)?$')) AS is_article_like
+   AND NOT regexp_matches(lower(slug), '^(index|default)(\\.html?)?$')) AS is_article_like,
+  CASE WHEN regexp_matches(host, '^\\d{1,3}(\\.\\d{1,3}){3}$') OR len(parts) <= 2 THEN host
+       WHEN array_to_string(parts[len(parts)-1:len(parts)], '.') IN (@SUFFIXES@)
+         THEN array_to_string(parts[len(parts)-2:len(parts)], '.')
+       ELSE array_to_string(parts[len(parts)-1:len(parts)], '.')
+  END AS registrable_domain
 FROM g
-""",
+""".replace("@SUFFIXES@", _suffixes_sql()),
         "text_chunks": """
 WITH base AS (
   SELECT doc_id AS doc,

@@ -25,6 +25,8 @@ __all__ = [
     "allowed_filter_expr",
     "canonical_url_expr",
     "normalize_host_expr",
+    "registrable_domain_expr",
+    "MULTI_LABEL_SUFFIXES",
 ]
 
 _SCHEME_RE = re.compile(r"^(https?|feed)://", re.I)
@@ -184,6 +186,96 @@ def canonical_url_expr(url_col: str | Column = "url") -> Column:
     return c
 
 
+#: multi-label public suffixes for eTLD+1 grouping — a documented SUBSET
+#: of the Mozilla Public Suffix List covering the common two-label
+#: country registries (the full PSL is an external ~15k-rule dataset;
+#: this built-in list handles the bulk of real traffic and the
+#: single-label default rule covers everything else).  Three-label and
+#: wildcard PSL rules are intentionally out of scope.  Sorted tuple so
+#: the engine expression and any SQL oracle share one literal order.
+MULTI_LABEL_SUFFIXES = tuple(sorted(
+    suffix
+    for group in (
+        # UK / IE
+        ("co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk"),
+        # Japan / Korea / Taiwan / China / HK / SG
+        ("co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp"),
+        ("co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr", "pe.kr"),
+        ("com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw"),
+        ("com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn"),
+        ("com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk"),
+        ("com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg"),
+        # Oceania
+        ("com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au"),
+        ("co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz", "maori.nz"),
+        # Americas
+        ("com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br"),
+        ("com.mx", "org.mx", "gob.mx", "edu.mx", "net.mx"),
+        ("com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar"),
+        ("com.co", "net.co", "org.co", "edu.co", "gov.co"),
+        ("com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe"),
+        # South / Southeast Asia
+        ("co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "ac.in", "gov.in"),
+        ("co.th", "in.th", "ac.th", "go.th", "or.th", "net.th"),
+        ("com.my", "net.my", "org.my", "gov.my", "edu.my"),
+        ("com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn"),
+        ("com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph"),
+        ("co.id", "or.id", "ac.id", "go.id", "web.id", "my.id"),
+        ("com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd"),
+        ("com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk"),
+        # Middle East / Africa
+        ("com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "gen.tr", "web.tr"),
+        ("co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il"),
+        ("com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa"),
+        ("com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg"),
+        ("co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za"),
+        ("co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke"),
+        ("com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng"),
+        # Europe
+        ("com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl", "info.pl", "biz.pl"),
+        ("com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua", "kiev.ua"),
+        ("com.ru", "net.ru", "org.ru", "pp.ru", "msk.ru", "spb.ru"),
+        ("com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr"),
+        ("com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "int.pt"),
+        ("com.es", "nom.es", "org.es", "gob.es", "edu.es"),
+        ("co.at", "or.at", "ac.at", "gv.at", "priv.at"),
+        ("co.hu", "org.hu", "info.hu", "priv.hu", "sport.hu"),
+        ("com.ro", "org.ro", "nom.ro", "info.ro", "arts.ro"),
+    )
+    for suffix in group
+))
+
+
+def registrable_domain_expr(url_col: str | Column = "url") -> Column:
+    """eTLD+1 (registrable domain) as one pure-JVM expression — the
+    site-level grouping key crawl politeness, domain priors and
+    per-site dedup shard on (grouping by raw host splits one site into
+    www./m./amp. shards; grouping by last-2-labels merges every
+    ``*.co.uk`` site into one).
+
+    Algorithm: lowercase host, trailing dot stripped; IP literals pass
+    through whole; if the last TWO labels form a known multi-label
+    public suffix (:data:`MULTI_LABEL_SUFFIXES`) the registrable domain
+    is the last THREE labels, otherwise the last two (single-label
+    default rule of the PSL algorithm).  Fully codegen (split + slice +
+    IN), no UDF, no shuffle; the same arithmetic is SQL-replayable and
+    gated on the ``url_features`` driver oracle.
+    """
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.lower(F.regexp_extract(col, r"^[a-zA-Z]+://([^/:?#]+)", 1))
+    host = F.regexp_replace(host, r"\.$", "")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    last3 = F.concat_ws(".", F.slice(labels, -3, 3))
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (
+        F.when(is_ip | (n <= 2), host)
+        .when(last2.isin(*MULTI_LABEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Crawl-prioritization / quality features from URL shape alone —
     the zero-content signals a frontier ranks on before fetching
@@ -197,6 +289,8 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     - ``has_tilde``      — user-page marker (``/~alice/``)
     - ``is_article_like``— path ends in a slug or .htm(l), not an index
                            root, no query string (cheap article prior)
+    - ``registrable_domain`` — eTLD+1 site key
+                           (:func:`registrable_domain_expr`)
 
     Pure JVM expressions appended as columns; narrow, no shuffle, fully
     codegen — run it on 10^12 frontier candidates without a Python
@@ -229,4 +323,5 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
             & slug.rlike(r"^[A-Za-z0-9][A-Za-z0-9_\-]*(\.html?)?$")
             & ~F.lower(slug).rlike(r"^(index|default)(\.html?)?$")
         ).alias("is_article_like"),
+        registrable_domain_expr(u).alias("registrable_domain"),
     )

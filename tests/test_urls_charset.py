@@ -215,3 +215,34 @@ def test_url_features_shapes():
     assert q["path_len"] == len("/search")
     assert rows[6]["path_depth"] == 0 and rows[6]["digit_ratio"] == 0.0
     assert abs(a["digit_ratio"] - 2 / len("http://ex.com/a/b/my-article-42.html")) < 1e-12
+    assert rows[1]["registrable_domain"] == "ex.com"  # www stripped by +1 rule
+    assert rows[6]["registrable_domain"] == ""
+
+
+def test_registrable_domain_expr():
+    """eTLD+1: multi-label public suffixes keep three labels, the
+    single-label default rule keeps two, IP literals pass whole."""
+    from pyspark.sql import functions as F
+
+    from graby_spark.session import get_spark
+    from graby_spark.urls import registrable_domain_expr
+
+    spark = get_spark(master="local[2]")
+    spark.sparkContext.setLogLevel("ERROR")
+    cases = [
+        ("http://www.bbc.co.uk/news", "bbc.co.uk"),
+        ("https://a.b.example.co.jp/x", "example.co.jp"),
+        ("http://blog.example.com/", "example.com"),
+        ("http://example.com", "example.com"),
+        ("http://EXAMPLE.ORG./p", "example.org"),  # case + trailing dot
+        ("http://192.168.0.1/admin", "192.168.0.1"),
+        ("http://localhost/x", "localhost"),  # single label passes whole
+        ("http://sub.domain.com.au:8080/p", "domain.com.au"),  # port excluded
+        ("http://deep.a.b.c.d.net/", "d.net"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [
+        r[0]
+        for r in df.select(registrable_domain_expr("url")).collect()
+    ]
+    assert got == [e for _, e in cases]
