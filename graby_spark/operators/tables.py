@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_tables", "table_stats"]
+__all__ = ["extract_tables", "table_stats", "tables_to_markdown"]
 
 _SECTION_TAGS = {"thead", "tbody", "tfoot"}
 
@@ -222,4 +222,52 @@ def table_stats(rows: DataFrame) -> DataFrame:
         (F.sum("_empty") / F.greatest(F.sum("_width"), F.lit(1.0))).alias(
             "empty_ratio"
         ),
+    )
+
+
+def tables_to_markdown(rows: DataFrame) -> DataFrame:
+    """:func:`extract_tables` output → one GitHub-markdown string per
+    table: ``(url, table_idx, n_rows, markdown)``.
+
+    The first grid row becomes the markdown header when it IS a header
+    row; otherwise an empty header of the table's width is synthesized
+    (markdown tables require one).  Pipes inside cells are escaped.
+    Rendering is entirely JVM higher-order functions over one
+    collect_list per table — a single shuffle on the (url, table_idx)
+    key, no Python worker — so the serialization a corpus-prep job runs
+    on billions of tables stays in whole-stage codegen."""
+
+    def line(cells):
+        return F.concat(
+            F.lit("| "),
+            F.array_join(
+                F.transform(cells, lambda c: F.regexp_replace(c, r"\|", r"\\|")),
+                " | ",
+            ),
+            F.lit(" |"),
+        )
+
+    g = rows.groupBy("url", "table_idx").agg(
+        F.sort_array(
+            F.collect_list(F.struct("row_idx", "is_header", "cells"))
+        ).alias("rs"),
+        F.max(F.size("cells")).cast("int").alias("w"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    first = F.element_at("rs", 1)
+    has_hdr = F.coalesce(first["is_header"], F.lit(False))
+    empty_hdr = F.transform(F.sequence(F.lit(1), F.col("w")), lambda _: F.lit(""))
+    hdr_line = F.when(has_hdr, line(first["cells"])).otherwise(line(empty_hdr))
+    sep_line = line(
+        F.transform(F.sequence(F.lit(1), F.col("w")), lambda _: F.lit("---"))
+    )
+    body = F.when(
+        has_hdr, F.slice("rs", 2, F.greatest(F.size("rs") - 1, F.lit(0)))
+    ).otherwise(F.col("rs"))
+    body_lines = F.transform(body, lambda r: line(r["cells"]))
+    md = F.array_join(
+        F.concat(F.array(hdr_line, sep_line), body_lines), "\n"
+    )
+    return g.where(F.col("w") > 0).select(
+        "url", "table_idx", "n_rows", md.alias("markdown")
     )

@@ -131,6 +131,49 @@ def test_extract_tables_and_stats_spark(spark):
     assert out[0].cells == ["z"]
 
 
+def test_tables_to_markdown(spark):
+    from graby_spark.operators.tables import tables_to_markdown
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                "<table><tr><th>a</th><th>b|c</th></tr>"
+                "<tr><td>1</td><td>2</td></tr></table>"
+                "<table><tr><td>x</td><td>y</td></tr></table>",
+            )
+        ],
+        ["url", "html"],
+    )
+    out = {
+        (r.url, r.table_idx): r.markdown
+        for r in tables_to_markdown(extract_tables(pages)).collect()
+    }
+    assert out[("u1", 0)] == "| a | b\\|c |\n| --- | --- |\n| 1 | 2 |"
+    # headerless table gets a synthesized empty header
+    assert out[("u1", 1)] == "|  |  |\n| --- | --- |\n| x | y |"
+
+
+def test_real_fixture_page_smoke():
+    """A real crawled page (clubic, ~100 KB of tag soup with layout and
+    data tables) must extract without error and produce sane grids."""
+    import glob
+
+    paths = glob.glob("fixtures/content/*clubic*")
+    assert paths
+    html = open(paths[0], encoding="utf-8", errors="replace").read()
+    tables = doc_tables(html)
+    assert len(tables) >= 1
+    for rows in tables:
+        for is_header, cells in rows:
+            assert isinstance(is_header, bool)
+            assert all(isinstance(c, str) for c in cells)
+    # at least one real data table with multiple columns exists on the page
+    assert any(
+        any(len(cells) >= 2 for _, cells in rows) for rows in tables
+    )
+
+
 def test_staged_r05_query_matches_duckdb_oracle(spark):
     """The staged driver query (q_extract_html_tables) against its
     DuckDB oracle at sf0.001 — same comparison the driver runs, kept
