@@ -400,3 +400,42 @@ def test_flac_parser_total(tail):
             decode_flac(data, max_samples=4096)
         except ValueError:
             pass
+
+
+@given(st.text(max_size=3000))
+@settings(max_examples=200, deadline=None)
+def test_doc_tables_total(text):
+    """Table extraction is total over arbitrary text: a crash inside the
+    mapInPandas batch would kill the whole task at corpus scale."""
+    from graby_spark.operators.tables import doc_tables
+
+    for rows in doc_tables(text):
+        for is_header, cells in rows:
+            assert isinstance(is_header, bool)
+            assert all(isinstance(c, str) for c in cells)
+
+
+_TABLE_BITS = st.lists(
+    st.sampled_from(
+        [
+            "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+            "<th>", "</th>", "<thead>", "</thead>", "<tbody>", "</tbody>",
+            '<td colspan="2">', '<td rowspan="3">', '<td colspan="999999">',
+            '<td rowspan="-1">', "text", "<p>x</p>", "<div>",
+        ]
+    ),
+    max_size=60,
+)
+
+
+@given(_TABLE_BITS)
+@settings(max_examples=200, deadline=None)
+def test_doc_tables_structured_soup_total(bits):
+    """Adversarial table-tag soup (orphan cells, giant/negative spans,
+    unclosed sections) never crashes and never produces a ragged row
+    wider than the span clamp allows."""
+    from graby_spark.operators.tables import doc_tables
+
+    for rows in doc_tables("".join(bits)):
+        for _, cells in rows:
+            assert len(cells) <= 4000  # spans clamp at 1000 per cell
