@@ -15,7 +15,8 @@ Arithmetic coding, 12-bit precision, lossless and hierarchical modes
 raise ``NotImplementedError`` — loud, never a fake.
 
 ``encode_jpeg`` is the matching encoder (Annex-K example Huffman tables,
-quality-scaled Annex-K quantization or caller tables, optional 4:2:0;
+quality-scaled Annex-K quantization or caller tables, optional 4:2:0
+or 4:2:2 chroma;
 ``progressive=True`` writes a SOF2 scan script — DC first/refine,
 per-component AC bands at two successive-approximation levels — with a
 custom flat-9-bit AC table carrying the EOBn symbols Annex K lacks).
@@ -682,14 +683,16 @@ def _encode_block(writer, block, q, dc_codes, ac_codes, pred):
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 85,
-    subsample: bool = False,
+    subsample: bool | str = False,
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
     progressive: bool = False,
     restart_interval: int = 0,
 ) -> bytes:
-    """Baseline JFIF from (h, w[, 3]) uint8.  ``subsample=True`` uses
-    4:2:0 chroma; explicit quant tables override the quality scaling
+    """Baseline JFIF from (h, w[, 3]) uint8.  ``subsample`` picks the
+    chroma layout: False → 4:4:4, True or "420" → 4:2:0, "422" →
+    horizontal-only 4:2:2 (the other sampling the web commonly serves).
+    Explicit quant tables override the quality scaling
     (pass ``np.ones((8, 8))`` for the near-lossless unit-quantizer used
     by the exactness tests).  ``progressive=True`` writes SOF2 with a
     spectral-selection + two-level successive-approximation scan script
@@ -724,15 +727,25 @@ def encode_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample:
+        mode = "420" if subsample is True else (subsample or "444")
+        if mode == "420":
             # 2x2 mean pool, padding to even dims first
             cb2 = _pad(cb, 2)
             cr2 = _pad(cr, 2)
             cb = cb2.reshape(cb2.shape[0] // 2, 2, cb2.shape[1] // 2, 2).mean(axis=(1, 3))
             cr = cr2.reshape(cr2.shape[0] // 2, 2, cr2.shape[1] // 2, 2).mean(axis=(1, 3))
             samplings = [(2, 2), (1, 1), (1, 1)]
-        else:
+        elif mode == "422":
+            # horizontal-only 2x1 mean pool
+            cb2 = _pad(cb, 2)[: cb.shape[0]]
+            cr2 = _pad(cr, 2)[: cr.shape[0]]
+            cb = cb2.reshape(cb2.shape[0], cb2.shape[1] // 2, 2).mean(axis=2)
+            cr = cr2.reshape(cr2.shape[0], cr2.shape[1] // 2, 2).mean(axis=2)
+            samplings = [(2, 1), (1, 1), (1, 1)]
+        elif mode == "444":
             samplings = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unknown subsample mode {subsample!r}")
         planes = [y, cb, cr]
         qtabs = [ql, qc, qc]
         qids = [0, 1, 1]

@@ -14,7 +14,7 @@ PNG, GIF, JPEG and WAV decode are REAL, stdlib+numpy only:
   interlace de-weave; ``encode_gif`` is the matching encoder.
 * ``decode_wav`` — RIFF chunk walk, 8/16-bit PCM to an (frames,
   channels) sample array; ``encode_wav`` the canonical writer.
-* ``operators.jpeg.decode_jpeg`` — baseline sequential JPEG in pure
+* ``operators.jpeg.decode_jpeg`` — baseline AND progressive JPEG in pure
   numpy (Huffman entropy decode, dequant, 8x8 IDCT, chroma upsample,
   YCbCr→RGB); ``encode_jpeg`` the matching encoder.
 * ``operators.webp.decode_webp`` — WebP lossless (VP8L subset: both
@@ -2049,7 +2049,7 @@ def encode_wav_adpcm(
 
 
 def decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
-    """Image decode dispatch — PNG, GIF, baseline JPEG and lossless WebP
+    """Image decode dispatch — PNG, GIF, JPEG (baseline + progressive) and lossless WebP
     (VP8L subset) are all decoded FOR REAL (:func:`decode_png` /
     :func:`decode_gif` / :func:`graby_spark.operators.jpeg.decode_jpeg` /
     :func:`graby_spark.operators.webp.decode_webp`; stdlib + numpy
@@ -2094,7 +2094,7 @@ def decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
 def image_pixel_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
-    """Real image decode (PNG / GIF / baseline JPEG, dispatched by magic)
+    """Real image decode (PNG / GIF / JPEG incl. progressive, dispatched by magic)
     → (media_id, format, width, height, channels, mean_pixel); unrounded
     mean for cross-engine exactness like :func:`png_pixel_stats`."""
     src = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))

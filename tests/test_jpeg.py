@@ -229,3 +229,27 @@ def test_decode_image_dispatch_and_features():
     out = multimodal.decode_image(data, strict=True)
     assert out.shape == (16, 16, 1)
     assert float(out.mean()) == 128.0
+
+
+def test_422_chroma_both_modes():
+    """4:2:2 (horizontal-only) chroma — the other sampling the web
+    serves — round-trips in both coding modes and stays bit-identical
+    between them."""
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 256, size=(21, 37, 3), dtype=np.uint8)
+    seq = encode_jpeg(img, subsample="422", quant_luma=ONES, quant_chroma=ONES)
+    sof = seq.index(b"\xff\xc0")
+    assert seq[sof + 2 + 2 + 6 + 1] == 0x21  # luma sampling h=2, v=1
+    base = decode_jpeg(seq)
+    prog = decode_jpeg(
+        encode_jpeg(img, subsample="422", quant_luma=ONES, quant_chroma=ONES,
+                    progressive=True)
+    )
+    assert base.shape == (21, 37, 3)
+    assert np.array_equal(base, prog)
+    flat = np.full((16, 32, 3), 200, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(flat, subsample="422", quality=90))
+    assert np.abs(out.astype(int) - 200).max() <= 6
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        encode_jpeg(img, subsample="411")
