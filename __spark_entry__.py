@@ -2634,9 +2634,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries taken in dict order (VERDICT r03 #2): the leading block holds
     # every key that has never appeared in a driver artifact (the 19 keys
     # CORRECTNESS_r03 had no room for) plus this round's new queries, so
-    # the union of driver artifacts r03+r04 covers the full registry.
+    # the union of driver artifacts r01..r04 covers the full registry
+    # (62 keys seen in r01-r03 + these 50 = 112 exactly).
     # Everything has a green row in the locally-published full-registry
     # artifact regardless of this rotation.
+    # r05 rotation note: once CORRECTNESS_r04 lands, every current key is
+    # driver-verified — the staged queries (q_extract_html_tables with
+    # R05_ORACLE_EXTRACT_HTML_TABLES, multimodal.video_phash) should then
+    # be promoted into this dict AT THE FRONT.
     return {
         # --- never driver-verified (r03 overflow + new in r04): MUST all
         # --- sit within the driver sweep's 50-query cap (pinned by test)

@@ -508,37 +508,58 @@ def _png_unfilter(
         raise ValueError("PNG pixel data length mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
+    prev_list: list[int] | None = None  # lazy int-list twin of `prev`
     for y in range(height):
         f = raw[p]
-        row = np.frombuffer(raw[p + 1 : p + 1 + stride], dtype=np.uint8).copy()
+        start = p + 1
         p += 1 + stride
+        cur_list: list[int] | None = None
         if f == 0:  # None
-            cur = row
-        elif f == 1:  # Sub — uint8 cumulative add wraps mod 256 by itself
-            cur = row
-            for x in range(bpp, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+            cur = np.frombuffer(raw[start : start + stride], dtype=np.uint8).copy()
+        elif f == 1:  # Sub — per-lane cumulative sum; & 0xFF restores the
+            # byte-wise mod-256 wrap (addition mod 256 commutes with the
+            # widened cumsum)
+            row = np.frombuffer(raw[start : start + stride], dtype=np.uint8)
+            if stride % bpp == 0:
+                lanes = row.reshape(-1, bpp)
+                cur = (
+                    (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF)
+                    .astype(np.uint8)
+                    .reshape(-1)
+                )
+            else:  # sub-byte-depth strides (out of scope) — safe fallback
+                cur = row.copy()
+                for x in range(bpp, stride):
+                    cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
         elif f == 2:  # Up — vectorized, uint8 wraps
-            cur = row + prev
-        elif f == 3:  # Average
-            cur = row
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            cur = row
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                pp = a + b - c
-                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(row[x]) + pred) & 0xFF
+            cur = np.frombuffer(raw[start : start + stride], dtype=np.uint8) + prev
+        elif f == 3 or f == 4:  # Average / Paeth — inherently sequential
+            # (each byte needs the reconstructed left neighbor); plain-int
+            # list arithmetic is ~10x numpy item access here, and `raw`
+            # indexing yields ints directly
+            row = raw[start : start + stride]
+            pl = prev_list if prev_list is not None else prev.tolist()
+            cl = [0] * stride
+            if f == 3:  # Average
+                for x in range(stride):
+                    left = cl[x - bpp] if x >= bpp else 0
+                    cl[x] = (row[x] + ((left + pl[x]) >> 1)) & 0xFF
+            else:  # Paeth
+                for x in range(stride):
+                    a = cl[x - bpp] if x >= bpp else 0
+                    b = pl[x]
+                    c = pl[x - bpp] if x >= bpp else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cl[x] = (row[x] + pred) & 0xFF
+            cur = np.frombuffer(bytes(cl), dtype=np.uint8).copy()
+            cur_list = cl
         else:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = cur
         prev = cur
+        prev_list = cur_list
     return out, p
 
 
