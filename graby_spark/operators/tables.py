@@ -104,10 +104,13 @@ def doc_tables(html: str) -> list[list[tuple[bool, list[str]]]]:
         pending: dict[int, list] = {}  # col -> [text, rows_still_covered]
         grid: list[tuple[bool, list[str]]] = []
         for tr in rows_by_table[id(t)]:
+            # nearest of tr OR table: a cell whose closest row/table
+            # ancestor is a NESTED table (even one with no <tr> of its
+            # own) must not leak into this row
             cells = [
                 c
                 for c in tr.iter()
-                if c.tag in ("td", "th") and _nearest(c, {"tr"}) is tr
+                if c.tag in ("td", "th") and _nearest(c, {"tr", "table"}) is tr
             ]
             section = _nearest(tr, _SECTION_TAGS | {"table"})
             in_thead = getattr(section, "tag", None) == "thead"

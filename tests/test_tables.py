@@ -78,6 +78,12 @@ def test_nested_and_misnested_tables():
     h = "<table><tr><td>a<td>b<tr><td>c<td>d</table>"
     assert [cells for _, cells in doc_tables(h)[0]] == [["a", "b"], ["c", "d"]]
 
+    # a nested table WITHOUT its own <tr> must not leak its cells into
+    # the outer row (nearest row-or-table ancestor rule)
+    h = "<table><tr><td>a<table><td>leak</td></table></td><td>b</td></tr></table>"
+    grids = doc_tables(h)
+    assert [cells for _, cells in grids[0]] == [["a", "b"]]
+
 
 def test_cell_text_normalization_and_spans_clamped():
     h = (
