@@ -2629,6 +2629,95 @@ FROM rows_
 """
 
 
+def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image–text pair mining (operators/imagetext.py): deterministic
+    pages exercise figure/figcaption association, width/height attrs,
+    lazy-load ``data-src`` fallback, srcset best-candidate selection and
+    ``<base href>`` resolution (every third page sets a base directory
+    that must override the page url's), all on a closed-form oracle.
+    Nullable columns are coalesced to sentinels in BOTH engines so the
+    value compare is NaN-free.
+
+    STAGED FOR THE r05 REGISTRY ROTATION: the r04 driver sweep cap (50)
+    is exactly filled by the never-driver-verified block, so this query
+    is pytest-gated against the same DuckDB oracle
+    (tests/test_imagetext.py) until the rotation promotes it into
+    ``queries()``."""
+    _ship(spark)
+    from graby_spark.operators.imagetext import image_text_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 7 = 0")
+
+    @F.pandas_udf("string")
+    def gen_html(ids: pd.Series) -> pd.Series:
+        def page(i: int) -> str:
+            i = int(i)
+            head = f'<head><base href="/b{i}/"></head>' if i % 3 == 0 else ""
+            fig = (
+                f'<figure><img src="pic{i}.jpg" alt="photo number {i}" '
+                f'width="{100 + i % 50}" height="{80 + i % 40}">'
+                f"<figcaption>caption {i}</figcaption></figure>"
+            )
+            if i % 2 == 0:
+                extra = f'<img data-src="lazy{i}.png">'
+            else:
+                extra = (
+                    f'<img srcset="s{i}a.jpg 480w, s{i}b.jpg 800w" alt="hero {i}">'
+                )
+            return f"<html>{head}<body>{fig}<p>text</p>{extra}</body></html>"
+
+        return pd.Series([page(i) for i in ids])
+
+    pages = docs.select(
+        F.concat(
+            F.lit("http://imgs.example/"), F.col("doc_id"), F.lit("/page.html")
+        ).alias("url"),
+        gen_html("doc_id").alias("html"),
+    )
+    return image_text_pairs(pages).select(
+        "url",
+        "img_idx",
+        "src",
+        "alt",
+        "title_attr",
+        "caption",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("srcset_best", F.lit("")).alias("srcset_best"),
+    )
+
+
+#: oracle for the staged query above — same DuckDB dialect as
+#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+R05_ORACLE_IMAGE_TEXT_PAIRS = """
+WITH m AS (
+  SELECT doc_id AS id,
+         'http://imgs.example/' || doc_id || '/page.html' AS url,
+         'http://imgs.example' ||
+           CASE WHEN doc_id % 3 = 0 THEN '/b' || doc_id || '/'
+                ELSE '/' || doc_id || '/' END AS base
+  FROM documents WHERE doc_id % 7 = 0
+), both_ AS (
+  SELECT id, url, base, unnest(range(2)) AS k FROM m
+)
+SELECT url,
+       CAST(k AS INT) AS img_idx,
+       CASE WHEN k = 0 THEN base || 'pic' || id || '.jpg'
+            WHEN id % 2 = 0 THEN base || 'lazy' || id || '.png'
+            ELSE base || 's' || id || 'b.jpg' END AS src,
+       CASE WHEN k = 0 THEN 'photo number ' || id
+            WHEN id % 2 = 0 THEN ''
+            ELSE 'hero ' || id END AS alt,
+       '' AS title_attr,
+       CASE WHEN k = 0 THEN 'caption ' || id ELSE '' END AS caption,
+       CAST(CASE WHEN k = 0 THEN 100 + id % 50 ELSE -1 END AS INT) AS width,
+       CAST(CASE WHEN k = 0 THEN 80 + id % 40 ELSE -1 END AS INT) AS height,
+       CASE WHEN k = 1 AND id % 2 = 1 THEN base || 's' || id || 'b.jpg'
+            ELSE '' END AS srcset_best
+FROM both_
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep, which caps at 50
     # queries taken in dict order (VERDICT r03 #2): the leading block holds
@@ -2640,7 +2729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # artifact regardless of this rotation.
     # r05 rotation note: once CORRECTNESS_r04 lands, every current key is
     # driver-verified — the staged queries (q_extract_html_tables with
-    # R05_ORACLE_EXTRACT_HTML_TABLES, multimodal.video_phash) should then
+    # R05_ORACLE_EXTRACT_HTML_TABLES, q_image_text_pairs with
+    # R05_ORACLE_IMAGE_TEXT_PAIRS, multimodal.video_phash) should then
     # be promoted into this dict AT THE FRONT.
     return {
         # --- never driver-verified (r03 overflow + new in r04): MUST all
@@ -3510,7 +3600,7 @@ SELECT doc, chunk_idx, start_token,
 FROM sliced
 WHERE len(piece) > 0
 """,
-        "dedup_sentences": """
+        "dedup_sentences": r"""
 WITH planted AS (
   SELECT doc_id, concat('Subscribe to our newsletter today. ',
     CASE WHEN doc_id % 3 = 0 THEN 'All rights reserved. ' ELSE '' END,
