@@ -2718,6 +2718,62 @@ FROM both_
 """
 
 
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-aware dedup (operators/graph.py canonical_dedup):
+    deterministic pages form 3-member clusters via root-relative
+    ``rel=canonical`` links (every third selected page is the
+    self-canonical leader), each page also carrying a SECOND bogus
+    canonical (first-in-document-order must win) and a multi-token
+    ``rel="alternate stylesheet"`` noise link, so tag scanning, rel
+    explosion, href resolution, min_by tie-break and the one-shuffle
+    clustering are all on a closed-form oracle.
+
+    STAGED FOR THE r05 REGISTRY ROTATION (pytest-gated in
+    tests/test_linkrel.py until the rotation promotes it)."""
+    _ship(spark)
+    from graby_spark.operators.graph import canonical_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 6 = 0")
+
+    @F.pandas_udf("string")
+    def gen_html(ids: pd.Series) -> pd.Series:
+        def page(i: int) -> str:
+            i = int(i)
+            leader = i - i % 18
+            return (
+                f'<html><head><link rel="canonical" href="/{leader}">'
+                f'<link rel="canonical" href="/wrong{i}">'
+                '<link rel="alternate stylesheet" href="x.css"></head>'
+                f"<body>doc {i}</body></html>"
+            )
+
+        return pd.Series([page(i) for i in ids])
+
+    pages = docs.select(
+        F.concat(F.lit("http://canon.example/"), F.col("doc_id")).alias("url"),
+        gen_html("doc_id").alias("html"),
+    )
+    return canonical_dedup(pages)
+
+
+#: oracle for the staged query above — same DuckDB dialect as
+#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+R05_ORACLE_CANONICAL_DEDUP = """
+WITH m AS (
+  SELECT doc_id AS id,
+         'http://canon.example/' || doc_id AS url,
+         'http://canon.example/' || (doc_id - doc_id % 18) AS canonical_url
+  FROM documents WHERE doc_id % 6 = 0
+), c AS (
+  SELECT canonical_url, COUNT(*) AS cluster_size FROM m GROUP BY canonical_url
+)
+SELECT m.url, m.canonical_url,
+       CAST(c.cluster_size AS BIGINT) AS cluster_size,
+       m.url = m.canonical_url AS is_kept
+FROM m JOIN c USING (canonical_url)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep, which caps at 50
     # queries taken in dict order (VERDICT r03 #2): the leading block holds

@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "outlinks",
     "anchor_texts",
+    "link_relations",
+    "canonical_dedup",
     "sitemap_urls",
     "pagerank",
     "frontier_schedule",
@@ -664,4 +666,129 @@ def host_graph(
     return out.groupBy("src_host", "dst_host").agg(
         F.count("*").alias("weight"),
         F.countDistinct("_src").alias("n_src_pages"),
+    )
+
+
+#: whole <link ...> elements (dotall: attribute lists legitimately wrap
+#: across lines in hand-edited heads)
+_LINK_TAG_PATTERN = r"(?is)<link\b[^>]*>"
+
+
+def _attr_expr(tag: F.Column, name: str) -> F.Column:
+    """Value of ``name=...`` inside a tag string — double-quoted,
+    single-quoted or unquoted, RE2-compatible (consumed boundary instead
+    of lookbehind, exactly like :data:`HREF_PATTERN`), quotes stripped."""
+    pat = (
+        r"(?is)(^|[^\w:-])" + name + r"""\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)"""
+    )
+    return F.regexp_replace(
+        F.regexp_extract(tag, pat, 2), r"""^["']|["']$""", ""
+    )
+
+
+def link_relations(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, html) → one row per ``<link>`` relation token:
+    ``(src, link_idx, rel, dst, hreflang, type)``.
+
+    ``rel`` is lowercased and EXPLODED per token (the attribute is a
+    whitespace-separated list per the HTML spec: ``rel="alternate
+    nofollow"`` yields two rows); ``dst`` is the href resolved absolute
+    with the same RFC-lite JVM resolution as :func:`outlinks`;
+    ``link_idx`` numbers <link> tags in document order so "first
+    canonical wins" tie-breaks are expressible downstream; ``hreflang``
+    and ``type`` are empty strings when absent.  Tags without href or
+    rel are dropped (they declare nothing navigable).
+
+    This is the structured-head channel crawl pipelines act on:
+    ``canonical`` (dedup, see :func:`canonical_dedup`), ``alternate`` +
+    hreflang (language cluster mining), ``alternate`` + type
+    (feed discovery), ``amphtml``, ``next``/``prev`` (pagination
+    hints), ``icon``.  Pure JVM end-to-end: regexp tag scan →
+    per-attribute extraction → rel-token explode → resolution; at crawl
+    scale a map-only projection, no exchange.
+    """
+    src, scheme, origin, directory = _page_context(pages, url_col)
+    tags = F.posexplode(
+        F.regexp_extract_all(
+            F.coalesce(F.col(html_col), F.lit("")), F.lit(_LINK_TAG_PATTERN), F.lit(0)
+        )
+    )
+    exploded = pages.select(
+        src.alias("src"),
+        scheme.alias("_scheme"),
+        origin.alias("_origin"),
+        directory.alias("_dir"),
+        tags.alias("link_idx", "_tag"),
+    )
+    exploded = (
+        exploded.withColumn("link", _attr_expr(F.col("_tag"), "href"))
+        .withColumn("_rel_raw", F.lower(_attr_expr(F.col("_tag"), "rel")))
+        .withColumn("hreflang", F.lower(_attr_expr(F.col("_tag"), "hreflang")))
+        .withColumn("type", F.lower(_attr_expr(F.col("_tag"), "type")))
+        .where((F.col("link") != "") & (F.col("_rel_raw") != ""))
+        .withColumn(
+            "rel", F.explode(F.split(F.trim(F.col("_rel_raw")), r"\s+"))
+        )
+    )
+    return _resolve_links(exploded, "link_idx", "rel", "hreflang", "type").select(
+        "src", "link_idx", "rel", F.col("dst"), "hreflang", "type"
+    )
+
+
+def canonical_dedup(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Canonical-aware duplicate grouping: one row per page with its
+    declared cluster — ``(url, canonical_url, cluster_size, is_kept)``.
+
+    ``rel=canonical`` is the publisher's own duplicate declaration
+    (print views, tracking-parameter variants, mobile mirrors all point
+    at one canonical url), and honoring it is the cheapest dedup signal
+    a crawl pipeline has — no content hashing at all.  Semantics:
+
+    * a page's canonical is its FIRST ``<link rel=canonical>`` in
+      document order (browsers and Google both ignore later ones),
+      resolved absolute; pages declaring none are their own canonical;
+    * pages sharing a canonical form a cluster; ``cluster_size`` counts
+      the INPUT pages in it (the canonical target itself may or may not
+      be in the input);
+    * ``is_kept`` marks one survivor per cluster: the page that IS the
+      canonical when present, else the lexicographically smallest url
+      (deterministic, engine-independent).
+
+    Scale shape: the canonical extraction is JVM map work plus a
+    key-only aggregation on the url the scan already carries (first
+    canonical per page); attaching it back to the page set is a
+    key-only join (urls, no content).  The clustering itself is ONE
+    window shuffle keyed on canonical_url — size, self-presence and the
+    smallest-url fallback all come out of the same partition pass, no
+    aggregate-and-rejoin.  Cluster payloads are bounded by the variant
+    count per canonical; no content column ever moves.
+    """
+    from pyspark.sql import Window
+
+    canon = (
+        link_relations(pages, url_col=url_col, html_col=html_col)
+        .where(F.col("rel") == "canonical")
+        .groupBy("src")
+        .agg(F.min_by("dst", "link_idx").alias("_canon"))
+    )
+    with_canon = (
+        pages.select(F.col(url_col).alias("url"))
+        .join(canon.withColumnRenamed("src", "url"), "url", "left")
+        .select("url", F.coalesce("_canon", F.col("url")).alias("canonical_url"))
+    )
+    w = Window.partitionBy("canonical_url")
+    self_url = F.max(
+        F.when(F.col("url") == F.col("canonical_url"), F.col("url"))
+    ).over(w)
+    return with_canon.select(
+        "url",
+        "canonical_url",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("url") == F.coalesce(self_url, F.min("url").over(w))).alias(
+            "is_kept"
+        ),
     )

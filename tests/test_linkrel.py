@@ -1,0 +1,112 @@
+"""<link rel> relation mining and canonical-aware dedup
+(graby_spark.operators.graph.link_relations / canonical_dedup).
+
+Pins the attribute-quoting variants, the rel-token explode, href
+resolution reuse, first-canonical-wins, and the cluster/survivor
+semantics, plus the staged r05 driver query against its DuckDB oracle.
+"""
+
+import importlib
+
+import pytest
+
+from graby_spark.operators.graph import canonical_dedup, link_relations
+from graby_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_link_relations_parsing_and_resolution(spark):
+    html = (
+        '<head><link rel="canonical" href="/art/1">'
+        "<link rel='alternate' hreflang='fr-FR' href='//m.ex.com/fr'>"
+        '<link rel=stylesheet href=style.css>'
+        '<link rel="alternate nofollow" type="application/rss+xml" href="feed.xml">'
+        '<link href="/no-rel"><link rel="icon"></head>'
+    )
+    out = (
+        link_relations(_pages(spark, [("http://ex.com/a/b.html", html)]))
+        .orderBy("link_idx", "rel")
+        .collect()
+    )
+    # tags without rel or without href are dropped; multi-token rel explodes
+    assert [(r["link_idx"], r["rel"], r["dst"]) for r in out] == [
+        (0, "canonical", "http://ex.com/art/1"),
+        (1, "alternate", "http://m.ex.com/fr"),
+        (2, "stylesheet", "http://ex.com/a/style.css"),
+        (3, "alternate", "http://ex.com/a/feed.xml"),
+        (3, "nofollow", "http://ex.com/a/feed.xml"),
+    ]
+    assert out[1]["hreflang"] == "fr-fr"
+    assert out[3]["type"] == "application/rss+xml"
+
+
+def test_canonical_dedup_clusters(spark):
+    canon = "http://ex.com/article"
+    rows = [
+        # self-canonical target, present in input
+        (canon, f'<link rel="canonical" href="{canon}">'),
+        # two variants pointing at it (one with a SECOND canonical that
+        # must be ignored: first in document order wins)
+        (
+            "http://ex.com/article?utm=1",
+            f'<link rel="canonical" href="/article">'
+            f'<link rel="canonical" href="/WRONG">',
+        ),
+        ("http://ex.com/article/amp", f'<link rel=canonical href="{canon}">'),
+        # cluster whose canonical target is NOT in the input: smallest
+        # member url survives
+        ("http://ex.com/p?b=2", '<link rel="canonical" href="/gone">'),
+        ("http://ex.com/p?a=1", '<link rel="canonical" href="/gone">'),
+        # no canonical at all: own singleton cluster, kept
+        ("http://ex.com/solo", "<p>nothing</p>"),
+    ]
+    got = {
+        r["url"]: r for r in canonical_dedup(_pages(spark, rows)).collect()
+    }
+    assert got[canon]["is_kept"] and got[canon]["cluster_size"] == 3
+    assert not got["http://ex.com/article?utm=1"]["is_kept"]
+    assert got["http://ex.com/article?utm=1"]["canonical_url"] == canon
+    assert not got["http://ex.com/article/amp"]["is_kept"]
+    assert got["http://ex.com/p?a=1"]["is_kept"]  # lexicographically smallest
+    assert not got["http://ex.com/p?b=2"]["is_kept"]
+    assert got["http://ex.com/p?a=1"]["canonical_url"] == "http://ex.com/gone"
+    assert got["http://ex.com/solo"]["is_kept"]
+    assert got["http://ex.com/solo"]["cluster_size"] == 1
+    # exactly one survivor per cluster
+    df = canonical_dedup(_pages(spark, rows))
+    from pyspark.sql import functions as F
+
+    per = (
+        df.groupBy("canonical_url")
+        .agg(F.sum(F.col("is_kept").cast("int")))
+        .collect()
+    )
+    assert all(r[1] == 1 for r in per)
+
+
+def test_staged_r05_query_matches_duckdb_oracle(spark):
+    """The staged driver query (q_canonical_dedup) against its DuckDB
+    oracle at sf0.001 — same comparison the driver runs, kept here until
+    the r05 registry rotation."""
+    duckdb = pytest.importorskip("duckdb")
+    e = importlib.import_module("__spark_entry__")
+    sf = "/root/testdata/sf0.001"
+    got = e.q_canonical_dedup(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{sf}/documents.parquet'")
+    exp = con.execute(e.R05_ORACLE_CANONICAL_DEDUP).df()
+    g = got.sort_values("url").reset_index(drop=True)
+    x = exp[got.columns].sort_values("url").reset_index(drop=True)
+    assert len(g) == len(x) and len(g) > 0
+    for col in got.columns:
+        assert (g[col].values == x[col].values).all(), col
