@@ -9,6 +9,14 @@ streams, BT/ET text runs with Tj/TJ/'/" operators, literal and hex strings,
 ToUnicode CMaps (bfchar/bfrange) for subset-encoded fonts, and the
 Info-dictionary metadata keys.
 
+Object streams (``/Type /ObjStm``, PDF 1.5+) are expanded: modern
+producers compress most non-stream objects — including the Info
+dictionary the metadata keys live in — inside a FlateDecode stream whose
+header is ``N`` (objnum, offset) pairs followed at ``/First`` by the
+object bodies, so a raw-byte scan alone goes metadata-blind on them.
+Contained objects can never themselves hold streams (ISO 32000-1 §7.5.7),
+so expansion only needs to feed the metadata search space.
+
 Unsupported constructs degrade to partial/empty text, never raise.
 """
 
@@ -191,6 +199,41 @@ def _extract_stream_text(data: bytes, cmap: dict[int, str] | None) -> list[str]:
     return lines
 
 
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_objstm(dict_part: bytes, content: bytes) -> list[bytes]:
+    """Bodies of the objects packed in one /ObjStm stream.
+
+    The stream header is ``/N`` whitespace-separated (objnum, offset)
+    integer pairs; object bodies start at ``/First`` and each runs to the
+    next object's offset (last one to end-of-stream).  Malformed headers
+    yield an empty list rather than raising (the caller's tolerance
+    contract)."""
+    n_m = _OBJSTM_N_RE.search(dict_part)
+    first_m = _OBJSTM_FIRST_RE.search(dict_part)
+    if not n_m or not first_m:
+        return []
+    n, first = int(n_m.group(1)), int(first_m.group(1))
+    if n <= 0 or first <= 0 or first > len(content):
+        return []
+    header_ints = content[:first].split()
+    if len(header_ints) < 2 * n:
+        return []
+    try:
+        offsets = [int(header_ints[2 * i + 1]) for i in range(n)]
+    except ValueError:
+        return []
+    bodies: list[bytes] = []
+    for i, off in enumerate(offsets):
+        start = first + off
+        end = first + offsets[i + 1] if i + 1 < n else len(content)
+        if 0 <= start <= end <= len(content):
+            bodies.append(content[start:end])
+    return bodies
+
+
 def extract_pdf(data: bytes) -> PdfContent:
     result = PdfContent()
     if not data.startswith(b"%PDF"):
@@ -199,6 +242,7 @@ def extract_pdf(data: bytes) -> PdfContent:
         # object scan (xref-free; tolerant of linearized files)
         streams: list[tuple[bytes, bytes]] = []  # (dict part, inflated data)
         cmaps: list[dict[int, str]] = []
+        objstm_bodies: list[bytes] = []
         for _num, _gen, body in _OBJ_RE.findall(data):
             sm = _STREAM_RE.match(body)
             if not sm:
@@ -206,6 +250,9 @@ def extract_pdf(data: bytes) -> PdfContent:
             dict_part, raw = sm.group(1), sm.group(2)
             content = _inflate(raw) if b"FlateDecode" in dict_part else raw.rstrip(b"\r\n")
             if content is None:
+                continue
+            if b"/ObjStm" in dict_part:
+                objstm_bodies.extend(_expand_objstm(dict_part, content))
                 continue
             if b"beginbfchar" in content or b"beginbfrange" in content:
                 cmap = _parse_cmap(content)
@@ -228,8 +275,14 @@ def extract_pdf(data: bytes) -> PdfContent:
             lines.extend(_extract_stream_text(content, merged or None))
         result.text = "\n".join(line for line in lines if line.strip())
 
+        # metadata lives in dictionary objects — which since PDF 1.5 are
+        # routinely packed into object streams; search raw bytes first
+        # (classic files), the expanded ObjStm bodies second
+        meta_space = data
+        if objstm_bodies:
+            meta_space = data + b"\n" + b"\n".join(objstm_bodies)
         for attr, pattern in _INFO_KEY_RE.items():
-            m = pattern.search(data)
+            m = pattern.search(meta_space)
             if m:
                 raw = m.group(1)
                 if raw is not None:

@@ -58,3 +58,62 @@ def test_garbage_pdf_never_raises():
     for data in (b"", b"%PDF-1.4 garbage", b"not a pdf", b"%PDF" + b"\x00" * 100):
         pdf = extract_pdf(data)
         assert isinstance(pdf.text, str)
+
+
+def _mini_pdf_with_objstm(info_in_objstm: bytes) -> bytes:
+    """A PDF 1.5-style file: one FlateDecode content stream at top level
+    (streams can never live inside an ObjStm) plus an object stream
+    carrying the Info dictionary — the modern-producer layout a raw byte
+    scan is metadata-blind to."""
+    import zlib
+
+    content = zlib.compress(b"BT (Hello ObjStm world) Tj ET")
+    # two packed objects: a page-ish dict and the Info dict
+    body1 = b"<< /Type /Page >>"
+    offsets = f"7 0 8 {len(body1) + 1}".encode()
+    packed = offsets + b"\n" + body1 + b"\n" + info_in_objstm
+    first = len(offsets) + 1
+    objstm = zlib.compress(packed)
+    parts = [b"%PDF-1.5\n"]
+    parts.append(
+        b"1 0 obj << /Length %d /Filter /FlateDecode >> stream\n" % len(content)
+        + content
+        + b"\nendstream endobj\n"
+    )
+    parts.append(
+        b"2 0 obj << /Type /ObjStm /N 2 /First %d /Length %d /Filter /FlateDecode >> stream\n"
+        % (first, len(objstm))
+        + objstm
+        + b"\nendstream endobj\n"
+    )
+    parts.append(b"%%EOF\n")
+    return b"".join(parts)
+
+
+def test_objstm_metadata_extracted():
+    info = b"<< /Title (Packed Title) /Author (Obj Stm) /CreationDate (D:20240102030405Z) >>"
+    pdf = extract_pdf(_mini_pdf_with_objstm(info))
+    assert "Hello ObjStm world" in pdf.text
+    assert pdf.title == "Packed Title"
+    assert pdf.author == "Obj Stm"
+    assert pdf.creation_date == "2024-01-02T03:04:05+00:00"
+
+
+def test_objstm_malformed_headers_never_raise():
+    import zlib
+
+    base = _mini_pdf_with_objstm(b"<< /Title (x) >>")
+    # corrupt the /First offset beyond the stream; the expander must bail
+    broken = base.replace(b"/N 2 /First", b"/N 2 /First 99999 %")
+    pdf = extract_pdf(broken)
+    assert "Hello ObjStm world" in pdf.text
+    # header ints not matching /N
+    objstm = zlib.compress(b"7 0\nonly-one-pair-for-n2")
+    raw = (
+        b"%PDF-1.5\n2 0 obj << /Type /ObjStm /N 2 /First 4 /Length "
+        + str(len(objstm)).encode()
+        + b" /Filter /FlateDecode >> stream\n"
+        + objstm
+        + b"\nendstream endobj\n%%EOF"
+    )
+    assert extract_pdf(raw).title is None
