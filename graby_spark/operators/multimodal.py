@@ -78,6 +78,8 @@ __all__ = [
     "audio_features",
     "mp4_metadata",
     "encode_mp4_skeleton",
+    "webm_metadata",
+    "encode_webm_skeleton",
     "perceptual_hash",
     "video_phash",
     "video_phash_pairs",
@@ -193,6 +195,17 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     mime = F.when(is_bmff, F.lit("video/mp4")).otherwise(mime)
     is_avi = F.expr(f"substring({payload_col}, 9, 4)") == F.lit(b"AVI ")
     mime = F.when(is_avi, F.lit("video/x-msvideo")).otherwise(mime)
+    # EBML magic → Matroska family; the DocType string in the first few
+    # header bytes discriminates webm (binary-safe search over hex)
+    is_ebml = F.expr(f"substring({payload_col}, 1, 4)") == F.lit(_EBML_MAGIC)
+    webm_in_head = (
+        F.instr(F.hex(F.substring(payload, 1, 64)), b"webm".hex().upper()) > 0
+    )
+    mime = (
+        F.when(is_ebml & webm_in_head, F.lit("video/webm"))
+        .when(is_ebml, F.lit("video/x-matroska"))
+        .otherwise(mime)
+    )
     is_webp = F.expr(f"substring({payload_col}, 9, 4)") == F.lit(b"WEBP")
     mime = F.when(is_webp, F.lit("image/webp")).otherwise(mime)
     # BMP: the 2-byte magic is weak, so require a known DIB header size
@@ -274,6 +287,17 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 
         return payloads.map(parse)
 
+    @F.pandas_udf(_Arr(IntegerType()))
+    def _webm_whd(payloads: pd.Series) -> pd.Series:
+        def parse(p):
+            try:
+                m = webm_metadata(bytes(p or b""))
+            except ValueError:
+                return None
+            return [m["width"] or 0, m["height"] or 0, m["duration_ms"] or 0]
+
+        return payloads.map(parse)
+
     out = df.withColumn("mime", mime).withColumn("payload_bytes", F.length(payload))
     out = out.withColumn(
         "_jwh",
@@ -281,15 +305,22 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     ).withColumn(
         "_mp4",
         F.when(is_bmff, _mp4_whd(payload)),
+    ).withColumn(
+        "_ebml",
+        F.when(is_ebml, _webm_whd(payload)),
     )
     mp4_dim = lambda i: F.when(  # noqa: E731 — 0 means "absent" in the UDF
         F.element_at("_mp4", i) > 0, F.element_at("_mp4", i)
+    )
+    ebml_dim = lambda i: F.when(  # noqa: E731 — same "0 = absent" contract
+        F.element_at("_ebml", i) > 0, F.element_at("_ebml", i)
     )
     width = (
         F.when(png_ok & (F.col("mime") == "image/png"), be(17, 4))
         .when(gif_ok & (F.col("mime") == "image/gif"), w_gif)
         .when(F.col("mime") == "image/jpeg", F.element_at("_jwh", 1))
         .when(F.col("mime") == "video/mp4", mp4_dim(1))
+        .when(is_ebml, ebml_dim(1))
         .when(avih_ok, le32(65))
         .when(vp8l_ok, webp_w.cast("int"))
         .when(vp8x_ok, vp8x_w.cast("int"))
@@ -300,6 +331,7 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .when(gif_ok & (F.col("mime") == "image/gif"), h_gif)
         .when(F.col("mime") == "image/jpeg", F.element_at("_jwh", 2))
         .when(F.col("mime") == "video/mp4", mp4_dim(2))
+        .when(is_ebml, ebml_dim(2))
         .when(avih_ok, le32(69))
         .when(vp8l_ok, webp_h.cast("int"))
         .when(vp8x_ok, vp8x_h.cast("int"))
@@ -368,6 +400,9 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         (F.col("mime") == "video/mp4") & (F.element_at("_mp4", 3) > 0),
         F.element_at("_mp4", 3),
     )
+    ebml_duration = F.when(
+        is_ebml & (F.element_at("_ebml", 3) > 0), F.element_at("_ebml", 3)
+    )
     avi_duration = F.when(
         avih_ok & (avi_us_per_frame > 0),
         F.floor(
@@ -384,10 +419,15 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .withColumn(
             "duration_ms",
             F.coalesce(
-                wav_duration, mp3_duration, mp4_duration, avi_duration, flac_duration
+                wav_duration,
+                mp3_duration,
+                mp4_duration,
+                ebml_duration,
+                avi_duration,
+                flac_duration,
             ),
         )
-        .drop("_jwh", "_mp3_tag", "_mp4")
+        .drop("_jwh", "_mp3_tag", "_mp4", "_ebml")
     )
 
 
@@ -2396,3 +2436,197 @@ def sample_frames(
             yield pd.DataFrame(out, columns=["media_id", "frame_no", "ts_ms", "frame"])
 
     return src.mapInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (EBML) container metadata — header walk, no codec
+# ---------------------------------------------------------------------------
+
+_EBML_MAGIC = b"\x1aE\xdf\xa3"
+
+#: element ids WITH their marker bit, as the spec writes them
+_EBML_HEADER = 0x1A45DFA3
+_EBML_DOCTYPE = 0x4282
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TS_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_TYPE = 0x83
+_MKV_CODEC_ID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_W = 0xB0
+_MKV_PIXEL_H = 0xBA
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int | None, int]:
+    """One EBML variable-length integer at ``pos`` → (value, next_pos).
+
+    The leading byte's first set bit encodes the total length (1-8
+    bytes).  Element IDs keep the marker bit (the spec compares them
+    marker-included); sizes strip it, and an all-ones size is the
+    spec's "unknown size" → None."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML vint")
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("EBML vint longer than 8 bytes")
+    length = 9 - b0.bit_length()
+    if pos + length > len(data):
+        raise ValueError("truncated EBML vint body")
+    val = int.from_bytes(data[pos : pos + length], "big")
+    if not keep_marker:
+        val -= 1 << (7 * length)
+        if val == (1 << (7 * length)) - 1:
+            return None, pos + length
+    return val, pos + length
+
+
+def _ebml_children(data: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for the EBML elements in
+    data[start:end]; unknown-size elements run to the enclosure end
+    (the streaming-Matroska convention, typically the Segment)."""
+    pos = start
+    while pos < end:
+        eid, p = _ebml_vint(data, pos, keep_marker=True)
+        size, p = _ebml_vint(data, p, keep_marker=False)
+        body_end = end if size is None else p + size
+        if body_end > end:
+            raise ValueError("EBML element overruns enclosure")
+        yield eid, p, body_end
+        pos = body_end
+
+
+def _ebml_uint(data: bytes, start: int, end: int) -> int:
+    return int.from_bytes(data[start:end], "big")
+
+
+def _ebml_float(data: bytes, start: int, end: int) -> float | None:
+    import struct
+
+    n = end - start
+    if n == 4:
+        return struct.unpack(">f", data[start:end])[0]
+    if n == 8:
+        return struct.unpack(">d", data[start:end])[0]
+    return None  # 0-length means "default", anything else is invalid
+
+
+def webm_metadata(data: bytes) -> dict:
+    """REAL Matroska/WebM metadata from the EBML tree — no codec: walks
+    the EBML header (DocType), Segment > Info (TimestampScale +
+    Duration) and Segment > Tracks (the video TrackEntry's CodecID and
+    PixelWidth/PixelHeight; an audio-only file contributes its first
+    audio CodecID).
+
+    Returns {"doctype", "duration_ms", "width", "height", "codec"}
+    (missing pieces None).  Raises ``ValueError`` for non-EBML or
+    corrupt streams."""
+    if not data.startswith(_EBML_MAGIC):
+        raise ValueError("not an EBML stream")
+    out: dict = {
+        "doctype": None,
+        "duration_ms": None,
+        "width": None,
+        "height": None,
+        "codec": None,
+    }
+    ts_scale = 1_000_000  # spec default: ns per tick
+    duration_ticks: float | None = None
+    audio_codec: str | None = None
+    for eid, b, e in _ebml_children(data, 0, len(data)):
+        if eid == _EBML_HEADER:
+            for eid2, b2, e2 in _ebml_children(data, b, e):
+                if eid2 == _EBML_DOCTYPE:
+                    out["doctype"] = data[b2:e2].decode("latin-1").rstrip("\x00")
+        elif eid == _MKV_SEGMENT:
+            for eid2, b2, e2 in _ebml_children(data, b, e):
+                if eid2 == _MKV_INFO:
+                    for eid3, b3, e3 in _ebml_children(data, b2, e2):
+                        if eid3 == _MKV_TS_SCALE:
+                            ts_scale = _ebml_uint(data, b3, e3) or ts_scale
+                        elif eid3 == _MKV_DURATION:
+                            duration_ticks = _ebml_float(data, b3, e3)
+                elif eid2 == _MKV_TRACKS:
+                    for eid3, b3, e3 in _ebml_children(data, b2, e2):
+                        if eid3 != _MKV_TRACK_ENTRY:
+                            continue
+                        ttype, codec, w, h = None, None, None, None
+                        for eid4, b4, e4 in _ebml_children(data, b3, e3):
+                            if eid4 == _MKV_TRACK_TYPE:
+                                ttype = _ebml_uint(data, b4, e4)
+                            elif eid4 == _MKV_CODEC_ID:
+                                codec = data[b4:e4].decode("latin-1").rstrip("\x00")
+                            elif eid4 == _MKV_VIDEO:
+                                for eid5, b5, e5 in _ebml_children(data, b4, e4):
+                                    if eid5 == _MKV_PIXEL_W:
+                                        w = _ebml_uint(data, b5, e5)
+                                    elif eid5 == _MKV_PIXEL_H:
+                                        h = _ebml_uint(data, b5, e5)
+                        if ttype == 1 and out["width"] is None:
+                            out["width"], out["height"] = w, h
+                            out["codec"] = codec
+                        elif ttype == 2 and audio_codec is None:
+                            audio_codec = codec
+    if out["codec"] is None:
+        out["codec"] = audio_codec
+    if duration_ticks is not None and duration_ticks >= 0:
+        out["duration_ms"] = int(duration_ticks * ts_scale / 1_000_000)
+    return out
+
+
+def _ebml_encode_size(n: int) -> bytes:
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    eid_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    return eid_bytes + _ebml_encode_size(len(payload)) + payload
+
+
+def _ebml_uint_payload(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def encode_webm_skeleton(
+    width: int,
+    height: int,
+    duration_ms: int,
+    doctype: str = "webm",
+    codec: str = "V_VP9",
+) -> bytes:
+    """Minimal valid EBML/Matroska metadata skeleton (EBML header with
+    DocType + Segment{Info{TimestampScale, Duration}, Tracks{TrackEntry{
+    TrackType=video, CodecID, Video{PixelWidth, PixelHeight}}}}) — what a
+    metadata pipeline fixture needs; carries no coded media."""
+    import struct
+
+    header = _ebml_el(
+        _EBML_HEADER,
+        _ebml_el(0x4286, b"\x01")  # EBMLVersion
+        + _ebml_el(_EBML_DOCTYPE, doctype.encode("ascii"))
+        + _ebml_el(0x4287, b"\x02"),  # DocTypeVersion
+    )
+    info = _ebml_el(
+        _MKV_INFO,
+        _ebml_el(_MKV_TS_SCALE, _ebml_uint_payload(1_000_000))
+        + _ebml_el(_MKV_DURATION, struct.pack(">d", float(duration_ms))),
+    )
+    video = _ebml_el(
+        _MKV_VIDEO,
+        _ebml_el(_MKV_PIXEL_W, _ebml_uint_payload(width))
+        + _ebml_el(_MKV_PIXEL_H, _ebml_uint_payload(height)),
+    )
+    track = _ebml_el(
+        _MKV_TRACK_ENTRY,
+        _ebml_el(0xD7, b"\x01")  # TrackNumber
+        + _ebml_el(_MKV_TRACK_TYPE, b"\x01")
+        + _ebml_el(_MKV_CODEC_ID, codec.encode("ascii"))
+        + video,
+    )
+    segment = _ebml_el(_MKV_SEGMENT, info + _ebml_el(_MKV_TRACKS, track))
+    return header + segment

@@ -3058,3 +3058,57 @@ def test_flac_handmade_spec_frame():
     frame = body + _crc16(body).to_bytes(2, "big")
     rate, out = decode_flac(head + frame)
     assert rate == 8000 and out[:, 0].tolist() == [-5, -5, -5, -5]
+
+
+def test_media_webm_metadata(spark):
+    """EBML/Matroska tree metadata (Info duration via TimestampScale,
+    video TrackEntry dims + codec) parsed for real; DocType
+    discriminates video/webm from video/x-matroska; corrupt EBML yields
+    NULLs, not fakes."""
+    from graby_spark.operators.multimodal import (
+        encode_webm_skeleton,
+        webm_metadata,
+    )
+
+    ok = encode_webm_skeleton(1280, 720, 54321)
+    m = webm_metadata(ok)
+    assert m["doctype"] == "webm" and m["codec"] == "V_VP9"
+    assert (m["width"], m["height"], m["duration_ms"]) == (1280, 720, 54321)
+    mkv = encode_webm_skeleton(320, 240, 1000, doctype="matroska", codec="V_MPEG4/ISO/AVC")
+    assert webm_metadata(mkv)["doctype"] == "matroska"
+    rows = [
+        (1, bytearray(ok)),
+        (2, bytearray(mkv)),
+        (3, bytearray(b"\x1aE\xdf\xa3" + b"\xff" * 8)),  # magic, then junk
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.attach_media_metadata(df).collect()}
+    assert got[1]["mime"] == "video/webm"
+    assert (got[1]["width"], got[1]["height"], got[1]["duration_ms"]) == (1280, 720, 54321)
+    assert got[2]["mime"] == "video/x-matroska"
+    assert (got[2]["width"], got[2]["height"]) == (320, 240)
+    assert got[3]["mime"] == "video/x-matroska"
+    assert got[3]["width"] is None and got[3]["duration_ms"] is None
+
+
+def test_ebml_vint_and_unknown_size():
+    from graby_spark.operators.multimodal import (
+        _ebml_children,
+        _ebml_vint,
+    )
+
+    # 1-byte vint: 0x81 -> length 1, value 1 (size), id keeps marker
+    assert _ebml_vint(b"\x81", 0, keep_marker=False) == (1, 1)
+    assert _ebml_vint(b"\x81", 0, keep_marker=True) == (0x81, 1)
+    # 2-byte vint 0x4002 -> 2
+    assert _ebml_vint(b"\x40\x02", 0, keep_marker=False) == (2, 2)
+    # all-ones size = unknown -> None, element runs to enclosure end
+    data = b"\xae\xff" + b"\x83\x81\x01"  # TrackEntry (unknown size) { TrackType=1 }
+    els = list(_ebml_children(data, 0, len(data)))
+    assert els[0][0] == 0xAE and els[0][2] == len(data)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _ebml_vint(b"\x00\x01", 0, keep_marker=False)  # >8-byte vint
+    with _pytest.raises(ValueError):
+        list(_ebml_children(b"\x83\x85\x01", 0, 3))  # size overruns
