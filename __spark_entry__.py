@@ -2774,6 +2774,76 @@ FROM m JOIN c USING (canonical_url)
 """
 
 
+def q_extract_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microdata extraction (operators/microdata.py): deterministic
+    Article items with a headline, a time[datetime] date, a root-relative
+    img URL (absolutization on a closed form) and a NESTED Person author
+    item — exercising the itemscope boundary rule, the per-tag value
+    table and child-item linkage, all oracle-replayable.  ``child_item``
+    is coalesced to -1 in both engines so the compare is NaN-free.
+
+    STAGED FOR THE r05 REGISTRY ROTATION (pytest-gated in
+    tests/test_microdata.py until the rotation promotes it)."""
+    _ship(spark)
+    from graby_spark.operators.microdata import extract_microdata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 9 = 0")
+
+    @F.pandas_udf("string")
+    def gen_html(ids: pd.Series) -> pd.Series:
+        def page(i: int) -> str:
+            i = int(i)
+            return (
+                "<html><body>"
+                '<div itemscope itemtype="https://schema.org/Article">'
+                f'<h1 itemprop="headline">Headline {i}</h1>'
+                f'<time itemprop="datePublished" datetime="2024-01-{2 + i % 27:02d}">x</time>'
+                f'<img itemprop="image" src="/img{i}.jpg">'
+                '<span itemprop="author" itemscope itemtype="https://schema.org/Person">'
+                f'<span itemprop="name">Author {i}</span></span>'
+                "</div></body></html>"
+            )
+
+        return pd.Series([page(i) for i in ids])
+
+    pages = docs.select(
+        F.concat(F.lit("http://md.example/"), F.col("doc_id")).alias("url"),
+        gen_html("doc_id").alias("html"),
+    )
+    return extract_microdata(pages).select(
+        "url",
+        "item_idx",
+        "item_type",
+        "prop",
+        "value",
+        F.coalesce("child_item", F.lit(-1)).alias("child_item"),
+    )
+
+
+#: oracle for the staged query above — same DuckDB dialect as
+#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+R05_ORACLE_EXTRACT_MICRODATA = """
+WITH m AS (
+  SELECT doc_id AS id, 'http://md.example/' || doc_id AS url
+  FROM documents WHERE doc_id % 9 = 0
+)
+SELECT url, CAST(0 AS INT) AS item_idx,
+       'https://schema.org/Article' AS item_type,
+       'headline' AS prop, 'Headline ' || id AS value,
+       CAST(-1 AS INT) AS child_item FROM m
+UNION ALL
+SELECT url, 0, 'https://schema.org/Article', 'datePublished',
+       '2024-01-' || lpad(CAST(2 + id % 27 AS VARCHAR), 2, '0'), -1 FROM m
+UNION ALL
+SELECT url, 0, 'https://schema.org/Article', 'image',
+       'http://md.example/img' || id || '.jpg', -1 FROM m
+UNION ALL
+SELECT url, 0, 'https://schema.org/Article', 'author', '', 1 FROM m
+UNION ALL
+SELECT url, 1, 'https://schema.org/Person', 'name', 'Author ' || id, -1 FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep, which caps at 50
     # queries taken in dict order (VERDICT r03 #2): the leading block holds
@@ -2786,7 +2856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r05 rotation note: once CORRECTNESS_r04 lands, every current key is
     # driver-verified — the staged queries (q_extract_html_tables with
     # R05_ORACLE_EXTRACT_HTML_TABLES, q_image_text_pairs with
-    # R05_ORACLE_IMAGE_TEXT_PAIRS, multimodal.video_phash) should then
+    # R05_ORACLE_IMAGE_TEXT_PAIRS, q_canonical_dedup with
+    # R05_ORACLE_CANONICAL_DEDUP, q_extract_microdata with
+    # R05_ORACLE_EXTRACT_MICRODATA, multimodal.video_phash) should then
     # be promoted into this dict AT THE FRONT.
     return {
         # --- never driver-verified (r03 overflow + new in r04): MUST all
@@ -4146,7 +4218,7 @@ SELECT doc_id AS doc,
        ('0x' || substr(md5(array_to_string(minima, ',')), 1, 15))::BIGINT AS fingerprint
 FROM m
 """,
-        "text_repetition": """
+        "text_repetition": r"""
 WITH planted AS (
   SELECT doc_id, CASE WHEN doc_id % 3 = 0
     THEN concat(text, chr(10), chr(10), text, chr(10), chr(10), text)
@@ -4184,7 +4256,7 @@ SELECT g.doc,
   CASE WHEN g.char_count > 0 THEN round(coalesce(t.top_chars, 0) / g.char_count, 6) ELSE 0.0 END AS top_bigram_char_frac
 FROM grams g LEFT JOIN top t USING (doc)
 """,
-        "text_gopher": """
+        "text_gopher": r"""
 WITH planted AS (
   SELECT doc_id, CASE WHEN doc_id % 7 = 0
     THEN concat('- bullet item', chr(10), text, '...')
@@ -4357,7 +4429,7 @@ WITH planted AS (
 SELECT doc, min(pos)::BIGINT AS start_tok, (max(pos) + 12)::BIGINT AS end_tok, count(*)::BIGINT AS n_grams
 FROM isl GROUP BY doc, island
 """,
-        "dedup_paragraphs": """
+        "dedup_paragraphs": r"""
 WITH planted AS (
   SELECT doc_id, concat('SHARED HEADER BOILERPLATE', chr(10), chr(10), text, chr(10), chr(10),
     CASE WHEN doc_id % 2 = 0 THEN 'SHARED FOOTER'
@@ -4783,7 +4855,7 @@ SELECT b.doc, len(b.lines)::BIGINT AS n_lines,
   md5(coalesce(r.text_clean, '')) AS clean_md5
 FROM base b LEFT JOIN rebuilt r USING (doc)
 """,
-        "extract_then_quality": """
+        "extract_then_quality": r"""
 WITH t AS (
   SELECT doc_id,
          trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS text
