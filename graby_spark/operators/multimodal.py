@@ -385,12 +385,40 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     bitrate_kbps = F.element_at(
         F.array(*[F.lit(b) for b in MP3_BITRATES]), br_idx + 1
     )
-    mp3_duration = F.when(
+    # Xing/Info VBR header: sits after the first frame header + side info
+    # (MPEG1 Layer III: 17 bytes mono / 32 stereo).  When present, the
+    # frame count is the truth — byte-math over a VBR stream is wrong, so
+    # a Xing tag WITHOUT the frames flag stays NULL rather than guessing.
+    sr_idx = (F.floor(hdr / 1024) % 4).cast("int")
+    mp3_sample_rate = F.element_at(
+        F.array(F.lit(44100), F.lit(48000), F.lit(32000), F.lit(0)), sr_idx + 1
+    )
+    mono = (F.floor(hdr / 64) % 4) == 3
+    xing_pos = F.col("_mp3_tag") + 4 + F.when(mono, F.lit(17)).otherwise(F.lit(32))
+    xing_tag = F.substring(payload, xing_pos + 1, F.lit(4))
+    has_xing = (xing_tag == F.lit(b"Xing")) | (xing_tag == F.lit(b"Info"))
+    xing_flags = F.conv(
+        F.hex(F.substring(payload, xing_pos + 5, F.lit(4))), 16, 10
+    ).cast("long")
+    xing_frames = F.conv(
+        F.hex(F.substring(payload, xing_pos + 9, F.lit(4))), 16, 10
+    ).cast("long")
+    mp3_head_ok = (
         (F.col("mime") == "audio/mpeg")
         & (F.length(payload) >= F.col("_mp3_tag") + 4)
         & sync_ok
         & mpeg1_l3
-        & (bitrate_kbps > 0),
+    )
+    mp3_duration = F.when(
+        mp3_head_ok
+        & has_xing
+        & (xing_flags % 2 == 1)
+        & (mp3_sample_rate > 0)
+        & (F.length(payload) >= xing_pos + 12),
+        # 1152 samples per MPEG1 Layer III frame
+        F.floor(xing_frames * 1152 * 1000 / mp3_sample_rate).cast("int"),
+    ).when(
+        mp3_head_ok & ~has_xing & (bitrate_kbps > 0),
         F.floor(
             (F.length(payload) - F.col("_mp3_tag")).cast("long") * 8 * 1000
             / (bitrate_kbps * 1000)

@@ -3112,3 +3112,32 @@ def test_ebml_vint_and_unknown_size():
         _ebml_vint(b"\x00\x01", 0, keep_marker=False)  # >8-byte vint
     with _pytest.raises(ValueError):
         list(_ebml_children(b"\x83\x85\x01", 0, 3))  # size overruns
+
+
+def test_media_mp3_xing_vbr_duration(spark):
+    """Xing/Info frame-count duration: a VBR stream's byte-math estimate
+    is wrong, so the frame count wins when the tag is present (offset =
+    frame header + side info, 32 B stereo / 17 B mono); a Xing tag
+    WITHOUT the frames flag yields NULL rather than a bad CBR guess."""
+    frame = bytes.fromhex("FFFB9000")  # MPEG1 L3, 128 kbps, 44.1 kHz, stereo
+    side = b"\x00" * 32
+    # 3829 frames * 1152 / 44100 = 100.022 s
+    xing = b"Xing" + (1).to_bytes(4, "big") + (3829).to_bytes(4, "big")
+    info = b"Info" + (1).to_bytes(4, "big") + (383).to_bytes(4, "big")
+    noframes = b"Xing" + (0).to_bytes(4, "big") + (3829).to_bytes(4, "big")
+    mono_frame = bytes.fromhex("FFFB90C0")  # channel mode 3 = mono
+    mono_xing = b"\x00" * 17 + xing
+    pad = b"p" * 500
+    rows = [
+        (1, frame + side + xing + pad),
+        (2, frame + side + info + pad),
+        (3, frame + side + noframes + pad),
+        (4, mono_frame + mono_xing + pad),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    res = {r["media_id"]: (r["mime"], r["duration_ms"])
+           for r in multimodal.attach_media_metadata(df).collect()}
+    assert res[1] == ("audio/mpeg", 100022)
+    assert res[2] == ("audio/mpeg", 10004)
+    assert res[3] == ("audio/mpeg", None)
+    assert res[4] == ("audio/mpeg", 100022)
