@@ -2844,6 +2844,25 @@ SELECT url, 1, 'https://schema.org/Person', 'name', 'Author ' || id, -1 FROM m
 """
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_topk):
+    compressed-domain ADC scan over md5-sampled codebooks with exact
+    rerank, against the embeddings table; queries are the first 20 ids.
+
+    STAGED FOR THE r05 REGISTRY ROTATION.  No SQL oracle — PQ's
+    per-subspace argmin encoding is not reasonably SQL-expressible, so
+    the driver records a rows-only check on promotion; value-level
+    correctness is pinned by the numpy-replay equality and
+    recall/determinism tests (tests/test_operators.py
+    test_pq_encode_matches_numpy_replay, test_pq_topk_recall_and_
+    determinism)."""
+    _ship(spark)
+    from graby_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(emb, emb.where("vec_id < 20"), k=10, refine=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep, which caps at 50
     # queries taken in dict order (VERDICT r03 #2): the leading block holds
@@ -2858,8 +2877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # R05_ORACLE_EXTRACT_HTML_TABLES, q_image_text_pairs with
     # R05_ORACLE_IMAGE_TEXT_PAIRS, q_canonical_dedup with
     # R05_ORACLE_CANONICAL_DEDUP, q_extract_microdata with
-    # R05_ORACLE_EXTRACT_MICRODATA, multimodal.video_phash) should then
-    # be promoted into this dict AT THE FRONT.
+    # R05_ORACLE_EXTRACT_MICRODATA, q_ann_pq rows-only,
+    # multimodal.video_phash) should then be promoted into this dict AT
+    # THE FRONT.
     return {
         # --- never driver-verified (r03 overflow + new in r04): MUST all
         # --- sit within the driver sweep's 50-query cap (pinned by test)

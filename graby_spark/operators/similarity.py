@@ -27,6 +27,8 @@ __all__ = [
     "lsh_signatures",
     "lsh_topk",
     "ivf_topk",
+    "pq_encode",
+    "pq_topk",
     "make_clustered_embeddings",
 ]
 
@@ -301,6 +303,215 @@ def ivf_topk(
     q = _unit(queries, id_col, vec_col, "q")
     scored = (
         cand.join(q.withColumnRenamed("q_id", "query_id"), "query_id")
+        .join(c.withColumnRenamed("n_id", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("q_unit", "n_unit", lambda x, y: x * y),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                ),
+                8,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _pq_codebooks(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, ks: int
+) -> np.ndarray:
+    """(m, ks, d_sub) PQ codebooks from a deterministic md5-ordered
+    corpus sample — the same sampled-init convention as :func:`ivf_topk`
+    (no k-means iterations; refinement would bolt on here).  Vectors are
+    unit-normalized BEFORE slicing so codes quantize the same space the
+    cosine is computed in."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(
+            F.conv(F.substring(F.md5(F.col("cid").cast("string")), 1, 15), 16, 10)
+        )
+        .limit(ks)
+        .collect()
+    )
+    sample = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in rows])
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    return np.stack(
+        [sample[:, j * d_sub : (j + 1) * d_sub] for j in range(m)]
+    )  # (m, ks, d_sub)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → (id, codes) under product quantization: each
+    unit-normalized vector is sliced into ``m`` subvectors and each
+    subvector replaced by the index of its nearest codebook centroid
+    (L2, which on a shared-norm slice ranks like dot product but stays
+    correct for non-unit subvector norms).
+
+    This is THE memory story at 100 TB: a 768-dim float corpus (3 KB a
+    row) becomes ``m`` single-byte codes (8-16 B a row) that fit in RAM
+    for compressed-domain scanning; the full vectors are only touched to
+    rerank a candidate handful."""
+    sc = corpus.sparkSession.sparkContext
+    cb_bc = sc.broadcast(codebooks)
+    m = codebooks.shape[0]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = cb_bc.value
+        m_, _, d_sub = cb.shape
+        for batch in batches:
+            if len(batch) == 0:
+                yield pd.DataFrame({"id": [], "codes": []})
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((len(mat), m_), dtype=np.int32)
+            for j in range(m_):
+                sub = mat[:, j * d_sub : (j + 1) * d_sub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 → argmin over
+                # centroids needs only the cross and centroid terms
+                d2 = (cb[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ cb[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"id": batch["id"].values, "codes": list(codes)}
+            )
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", corpus.schema[id_col].dataType),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return src.mapInPandas(fn, schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ks: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation and
+    exact rerank — the compressed-domain third scale architecture next to
+    hyperplane LSH and IVF cells.
+
+    Per query an (m × ks) lookup table of subvector·centroid dot
+    products is built once; a corpus row's approximate cosine is then
+    ``sum_j LUT[j, code_j]`` — m byte-indexed adds per row over the
+    8-16-byte code table, never the float vectors.  Each Arrow batch
+    emits only its per-query ADC top ``refine*k``; the union of
+    per-batch tops always contains the global ADC top, so the window
+    that follows selects a batching-independent candidate set.
+    Candidates are then exactly reranked (JVM zip_with dot product) and
+    the output matches brute_force_topk's schema and tie rules.
+
+    Scale shape: the corpus's float vectors are read once to encode;
+    every search scans codes only (broadcast LUTs, map-side top-k), one
+    exchange for the candidate window, and the rerank joins the slim
+    candidate list back against corpus vectors on the id key.
+
+    Resolution caveat (inherent to plain PQ, not this implementation):
+    ADC cannot rank points that share a code word, so on data whose
+    natural clusters are tighter than the quantization cells the
+    within-cell candidates are ADC-ties — size ``refine*k`` to cover
+    the expected cell population (the pinned test runs refine=16 against
+    ~125-point clusters).  IVF-PQ with residual quantization is the
+    standard finer-grained variant and would bolt on here.
+    """
+    codebooks = _pq_codebooks(corpus, id_col, vec_col, m, ks)
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+        .collect()
+    )
+    q_ids = [r["qid"] for r in q_rows]
+    q_mat = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in q_rows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    m_, ks_, d_sub = codebooks.shape
+    # per-query LUTs: (n_q, m, ks) of subvector-centroid dot products
+    luts = np.stack(
+        [q_mat[:, j * d_sub : (j + 1) * d_sub] @ codebooks[j].T for j in range(m_)],
+        axis=1,
+    )
+    sc = corpus.sparkSession.sparkContext
+    lut_bc = sc.broadcast((q_ids, luts))
+    n_cand = refine * k
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tables = lut_bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                yield pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []})
+                continue
+            code_mat = np.stack(batch["codes"].values)  # (n, m)
+            nid = batch["id"].values
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(ids):
+                # ADC: sum over subspaces of the LUT entry the code picks
+                scores = tables[qi][np.arange(m_)[None, :], code_mat].sum(axis=1)
+                top = min(n_cand, len(scores))
+                # per-batch selection must follow the SAME total order as
+                # the global candidate window (score desc, id asc):
+                # ADC ties are the NORM on clustered data, and an
+                # arbitrary tie-break here would make the union of batch
+                # tops — and thus the result — depend on partitioning
+                sel = np.lexsort((nid, -scores))[:top]
+                out_q.extend([qid] * top)
+                out_n.extend(nid[sel])
+                out_s.extend(scores[sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc": out_s}
+            )
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = corpus.schema[id_col].dataType
+    scan_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("adc", DoubleType()),
+        ]
+    )
+    approx = codes.mapInPandas(scan, scan_schema).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w_adc))
+        .where(F.col("_r") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    c = _unit(corpus, id_col, vec_col, "n")
+    q = _unit(queries, id_col, vec_col, "q")
+    scored = (
+        cand.join(F.broadcast(q.withColumnRenamed("q_id", "query_id")), "query_id")
         .join(c.withColumnRenamed("n_id", "neighbor_id"), "neighbor_id")
         .select(
             "query_id",

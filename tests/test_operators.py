@@ -3141,3 +3141,73 @@ def test_media_mp3_xing_vbr_duration(spark):
     assert res[2] == ("audio/mpeg", 10004)
     assert res[3] == ("audio/mpeg", None)
     assert res[4] == ("audio/mpeg", 100022)
+
+
+def test_pq_encode_matches_numpy_replay(spark):
+    """PQ codes are value-exact against an independent numpy replay of
+    the definition (deterministic md5-sampled codebooks, unit-normalize,
+    per-subspace L2 argmin)."""
+    import hashlib
+
+    import numpy as np
+
+    emb = similarity.make_clustered_embeddings(spark, n=300, dim=32).cache()
+    try:
+        cbs = similarity._pq_codebooks(emb, "vec_id", "embedding", m=4, ks=16)
+        assert cbs.shape == (4, 16, 8)
+        # replay the codebook selection independently
+        rows = {r["vec_id"]: np.asarray(r["embedding"], float) for r in emb.collect()}
+        # F.conv returns a STRING, so the engine's orderBy is
+        # lexicographic over the decimal digits — replay that exactly
+        order = sorted(
+            rows,
+            key=lambda i: str(int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)),
+        )
+        sample = np.stack([rows[i] for i in order[:16]])
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        for j in range(4):
+            assert np.allclose(cbs[j], sample[:, j * 8 : (j + 1) * 8])
+        got = {r["id"]: list(r["codes"])
+               for r in similarity.pq_encode(emb, cbs).collect()}
+        for vid, vec in rows.items():
+            u = vec / np.linalg.norm(vec)
+            want = [int(np.argmin(((cbs[j] - u[j * 8 : (j + 1) * 8]) ** 2).sum(axis=1)))
+                    for j in range(4)]
+            assert got[vid] == want, vid
+    finally:
+        emb.unpersist()
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    """Compressed-domain ADC scan + exact rerank: plain PQ's resolution
+    floor is the code word, so on this fixture (16 tight clusters of
+    ~125 points) within-cluster candidates are ADC-ties and refine*k
+    must cover the cluster — recall@10 >= 0.9 at refine=16, monotone in
+    the refine knob, and the result is independent of corpus
+    partitioning (the per-batch top union always contains the global
+    ADC top)."""
+    emb = similarity.make_clustered_embeddings(spark).cache()
+    try:
+        queries = emb.where("vec_id < 50")
+        exact = (
+            similarity.brute_force_topk(emb, queries, k=10)
+            .select("query_id", "neighbor_id")
+            .cache()
+        )
+        total = exact.count()
+
+        def recall(df):
+            return exact.intersect(df.select("query_id", "neighbor_id")).count() / total
+
+        r8 = recall(similarity.pq_topk(emb, queries, k=10, refine=8))
+        r16 = recall(similarity.pq_topk(emb, queries, k=10, refine=16))
+        assert r16 >= 0.9, r16
+        assert r16 >= r8
+        a = similarity.pq_topk(emb, queries.where("vec_id < 5"), k=5).collect()
+        b = similarity.pq_topk(
+            emb.repartition(7), queries.where("vec_id < 5"), k=5
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        exact.unpersist()
+    finally:
+        emb.unpersist()
