@@ -2863,6 +2863,59 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb.where("vec_id < 20"), k=10, refine=8)
 
 
+def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (storage.py key_skew_stats): a planted
+    hot key (every fifth doc) over an otherwise uniform domain column —
+    max/ratio/salt all closed-form.  ``n_partitions`` is pinned to 32 so
+    the result is environment-independent; float columns are rounded in
+    BOTH engines.
+
+    STAGED FOR THE r05 REGISTRY ROTATION (pytest-gated in
+    tests/test_operators.py::test_key_skew_stats plus the oracle test
+    until the rotation promotes it)."""
+    _ship(spark)
+    from graby_spark.storage import key_skew_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("doc_id") % 50))
+        .alias("domain")
+    )
+    return key_skew_stats(docs, "domain", n_partitions=32).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round("p99_key_rows", 4).alias("p99_key_rows"),
+        F.round("avg_key_rows", 4).alias("avg_key_rows"),
+        "top_key",
+        "skew_ratio",
+        "suggested_salt",
+    )
+
+
+#: oracle for the staged query above — same DuckDB dialect as
+#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+R05_ORACLE_KEY_SKEW_STATS = """
+WITH keyed AS (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN 'hot'
+              ELSE 'k' || (doc_id % 50) END AS domain
+  FROM documents
+), per_key AS (
+  SELECT domain, COUNT(*) AS c FROM keyed GROUP BY domain
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       ROUND(quantile_cont(c, 0.99), 4) AS p99_key_rows,
+       ROUND(SUM(c) * 1.0 / COUNT(*), 4) AS avg_key_rows,
+       arg_max(domain, c) AS top_key,
+       ROUND(MAX(c) / (SUM(c) * 1.0 / COUNT(*)), 4) AS skew_ratio,
+       CAST(GREATEST(1, CEIL(MAX(c) / (SUM(c) / 32.0))) AS INT)
+         AS suggested_salt
+FROM per_key
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep, which caps at 50
     # queries taken in dict order (VERDICT r03 #2): the leading block holds
@@ -2878,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # R05_ORACLE_IMAGE_TEXT_PAIRS, q_canonical_dedup with
     # R05_ORACLE_CANONICAL_DEDUP, q_extract_microdata with
     # R05_ORACLE_EXTRACT_MICRODATA, q_ann_pq rows-only,
+    # q_key_skew_stats with R05_ORACLE_KEY_SKEW_STATS,
     # multimodal.video_phash) should then be promoted into this dict AT
     # THE FRONT.
     return {

@@ -33,6 +33,7 @@ handles the output side).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -107,3 +108,56 @@ def partition_filters(df: DataFrame) -> str:
             start = idx + len("PartitionFilters: [")
             return line[start : line.find("]", start)].strip()
     return ""
+
+
+def key_skew_stats(
+    df: DataFrame, key_col: str, n_partitions: int | None = None
+) -> DataFrame:
+    """One-row skew diagnosis for a prospective shuffle key:
+    ``(n_rows, n_keys, max_key_rows, p99_key_rows, avg_key_rows,
+    top_key, skew_ratio, suggested_salt)``.
+
+    The question this answers is the one that decides whether a
+    groupBy/join on ``key_col`` survives 100 TB: how much of the data
+    lands on the hottest reducer?  ``skew_ratio`` is
+    max_key_rows / avg_key_rows (≈1 uniform, ≫1 hot-key);
+    ``suggested_salt`` is the salt-fan-out that would bring the hottest
+    key down to the average partition payload —
+    ``ceil(max_key_rows / (n_rows / n_partitions))``, clamped to ≥1 —
+    i.e. the ``N`` you'd pass to a ``key || '#' || pmod(hash(...), N)``
+    salting scheme (the extraction job's domain-salting uses exactly
+    this shape).
+
+    Scale shape: one partial-aggregated shuffle on the key (counts only,
+    no payload), then a single-row global aggregate.  Percentile is
+    exact here for oracle comparability; swap ``percentile_approx`` in
+    at trillion-key scale.
+    """
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism
+    per_key = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count("*").alias("_c")
+    )
+    return per_key.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("_c").cast("long").alias("max_key_rows"),
+        F.expr("percentile(_c, 0.99)").alias("p99_key_rows"),
+        (F.sum("_c") / F.count("*")).alias("avg_key_rows"),
+        F.max_by("_k", "_c").alias("top_key"),
+    ).select(
+        "*",
+        F.round(F.col("max_key_rows") / F.col("avg_key_rows"), 4).alias(
+            "skew_ratio"
+        ),
+        F.greatest(
+            F.lit(1),
+            F.ceil(
+                F.col("max_key_rows")
+                / (F.col("n_rows") / F.lit(float(n_partitions)))
+            ),
+        )
+        .cast("int")
+        .alias("suggested_salt"),
+    )

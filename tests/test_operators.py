@@ -3211,3 +3211,43 @@ def test_pq_topk_recall_and_determinism(spark):
         exact.unpersist()
     finally:
         emb.unpersist()
+
+
+def test_key_skew_stats(spark):
+    """Skew diagnosis: planted hot key dominates max/ratio; suggested
+    salt is the fan-out that levels the hot key to the average
+    partition payload; uniform keys report ratio ~1 / salt 1."""
+    from graby_spark.storage import key_skew_stats
+
+    rows = [(i, "hot" if i % 5 == 0 else f"k{i % 50}") for i in range(500)]
+    df = spark.createDataFrame(rows, "i long, domain string")
+    (s,) = key_skew_stats(df, "domain", n_partitions=32).collect()
+    assert s["n_rows"] == 500 and s["n_keys"] == 41
+    assert s["max_key_rows"] == 100 and s["top_key"] == "hot"
+    assert abs(s["avg_key_rows"] - 500 / 41) < 1e-9
+    assert abs(s["skew_ratio"] - round(100 / (500 / 41), 4)) < 1e-9
+    # ceil(100 / (500/32)) = ceil(6.4) = 7
+    assert s["suggested_salt"] == 7
+    uniform = spark.createDataFrame(
+        [(i, f"u{i % 10}") for i in range(100)], "i long, domain string"
+    )
+    (u,) = key_skew_stats(uniform, "domain", n_partitions=4).collect()
+    assert u["skew_ratio"] == 1.0 and u["suggested_salt"] == 1
+
+
+def test_staged_r05_key_skew_matches_duckdb_oracle(spark):
+    """The staged driver query (q_key_skew_stats) against its DuckDB
+    oracle at sf0.001 — same comparison the driver runs, kept here until
+    the r05 registry rotation."""
+    import importlib
+
+    duckdb = pytest.importorskip("duckdb")
+    e = importlib.import_module("__spark_entry__")
+    sf = "/root/testdata/sf0.001"
+    got = e.q_key_skew_stats(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{sf}/documents.parquet'")
+    exp = con.execute(e.R05_ORACLE_KEY_SKEW_STATS).df()
+    assert len(got) == len(exp) == 1
+    for col in got.columns:
+        assert got[col][0] == exp[col][0], (col, got[col][0], exp[col][0])
