@@ -2916,6 +2916,25 @@ FROM per_key
 """
 
 
+def staged_queries() -> dict[str, tuple]:
+    """Queries STAGED for the r05 registry rotation: (callable, oracle
+    SQL or None for rows-only) per future registry key.  They are kept
+    out of ``queries()`` because the r04 driver sweep cap (50) is
+    exactly filled by the never-driver-verified block; each is
+    pytest-gated against the same comparison the driver runs, and
+    ``tools/check_oracles.py`` includes them (marked ``staged``) in the
+    local full-registry artifact.  Promotion at r05 = move each pair
+    into ``queries()``/``oracle_sql()`` AT THE FRONT verbatim."""
+    return {
+        "extract_html_tables": (q_extract_html_tables, R05_ORACLE_EXTRACT_HTML_TABLES),
+        "image_text_pairs": (q_image_text_pairs, R05_ORACLE_IMAGE_TEXT_PAIRS),
+        "canonical_dedup": (q_canonical_dedup, R05_ORACLE_CANONICAL_DEDUP),
+        "extract_microdata": (q_extract_microdata, R05_ORACLE_EXTRACT_MICRODATA),
+        "key_skew_stats": (q_key_skew_stats, R05_ORACLE_KEY_SKEW_STATS),
+        "ann_pq": (q_ann_pq, None),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep, which caps at 50
     # queries taken in dict order (VERDICT r03 #2): the leading block holds

@@ -53,6 +53,7 @@ __all__ = [
     "build_wet_blobs",
     "build_wat_blobs",
     "write_warc_blobs",
+    "cdx_from_warc",
 ]
 
 WARC_RECORD_SCHEMA = StructType(
@@ -578,3 +579,133 @@ def build_wat_blobs(
         return pd.DataFrame({"file_id": [key[0]], "blob": [bytes(out)]})
 
     return docs.groupBy("file_id").applyInPandas(build, schema)
+
+
+def _iter_member_spans(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Yield (offset, compressed_length, decompressed_member) for each
+    gzip member — the byte spans a CDX line points range requests at.
+    Uncompressed blobs yield one whole-file span."""
+    if not blob.startswith(_GZIP_MAGIC):
+        yield 0, len(blob), blob
+        return
+    pos = 0
+    rest = blob
+    while rest.startswith(_GZIP_MAGIC):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            member = d.decompress(rest)
+        except zlib.error:
+            return
+        consumed = len(rest) - len(d.unused_data)
+        yield pos, consumed, member
+        pos += consumed
+        rest = d.unused_data
+
+
+def cdx_from_warc(
+    df: DataFrame, filename_col: str = "filename", blob_col: str = "blob"
+) -> DataFrame:
+    """WARC blobs → CDX index rows: the cdx-indexer step that makes a
+    100 TB archive range-request addressable.
+
+    One row per response record: ``(urlkey, ts14, url, mime, status,
+    digest, length, offset, filename)`` — CDX(J) field conventions:
+    ``offset``/``length`` are the gzip MEMBER's byte span inside the
+    archive file (a reader fetches exactly that range and inflates one
+    member), ``ts14`` collapses the WARC-Date to the 14-digit CDX
+    timestamp, ``digest`` is the base32 SHA-1 of the HTTP payload
+    (Common Crawl's convention), ``urlkey`` is the canonical SURT key
+    (computed JVM-side with the same expression ``cdx_records``
+    consumes, so index and reader cannot drift).
+
+    Together with :func:`graby_spark.sources.cdx.cdx_records` /
+    ``cdx_select_latest`` this closes the loop: archives → index →
+    selective range fetch.  Scale shape: one ``mapInPandas`` over file
+    blobs (each file indexes independently, records stream out per
+    Arrow batch); the SURT projection is a JVM map."""
+    import base64
+    import hashlib
+
+    from .cdx import surt_key
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            recs: list[tuple] = []
+            for fname, blob in zip(batch["filename"], batch["blob"]):
+                blob = bytes(blob or b"")
+                for off, clen, member in _iter_member_spans(blob):
+                    for headers, payload in _iter_raw_records(member):
+                        if headers.get("warc-type") != "response":
+                            continue
+                        status = 0
+                        mime = ""
+                        body = payload
+                        http_end = payload.find(b"\r\n\r\n")
+                        if http_end >= 0 and payload.startswith(b"HTTP/"):
+                            for line in payload[:http_end].split(b"\r\n"):
+                                if line.startswith(b"HTTP/"):
+                                    parts = line.split()
+                                    if len(parts) >= 2 and parts[1].isdigit():
+                                        status = int(parts[1])
+                                elif line.lower().startswith(b"content-type:"):
+                                    mime = (
+                                        line.partition(b":")[2]
+                                        .split(b";")[0]
+                                        .strip()
+                                        .decode("latin-1")
+                                    )
+                            body = payload[http_end + 4 :]
+                        ts14 = "".join(
+                            c
+                            for c in headers.get("warc-date", "")
+                            if c.isdigit()
+                        )[:14]
+                        digest = base64.b32encode(
+                            hashlib.sha1(body).digest()
+                        ).decode("ascii")
+                        recs.append(
+                            (
+                                headers.get("warc-target-uri", ""),
+                                ts14,
+                                mime,
+                                status,
+                                digest,
+                                clen,
+                                off,
+                                fname,
+                            )
+                        )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "url",
+                    "ts14",
+                    "mime",
+                    "status",
+                    "digest",
+                    "length",
+                    "offset",
+                    "filename",
+                ],
+            )
+
+    schema = (
+        "url string, ts14 string, mime string, status int, digest string, "
+        "length long, offset long, filename string"
+    )
+    src = df.select(
+        F.col(filename_col).cast("string").alias("filename"),
+        F.col(blob_col).alias("blob"),
+    )
+    rows = src.mapInPandas(parse, schema)
+    return rows.select(
+        surt_key(F.col("url")).alias("urlkey"),
+        "ts14",
+        "url",
+        "mime",
+        "status",
+        "digest",
+        "length",
+        "offset",
+        "filename",
+    )

@@ -171,3 +171,18 @@ def test_staged_r05_query_matches_duckdb_oracle(spark):
     assert len(g) == len(x) and len(g) > 0
     for col in got.columns:
         assert (g[col].values == x[col].values).all(), col
+
+
+def test_real_fixture_pages_smoke():
+    """Real crawled pages (clubic/lemonde tag soup, ~100 KB each) must
+    mine without error; srcs are absolute or data: URIs."""
+    import glob
+
+    paths = glob.glob("fixtures/content/*clubic*") + glob.glob(
+        "fixtures/content/*lemonde*"
+    )
+    assert paths
+    for p in paths:
+        html = open(p, encoding="utf-8", errors="replace").read()
+        for r in doc_image_pairs(html, "http://fixture.example/a/b.html"):
+            assert r["src"].startswith(("http://", "https://", "data:")), r["src"]

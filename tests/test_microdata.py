@@ -127,3 +127,21 @@ def test_staged_r05_query_matches_duckdb_oracle(spark):
     assert len(g) == len(x) and len(g) > 0
     for col in got.columns:
         assert (g[col].values == x[col].values).all(), col
+
+
+def test_real_fixture_pages_smoke():
+    """Real crawled pages must parse without error and produce
+    well-typed rows (clubic/lemonde/rollingstone fixtures)."""
+    import glob
+
+    paths = (
+        glob.glob("fixtures/content/*clubic*")
+        + glob.glob("fixtures/content/*lemonde*")
+        + glob.glob("fixtures/content/*rollingstone*")
+    )
+    assert paths
+    for p in paths:
+        html = open(p, encoding="utf-8", errors="replace").read()
+        for r in doc_microdata(html, "http://fixture.example/a/b.html"):
+            assert isinstance(r["item_idx"], int)
+            assert isinstance(r["prop"], str) and r["prop"]

@@ -63,8 +63,16 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    qs = dict(entry.queries())
+    oracles = dict(entry.oracle_sql())
+    staged_names: set[str] = set()
+    for name, (fn, oracle) in getattr(entry, "staged_queries", dict)().items():
+        if name in qs:
+            raise SystemExit(f"staged query {name!r} already in queries()")
+        qs[name] = fn
+        staged_names.add(name)
+        if oracle is not None:
+            oracles[name] = oracle
     failed = []
     results: dict[str, dict] = {}
 
@@ -77,6 +85,8 @@ def main() -> int:
             "oracle_rows": oracle_rows,
             "err": err,
         }
+        if name in staged_names:
+            results[name]["staged"] = True
 
     for name, fn in qs.items():
         if only and name not in only:
