@@ -2916,6 +2916,67 @@ FROM per_key
 """
 
 
+def q_pipeline_imagetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image–text curation pipeline composed end-to-end:
+    mine pairs (operators/imagetext.py) → quality features → keep rows a
+    curator would train on (a real description of ≥2 words that is not
+    the filename, not a data URI, and not a tracking-pixel area).  The
+    deterministic pages plant one keeper and a rotating junk case per
+    doc (filename alt / 1×1 pixel / data URI / empty alt), so the filter
+    logic itself is on the closed-form oracle.
+
+    STAGED FOR THE r05 REGISTRY ROTATION (pytest-gated in
+    tests/test_imagetext.py until the rotation promotes it)."""
+    _ship(spark)
+    from graby_spark.operators.imagetext import image_text_pairs, pair_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 4 = 0")
+
+    @F.pandas_udf("string")
+    def gen_html(ids: pd.Series) -> pd.Series:
+        def page(i: int) -> str:
+            i = int(i)
+            keeper = (
+                f'<figure><img src="/keep{i}.jpg" alt="a fine picture number {i}" '
+                f'width="{64 + i % 32}" height="64"></figure>'
+            )
+            junk = [
+                f'<img src="/j{i}.png" alt="j{i}.png">',  # filename alt
+                f'<img src="/j{i}.png" alt="tiny but named" width="1" height="1">',
+                f'<img src="data:image/gif;base64,R0lGOD" alt="inline payload">',
+                f'<img src="/j{i}.png" alt="">',  # no text at all
+            ][i % 4]
+            return f"<html><body>{keeper}{junk}</body></html>"
+
+        return pd.Series([page(i) for i in ids])
+
+    pages = docs.select(
+        F.concat(F.lit("http://pairs.example/"), F.col("doc_id")).alias("url"),
+        gen_html("doc_id").alias("html"),
+    )
+    q = pair_quality(image_text_pairs(pages))
+    kept = q.where(
+        (F.col("text_words") >= 2)
+        & ~F.col("alt_is_filename")
+        & ~F.col("is_data_uri")
+        & (F.coalesce(F.col("area"), F.lit(10**9)) >= 1024)
+    )
+    return kept.select("url", "src", "text", "text_words", "width", "height")
+
+
+#: oracle for the staged query above — same DuckDB dialect as
+#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+R05_ORACLE_PIPELINE_IMAGETEXT = """
+SELECT 'http://pairs.example/' || doc_id AS url,
+       'http://pairs.example/keep' || doc_id || '.jpg' AS src,
+       'a fine picture number ' || doc_id AS text,
+       CAST(5 AS INT) AS text_words,
+       CAST(64 + doc_id % 32 AS INT) AS width,
+       CAST(64 AS INT) AS height
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
 def staged_queries() -> dict[str, tuple]:
     """Queries STAGED for the r05 registry rotation: (callable, oracle
     SQL or None for rows-only) per future registry key.  They are kept
@@ -2931,6 +2992,7 @@ def staged_queries() -> dict[str, tuple]:
         "canonical_dedup": (q_canonical_dedup, R05_ORACLE_CANONICAL_DEDUP),
         "extract_microdata": (q_extract_microdata, R05_ORACLE_EXTRACT_MICRODATA),
         "key_skew_stats": (q_key_skew_stats, R05_ORACLE_KEY_SKEW_STATS),
+        "pipeline_imagetext": (q_pipeline_imagetext, R05_ORACLE_PIPELINE_IMAGETEXT),
         "ann_pq": (q_ann_pq, None),
     }
 

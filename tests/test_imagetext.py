@@ -186,3 +186,22 @@ def test_real_fixture_pages_smoke():
         html = open(p, encoding="utf-8", errors="replace").read()
         for r in doc_image_pairs(html, "http://fixture.example/a/b.html"):
             assert r["src"].startswith(("http://", "https://", "data:")), r["src"]
+
+
+def test_staged_r05_pipeline_matches_duckdb_oracle(spark):
+    """The composed curation pipeline (q_pipeline_imagetext) against its
+    DuckDB oracle at sf0.001: exactly the planted keeper survives each
+    page's rotating junk case (filename alt / 1x1 pixel / data URI /
+    textless)."""
+    duckdb = pytest.importorskip("duckdb")
+    e = importlib.import_module("__spark_entry__")
+    sf = "/root/testdata/sf0.001"
+    got = e.q_pipeline_imagetext(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{sf}/documents.parquet'")
+    exp = con.execute(e.R05_ORACLE_PIPELINE_IMAGETEXT).df()
+    g = got.sort_values("url").reset_index(drop=True)
+    x = exp[got.columns].sort_values("url").reset_index(drop=True)
+    assert len(g) == len(x) and len(g) > 0
+    for col in got.columns:
+        assert (g[col].values == x[col].values).all(), col
