@@ -205,7 +205,7 @@ def build_warc_blobs(
         [StructField("file_id", LongType()), StructField("blob", BinaryType())]
     )
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         out = bytearray()
         for _, row in pdf.sort_values("doc_id").iterrows():
             doc_id = int(row["doc_id"])
@@ -268,7 +268,7 @@ def write_warc_blobs(
         [StructField("file_id", LongType()), StructField("blob", BinaryType())]
     )
 
-    def build(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def build(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         out = bytearray()
         cols = ["url", "warc_date", "http_status", "content_type", "html"]
         for _, row in pdf.sort_values(["url", "warc_date"])[cols].iterrows():
@@ -377,7 +377,7 @@ def build_wet_blobs(
         [StructField("file_id", LongType()), StructField("blob", BinaryType())]
     )
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         out = bytearray()
         for _, row in pdf.sort_values("doc_id").iterrows():
             doc_id = int(row["doc_id"])
@@ -527,7 +527,7 @@ def build_wat_blobs(
         [StructField("file_id", LongType()), StructField("blob", BinaryType())]
     )
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         out = bytearray()
         for _, row in pdf.sort_values("doc_id").iterrows():
             doc_id = int(row["doc_id"])
