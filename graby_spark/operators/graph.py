@@ -35,6 +35,7 @@ __all__ = [
     "anchor_texts",
     "link_relations",
     "canonical_dedup",
+    "hreflang_clusters",
     "sitemap_urls",
     "pagerank",
     "frontier_schedule",
@@ -791,4 +792,40 @@ def canonical_dedup(
         (F.col("url") == F.coalesce(self_url, F.min("url").over(w))).alias(
             "is_kept"
         ),
+    )
+
+
+def hreflang_clusters(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Translation-variant mining from ``rel=alternate hreflang=…``
+    links: one row per declared language variant —
+    ``(url, cluster_key, hreflang, variant_url, n_variants)``.
+
+    Parallel-translation pages are the raw material of machine-translation
+    and cross-lingual training corpora, and hreflang is the publisher's
+    own declaration of them.  ``cluster_key`` is the lexicographically
+    smallest member of {page} ∪ {its declared variants} — pages of one
+    translation set declare each other symmetrically per Google's
+    hreflang contract, so every member derives the SAME key without any
+    cross-page join or connected-components pass (asymmetric/broken
+    annotations split clusters rather than corrupting them, the safe
+    failure).  ``x-default`` rows are kept (their hreflang value says
+    which).  Map-only JVM on top of :func:`link_relations`'s exploded
+    rows plus one key-only window per page — no content moves.
+    """
+    from pyspark.sql import Window
+
+    rels = (
+        link_relations(pages, url_col=url_col, html_col=html_col)
+        .where((F.col("rel") == "alternate") & (F.col("hreflang") != ""))
+        .select(F.col("src").alias("url"), "hreflang", F.col("dst").alias("variant_url"))
+    )
+    w = Window.partitionBy("url")
+    return rels.select(
+        "url",
+        F.least(F.min("variant_url").over(w), F.col("url")).alias("cluster_key"),
+        "hreflang",
+        "variant_url",
+        F.count("*").over(w).alias("n_variants"),
     )

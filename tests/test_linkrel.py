@@ -110,3 +110,40 @@ def test_staged_r05_query_matches_duckdb_oracle(spark):
     assert len(g) == len(x) and len(g) > 0
     for col in got.columns:
         assert (g[col].values == x[col].values).all(), col
+
+
+def test_hreflang_clusters(spark):
+    """Symmetric hreflang annotations give every member the same
+    cluster key without any cross-page join; x-default is kept; pages
+    without hreflang links emit nothing."""
+    en, fr, de = (
+        "http://ex.com/en/p",
+        "http://ex.com/fr/p",
+        "http://ex.com/de/p",
+    )
+
+    def head(*variants):
+        return "".join(
+            f'<link rel="alternate" hreflang="{h}" href="{u}">' for h, u in variants
+        )
+
+    rows = [
+        (en, head(("fr", fr), ("de", de), ("x-default", en))),
+        (fr, head(("en", en), ("de", de))),
+        (de, head(("en", en), ("fr", fr))),
+        ("http://ex.com/solo", "<p>nothing</p>"),
+    ]
+    from graby_spark.operators.graph import hreflang_clusters
+
+    got = hreflang_clusters(
+        spark.createDataFrame(rows, "url string, html string")
+    ).collect()
+    # every member derives the same key (lexicographic min = /de/p)
+    assert {r["cluster_key"] for r in got} == {de}
+    by_url = {}
+    for r in got:
+        by_url.setdefault(r["url"], []).append(r)
+    assert len(by_url[en]) == 3 and by_url[en][0]["n_variants"] == 3
+    assert len(by_url[fr]) == 2 and len(by_url[de]) == 2
+    assert {r["hreflang"] for r in by_url[en]} == {"fr", "de", "x-default"}
+    assert "http://ex.com/solo" not in by_url
