@@ -2977,6 +2977,78 @@ FROM documents WHERE doc_id % 4 = 0
 """
 
 
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translation-variant mining (operators/graph.py hreflang_clusters):
+    deterministic 3-language sets (en/fr/de paths under one doc id, each
+    page declaring the other two symmetrically plus x-default on the en
+    page) — the local min-key derivation and variant counting are on a
+    closed-form oracle.
+
+    STAGED FOR THE r05 REGISTRY ROTATION (pytest-gated in
+    tests/test_linkrel.py until the rotation promotes it)."""
+    _ship(spark)
+    from graby_spark.operators.graph import hreflang_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 11 = 0")
+    langs = ["de", "en", "fr"]
+
+    @F.pandas_udf("string")
+    def gen_html(pairs: pd.Series) -> pd.Series:
+        def page(p: str) -> str:
+            i, lang = p.split(":")
+            links = [
+                f'<link rel="alternate" hreflang="{o}" '
+                f'href="http://hl.example/{o}/{i}">'
+                for o in langs
+                if o != lang
+            ]
+            if lang == "en":
+                links.append(
+                    '<link rel="alternate" hreflang="x-default" '
+                    f'href="http://hl.example/en/{i}">'
+                )
+            return f"<html><head>{''.join(links)}</head><body>x</body></html>"
+
+        return pd.Series([page(p) for p in pairs])
+
+    pages = docs.select(
+        F.explode(F.array(*[F.lit(lg) for lg in langs])).alias("lang"),
+        F.col("doc_id"),
+    ).select(
+        F.concat(
+            F.lit("http://hl.example/"), F.col("lang"), F.lit("/"), F.col("doc_id")
+        ).alias("url"),
+        gen_html(F.concat(F.col("doc_id"), F.lit(":"), F.col("lang"))).alias("html"),
+    )
+    return hreflang_clusters(pages)
+
+
+#: oracle for the staged query above — same DuckDB dialect as
+#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+R05_ORACLE_HREFLANG_CLUSTERS = """
+WITH m AS (
+  SELECT doc_id AS id, unnest(['de', 'en', 'fr']) AS lang
+  FROM documents WHERE doc_id % 11 = 0
+), variants AS (
+  SELECT a.id, a.lang,
+         'http://hl.example/' || a.lang || '/' || a.id AS url,
+         b.lang AS other,
+         'http://hl.example/' || b.lang || '/' || a.id AS variant_url
+  FROM m a JOIN m b ON a.id = b.id AND a.lang <> b.lang
+  UNION ALL
+  SELECT id, 'en', 'http://hl.example/en/' || id, 'x-default',
+         'http://hl.example/en/' || id
+  FROM m WHERE lang = 'en'
+)
+SELECT url,
+       'http://hl.example/de/' || id AS cluster_key,
+       other AS hreflang,
+       variant_url,
+       CAST(CASE WHEN lang = 'en' THEN 3 ELSE 2 END AS BIGINT) AS n_variants
+FROM variants
+"""
+
+
 def staged_queries() -> dict[str, tuple]:
     """Queries STAGED for the r05 registry rotation: (callable, oracle
     SQL or None for rows-only) per future registry key.  They are kept
@@ -2993,6 +3065,7 @@ def staged_queries() -> dict[str, tuple]:
         "extract_microdata": (q_extract_microdata, R05_ORACLE_EXTRACT_MICRODATA),
         "key_skew_stats": (q_key_skew_stats, R05_ORACLE_KEY_SKEW_STATS),
         "pipeline_imagetext": (q_pipeline_imagetext, R05_ORACLE_PIPELINE_IMAGETEXT),
+        "hreflang_clusters": (q_hreflang_clusters, R05_ORACLE_HREFLANG_CLUSTERS),
         "ann_pq": (q_ann_pq, None),
     }
 

@@ -147,3 +147,21 @@ def test_hreflang_clusters(spark):
     assert len(by_url[fr]) == 2 and len(by_url[de]) == 2
     assert {r["hreflang"] for r in by_url[en]} == {"fr", "de", "x-default"}
     assert "http://ex.com/solo" not in by_url
+
+
+def test_staged_r05_hreflang_matches_duckdb_oracle(spark):
+    """The staged driver query (q_hreflang_clusters) against its DuckDB
+    oracle at sf0.001."""
+    duckdb = pytest.importorskip("duckdb")
+    e = importlib.import_module("__spark_entry__")
+    sf = "/root/testdata/sf0.001"
+    got = e.q_hreflang_clusters(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{sf}/documents.parquet'")
+    exp = con.execute(e.R05_ORACLE_HREFLANG_CLUSTERS).df()
+    key = ["url", "hreflang"]
+    g = got.sort_values(key).reset_index(drop=True)
+    x = exp[got.columns].sort_values(key).reset_index(drop=True)
+    assert len(g) == len(x) and len(g) > 0
+    for col in got.columns:
+        assert (g[col].values == x[col].values).all(), col
