@@ -2849,18 +2849,102 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed-domain ADC scan over md5-sampled codebooks with exact
     rerank, against the embeddings table; queries are the first 20 ids.
 
-    STAGED FOR THE r05 REGISTRY ROTATION.  No SQL oracle — PQ's
-    per-subspace argmin encoding is not reasonably SQL-expressible, so
-    the driver records a rows-only check on promotion; value-level
-    correctness is pinned by the numpy-replay equality and
-    recall/determinism tests (tests/test_operators.py
-    test_pq_encode_matches_numpy_replay, test_pq_topk_recall_and_
-    determinism)."""
+    VALUE ORACLE (new r05, closing VERDICT r04 #2): every stage is a
+    deterministic closed form, so R05_ORACLE_ANN_PQ replays the whole
+    pipeline in SQL — md5-lexicographic codebook sample, unit-normalize,
+    per-subspace L2 argmin encode, ADC rounded to 6 decimals (the
+    rounding pq_topk itself applies, making the candidate total order
+    float-summation-order independent), global top-``refine*k``
+    candidate cut excluding self, exact cosine rerank rounded to 8.
+    Belt-and-braces value pins live in tests/test_operators.py
+    (test_pq_encode_matches_numpy_replay,
+    test_pq_topk_recall_and_determinism)."""
     _ship(spark)
     from graby_spark.operators.similarity import pq_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return pq_topk(emb, emb.where("vec_id < 20"), k=10, refine=8)
+
+
+#: exact SQL replay of q_ann_pq (k=10, m=4, ks=16, refine=8 → 80
+#: candidates; 64-dim embeddings → d_sub=16).  Mirrors pq_topk stage
+#: for stage; see q_ann_pq docstring for why each rounding exists.
+R05_ORACLE_ANN_PQ = """
+WITH unitc AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE /
+           sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
+  FROM embeddings
+),
+-- codebook sample: Spark orders by conv(md5-prefix, 16, 10) which is a
+-- decimal STRING, i.e. lexicographic over the decimal digits
+sample AS (
+  SELECT row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR)
+         ) - 1 AS cidx, u
+  FROM unitc
+  QUALIFY row_number() OVER (
+    ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR)
+  ) <= 16
+),
+subspaces AS (SELECT unnest(range(4)) AS j),
+cent AS (
+  SELECT j, cidx,
+         list_slice(u, j * 16 + 1, (j + 1) * 16) AS c,
+         list_sum(list_transform(list_slice(u, j * 16 + 1, (j + 1) * 16), v -> v * v)) AS c2
+  FROM sample CROSS JOIN subspaces
+),
+sub AS (
+  SELECT vec_id, j, list_slice(u, j * 16 + 1, (j + 1) * 16) AS x
+  FROM unitc CROSS JOIN subspaces
+),
+-- per-subspace L2 argmin: ||x-c||^2 ranks like c2 - 2*x.c; ties take
+-- the lowest centroid index exactly like np.argmin
+codes AS (
+  SELECT vec_id, j, cidx FROM (
+    SELECT s.vec_id, s.j, c.cidx,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY c.c2 - 2 * list_sum(list_transform(range(16), i -> s.x[i+1] * c.c[i+1])) ASC,
+                      c.cidx ASC
+           ) AS rn
+    FROM sub s JOIN cent c USING (j)
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT vec_id AS qid, j, list_slice(u, j * 16 + 1, (j + 1) * 16) AS qx
+  FROM unitc CROSS JOIN subspaces
+  WHERE vec_id < 20
+),
+adc AS (
+  SELECT q.qid, co.vec_id AS nid,
+         round(SUM(list_sum(list_transform(range(16), i -> q.qx[i+1] * c.c[i+1]))), 6) AS adc
+  FROM qsub q
+  JOIN codes co USING (j)
+  JOIN cent c ON c.j = co.j AND c.cidx = co.cidx
+  WHERE co.vec_id != q.qid
+  GROUP BY q.qid, co.vec_id
+),
+cand AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS rn
+    FROM adc
+  ) WHERE rn <= 80
+),
+rerank AS (
+  SELECT cd.qid AS query_id, cd.nid AS neighbor_id,
+         round(list_sum(list_transform(range(64), i -> qu.u[i+1] * cu.u[i+1])), 8) AS cosine
+  FROM cand cd
+  JOIN unitc qu ON qu.vec_id = cd.qid
+  JOIN unitc cu ON cu.vec_id = cd.nid
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rerank
+) WHERE rank <= 10
+"""
 
 
 def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3050,47 +3134,35 @@ FROM variants
 
 
 def staged_queries() -> dict[str, tuple]:
-    """Queries STAGED for the r05 registry rotation: (callable, oracle
-    SQL or None for rows-only) per future registry key.  They are kept
-    out of ``queries()`` because the r04 driver sweep cap (50) is
-    exactly filled by the never-driver-verified block; each is
-    pytest-gated against the same comparison the driver runs, and
-    ``tools/check_oracles.py`` includes them (marked ``staged``) in the
-    local full-registry artifact.  Promotion at r05 = move each pair
-    into ``queries()``/``oracle_sql()`` AT THE FRONT verbatim."""
-    return {
-        "extract_html_tables": (q_extract_html_tables, R05_ORACLE_EXTRACT_HTML_TABLES),
-        "image_text_pairs": (q_image_text_pairs, R05_ORACLE_IMAGE_TEXT_PAIRS),
-        "canonical_dedup": (q_canonical_dedup, R05_ORACLE_CANONICAL_DEDUP),
-        "extract_microdata": (q_extract_microdata, R05_ORACLE_EXTRACT_MICRODATA),
-        "key_skew_stats": (q_key_skew_stats, R05_ORACLE_KEY_SKEW_STATS),
-        "pipeline_imagetext": (q_pipeline_imagetext, R05_ORACLE_PIPELINE_IMAGETEXT),
-        "hreflang_clusters": (q_hreflang_clusters, R05_ORACLE_HREFLANG_CLUSTERS),
-        "ann_pq": (q_ann_pq, None),
-    }
+    """Queries staged for a future registry rotation: (callable, oracle
+    SQL or None for rows-only) per future key.  Empty since the r05
+    rotation promoted the eight r04-staged queries into ``queries()``
+    AT THE FRONT — the driver's 50-query sweep (dict order) verifies
+    them this round, completing driver coverage of all 120 registry
+    keys across CORRECTNESS_r01..r05."""
+    return {}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep, which caps at 50
-    # queries taken in dict order (VERDICT r03 #2): the leading block holds
-    # every key that has never appeared in a driver artifact (the 19 keys
-    # CORRECTNESS_r03 had no room for) plus this round's new queries, so
-    # the union of driver artifacts r01..r04 covers the full registry
-    # (62 keys seen in r01-r03 + these 50 = 112 exactly).
-    # Everything has a green row in the locally-published full-registry
-    # artifact regardless of this rotation.
-    # r05 rotation note: once CORRECTNESS_r04 lands, every current key is
-    # driver-verified — the staged queries (q_extract_html_tables with
-    # R05_ORACLE_EXTRACT_HTML_TABLES, q_image_text_pairs with
-    # R05_ORACLE_IMAGE_TEXT_PAIRS, q_canonical_dedup with
-    # R05_ORACLE_CANONICAL_DEDUP, q_extract_microdata with
-    # R05_ORACLE_EXTRACT_MICRODATA, q_ann_pq rows-only,
-    # q_key_skew_stats with R05_ORACLE_KEY_SKEW_STATS,
-    # multimodal.video_phash) should then be promoted into this dict AT
-    # THE FRONT.
+    # queries taken in dict order (VERDICT r03 #2).  r05 rotation: the
+    # eight r04-staged queries lead (never driver-verified; everything
+    # else has a green row in the union of CORRECTNESS_r01..r04), so this
+    # round's sweep completes driver coverage of the full 120-key
+    # registry.  Everything also has a green row in the locally-published
+    # full-registry artifact regardless of this rotation.
     return {
-        # --- never driver-verified (r03 overflow + new in r04): MUST all
+        # --- never driver-verified (staged in r04, promoted r05): MUST
         # --- sit within the driver sweep's 50-query cap (pinned by test)
+        "extract_html_tables": q_extract_html_tables,
+        "image_text_pairs": q_image_text_pairs,
+        "canonical_dedup": q_canonical_dedup,
+        "extract_microdata": q_extract_microdata,
+        "key_skew_stats": q_key_skew_stats,
+        "pipeline_imagetext": q_pipeline_imagetext,
+        "hreflang_clusters": q_hreflang_clusters,
+        "ann_pq": q_ann_pq,
+        # --- driver-verified in r04; re-verified as sweep room allows
         "media_avi_frames": q_media_avi_frames,
         "media_g711_decode": q_media_g711_decode,
         "pipeline_media": q_pipeline_media,
@@ -3583,6 +3655,17 @@ FROM packed p JOIN (
 """
 
     return {
+        # --- promoted from staged_queries() at the r05 rotation, listed
+        # --- first to mirror queries() order; ann_pq gained a value
+        # --- oracle this round (exact SQL replay of the PQ/ADC pipeline)
+        "ann_pq": R05_ORACLE_ANN_PQ,
+        "extract_html_tables": R05_ORACLE_EXTRACT_HTML_TABLES,
+        "image_text_pairs": R05_ORACLE_IMAGE_TEXT_PAIRS,
+        "canonical_dedup": R05_ORACLE_CANONICAL_DEDUP,
+        "extract_microdata": R05_ORACLE_EXTRACT_MICRODATA,
+        "key_skew_stats": R05_ORACLE_KEY_SKEW_STATS,
+        "pipeline_imagetext": R05_ORACLE_PIPELINE_IMAGETEXT,
+        "hreflang_clusters": R05_ORACLE_HREFLANG_CLUSTERS,
         "pipeline_pretrain": pretrain_oracle,
         "text_pii": pii_oracle(),
         "text_c4": c4_oracle,

@@ -47,6 +47,31 @@ def timed(fn) -> float:
     return round(best, 3)
 
 
+def timed_stats(fn, runs: int = 3) -> tuple[float, dict]:
+    """Warm-up pass + median-of-``runs`` with the spread recorded.
+
+    For the headline queries the artifact must defend itself against
+    host-noise windows (VERDICT r04: two of nine windows showed
+    physically-impossible inversions): one untimed warm-up absorbs
+    session residue / JIT, then the median of three timed runs is the
+    headline and min/median/max land in the artifact's ``spread`` block
+    so a noisy window is visible IN the recorded numbers instead of in
+    side-channel lore."""
+    fn()  # warm-up, untimed
+    samples = []
+    for _ in range(runs):
+        start = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - start)
+    samples.sort()
+    return round(samples[len(samples) // 2], 3), {
+        "min": round(samples[0], 3),
+        "median": round(samples[len(samples) // 2], 3),
+        "max": round(samples[-1], 3),
+        "runs": runs,
+    }
+
+
 def run_extraction_job(
     spark, sf_dir: str, amplify: int, text_repeat: int = 1
 ) -> tuple[float, int]:
@@ -85,13 +110,13 @@ def run_extraction_job_table(
     def _count(df):
         n[0] = df.where("is_success").count()
 
-    # best-of-2 each (same rationale as timed()): the first run after the
-    # warm-up absorbs session residue, and the run ORDER otherwise skews
-    # the projected-vs-allcols comparison
+    # warm-up + median-of-3 each (timed_stats): the warm-up absorbs
+    # session residue, the median defuses one-off host-noise spikes, and
+    # the run ORDER otherwise skews the projected-vs-allcols comparison
     out_full = run_extraction(spark, pages, pages_ruleset(), options=OPTS, repartition=False)
-    secs = timed(lambda: _count(out))
-    full_secs = timed(lambda: _count(out_full))
-    return secs, n[0], full_secs
+    secs, spread = timed_stats(lambda: _count(out))
+    full_secs, full_spread = timed_stats(lambda: _count(out_full))
+    return secs, n[0], full_secs, {"extract_full": spread, "extract_full_allcols": full_spread}
 
 
 def run_scaling(sf_dir: str) -> dict:
@@ -197,7 +222,20 @@ def run_scaling(sf_dir: str) -> dict:
     # electing the max silently is an upward-biased headline) — both pairs
     # are always recorded under "pairs" and the rationale lives in
     # BENCH/BASELINE.md §scaling
-    return {**best_pair, "pairs": pairs, "selection": "max_of_pairs; see BENCH/BASELINE.md"}
+    return {
+        **best_pair,
+        "pairs": pairs,
+        "selection": "max_of_pairs; see BENCH/BASELINE.md",
+        # VERDICT r04 #8: the method note rides in the artifact itself.
+        "method": (
+            "each leg is its own process pinned with taskset -c 0-{n-1}; "
+            "median of %d runs per leg; big configs measured first; the "
+            "2->8 pair absorbs hypervisor steal on the 8-core leg and the "
+            "1->4 pair rides single-core turbo, so each under-reports in a "
+            "different host state — max of the two is recorded as the "
+            "headline, both pairs always published" % repeats
+        ),
+    }
 
 
 def main() -> None:
@@ -220,7 +258,9 @@ def main() -> None:
     run_extraction_job(spark, sf_dir, 1)
 
     # headline: extraction throughput over a materialized pages table
-    ext_secs, ext_docs, full_secs = run_extraction_job_table(spark, sf_dir, amplify)
+    ext_secs, ext_docs, full_secs, spread = run_extraction_job_table(
+        spark, sf_dir, amplify
+    )
     queries["extract_full"] = round(ext_secs, 3)
     queries["extract_full_allcols"] = round(full_secs, 3)
     docs_per_sec = round(ext_docs / ext_secs, 1)
@@ -231,7 +271,7 @@ def main() -> None:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
     mp_pages = build_multipage_pages_df(spark, sf_dir)
-    queries["multipage_stitch"] = timed(
+    queries["multipage_stitch"], spread["multipage_stitch"] = timed_stats(
         lambda: resolve_multipage(
             run_extraction(spark, mp_pages, pages_ruleset(), options=OPTS)
         ).count()
@@ -327,7 +367,7 @@ def main() -> None:
         )
         return graph.pagerank(edges, n_iter=10).count()
 
-    queries["graph_pagerank"] = timed(_pagerank_run)
+    queries["graph_pagerank"], spread["graph_pagerank"] = timed_stats(_pagerank_run)
     queries["agg_lineitem"] = timed(
         lambda: li.where("l_shipdate <= '1998-09-02'")
         .groupBy("l_returnflag", "l_linestatus")
@@ -346,6 +386,7 @@ def main() -> None:
                 "sf": sf,
                 "docs": ext_docs,
                 "docs_per_sec": docs_per_sec,
+                "spread": spread,
                 "scaling": scaling,
             }
         )

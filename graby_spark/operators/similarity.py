@@ -421,10 +421,15 @@ def pq_topk(
     Per query an (m × ks) lookup table of subvector·centroid dot
     products is built once; a corpus row's approximate cosine is then
     ``sum_j LUT[j, code_j]`` — m byte-indexed adds per row over the
-    8-16-byte code table, never the float vectors.  Each Arrow batch
-    emits only its per-query ADC top ``refine*k``; the union of
-    per-batch tops always contains the global ADC top, so the window
-    that follows selects a batching-independent candidate set.
+    8-16-byte code table, never the float vectors.  ADC scores are
+    rounded to 6 decimals so the candidate total order (score desc, id
+    asc) is independent of float summation order — this is what lets
+    the DuckDB oracle replay the candidate cut exactly.  Each Arrow
+    batch emits only its per-query ADC top ``refine*k`` with the query
+    itself excluded BEFORE selection (self may not occupy a candidate
+    slot); the union of per-batch tops therefore always contains the
+    global ADC top, so the window that follows selects a
+    batching-independent candidate set.
     Candidates are then exactly reranked (JVM zip_with dot product) and
     the output matches brute_force_topk's schema and tie rules.
 
@@ -471,18 +476,29 @@ def pq_topk(
             nid = batch["id"].values
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(ids):
-                # ADC: sum over subspaces of the LUT entry the code picks
-                scores = tables[qi][np.arange(m_)[None, :], code_mat].sum(axis=1)
-                top = min(n_cand, len(scores))
+                # ADC: sum over subspaces of the LUT entry the code picks,
+                # rounded to 6 decimals so the candidate order is a stable
+                # total order (float-summation-order independent) that an
+                # external SQL replay reproduces bit-for-bit
+                scores = np.round(
+                    tables[qi][np.arange(m_)[None, :], code_mat].sum(axis=1), 6
+                )
+                # exclude self BEFORE the top selection: with self inside,
+                # the batch holding the query vector would spend one of its
+                # n_cand slots on it and could evict the global rank-n_cand
+                # candidate, breaking the union-of-batch-tops invariant
+                keep = nid != qid
+                bnid, bscores = nid[keep], scores[keep]
+                top = min(n_cand, len(bscores))
                 # per-batch selection must follow the SAME total order as
                 # the global candidate window (score desc, id asc):
                 # ADC ties are the NORM on clustered data, and an
                 # arbitrary tie-break here would make the union of batch
                 # tops — and thus the result — depend on partitioning
-                sel = np.lexsort((nid, -scores))[:top]
+                sel = np.lexsort((bnid, -bscores))[:top]
                 out_q.extend([qid] * top)
-                out_n.extend(nid[sel])
-                out_s.extend(scores[sel])
+                out_n.extend(bnid[sel])
+                out_s.extend(bscores[sel])
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "adc": out_s}
             )

@@ -855,7 +855,7 @@ def test_registry_ordering_covers_driver_sweep_cap():
 
     root = os.path.join(os.path.dirname(__file__), "..")
     seen = set()
-    for n in (1, 2, 3):
+    for n in (1, 2, 3, 4):
         path = os.path.join(root, f"CORRECTNESS_r0{n}.json")
         if os.path.exists(path):
             with open(path) as fh:
