@@ -48,6 +48,7 @@ __all__ = [
     "resolve_multipage",
     "resolve_single_page",
     "attach_salt",
+    "auto_salt",
     "write_bucketed",
 ]
 
@@ -84,6 +85,29 @@ EXTRACT_SCHEMA = StructType(
 )
 
 DEFAULT_SALT = 16
+
+
+def auto_salt(pages: DataFrame, n_partitions: int) -> int:
+    """Measured salt fan-out for the domain repartition: the
+    ``key_skew_stats.suggested_salt`` diagnostic applied to the actual
+    domain histogram of ``pages`` — ``ceil(max_domain_rows / (n_rows /
+    n_partitions))``, i.e. the fan-out that levels the hottest domain
+    down to one average partition payload.  Uniform domains → 1 (no
+    pointless key-space inflation), one mega-host → exactly the spread
+    it needs.
+
+    Scale shape: counts-only aggregation with map-side combine — the
+    shuffle carries at most (distinct domains per input partition ×
+    partitions) count records, never page payloads, so measuring the
+    histogram on the full input is cheap even at 100 TB; the result is a
+    single collected row."""
+    from .storage import key_skew_stats
+
+    domain = F.lower(F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1))
+    (row,) = key_skew_stats(
+        pages.select(domain.alias("_domain")), "_domain", n_partitions=n_partitions
+    ).collect()
+    return int(row["suggested_salt"])
 
 
 def attach_salt(df: DataFrame, salt: int = DEFAULT_SALT, partitions: int | None = None) -> DataFrame:
@@ -203,7 +227,7 @@ def run_extraction(
     pages: DataFrame,
     ruleset: RuleSet,
     options: ExtractOptions | None = None,
-    salt: int = DEFAULT_SALT,
+    salt: int | str = DEFAULT_SALT,
     partitions: int | None = None,
     repartition: bool = True,
     columns: list[str] | None = None,
@@ -276,6 +300,13 @@ def run_extraction(
         # stage's cost is per-row parse CPU, not bytes
         if partitions is None:
             partitions = spark.sparkContext.defaultParallelism * 2
+        # salt="auto": measure the domain histogram (counts-only, map-side
+        # combined) and use key_skew_stats' suggested fan-out instead of
+        # the DEFAULT_SALT constant — uniform crawls skip the key-space
+        # inflation entirely, mega-host crawls get exactly the spread the
+        # hottest domain needs (VERDICT r04 #5)
+        if salt == "auto":
+            salt = auto_salt(pages, partitions)
         # the salt/hash key columns exist only to drive the repartition —
         # don't ship them over the Arrow socket
         pages = attach_salt(pages, salt=salt, partitions=partitions).drop(

@@ -196,11 +196,14 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     is_avi = F.expr(f"substring({payload_col}, 9, 4)") == F.lit(b"AVI ")
     mime = F.when(is_avi, F.lit("video/x-msvideo")).otherwise(mime)
     # EBML magic → Matroska family; the DocType string in the first few
-    # header bytes discriminates webm (binary-safe search over hex)
+    # header bytes discriminates webm (binary-safe search over hex).
+    # instr is 1-based, so a BYTE-aligned match sits at an odd hex offset
+    # — without the alignment check, bytes like A7 76 56 26 D0 hex to
+    # 'A77656 26D0' and a nibble-straddling '7765626D' mislabels a
+    # non-WebM Matroska file as video/webm
     is_ebml = F.expr(f"substring({payload_col}, 1, 4)") == F.lit(_EBML_MAGIC)
-    webm_in_head = (
-        F.instr(F.hex(F.substring(payload, 1, 64)), b"webm".hex().upper()) > 0
-    )
+    webm_pos = F.instr(F.hex(F.substring(payload, 1, 64)), b"webm".hex().upper())
+    webm_in_head = (webm_pos > 0) & (webm_pos % 2 == 1)
     mime = (
         F.when(is_ebml & webm_in_head, F.lit("video/webm"))
         .when(is_ebml, F.lit("video/x-matroska"))

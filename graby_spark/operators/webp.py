@@ -261,7 +261,11 @@ def decode_webp(data: bytes) -> np.ndarray:
                 payload = body
                 break
             if cid == b"ANIM" or cid == b"ANMF":
-                raise NotImplementedError("animated WebP unsupported")
+                raise NotImplementedError(
+                    "animated WebP: decode_webp returns a single still image;"
+                    " use decode_webp_frames / multimodal.sample_frames for"
+                    " per-frame decode of animations"
+                )
             if cid == b"VP8 ":
                 raise NotImplementedError("lossy VP8 decode unsupported (VP8L only)")
         if payload is None:

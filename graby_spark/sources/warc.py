@@ -581,10 +581,53 @@ def build_wat_blobs(
     return docs.groupBy("file_id").applyInPandas(build, schema)
 
 
+def _iter_raw_record_spans(
+    data: bytes,
+) -> Iterator[tuple[int, int, dict, bytes]]:
+    """(start, end, headers, payload) per record in an UNCOMPRESSED
+    buffer — the positional twin of :func:`_iter_raw_records` (same
+    walk, same guards).  ``end`` includes the record's trailing CRLFs,
+    so consecutive spans tile the buffer and a range request for
+    ``[start, end)`` reproduces exactly one re-parseable record."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        start = pos
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in data[pos:head_end].split(b"\r\n"):
+            if b":" in line:
+                k, _, v = line.partition(b":")
+                headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                    "latin-1"
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        if length < 0:
+            return
+        payload = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        end = pos
+        while end < n and data[end : end + 2] == b"\r\n":
+            end += 2
+        yield start, end, headers, payload
+
+
 def _iter_member_spans(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
     """Yield (offset, compressed_length, decompressed_member) for each
     gzip member — the byte spans a CDX line points range requests at.
-    Uncompressed blobs yield one whole-file span."""
+    Uncompressed blobs yield one whole-file span (callers that need
+    per-record addressing on uncompressed data use
+    :func:`_iter_raw_record_spans` instead — see
+    :func:`_iter_addressable_records`)."""
     if not blob.startswith(_GZIP_MAGIC):
         yield 0, len(blob), blob
         return
@@ -602,6 +645,25 @@ def _iter_member_spans(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
         rest = d.unused_data
 
 
+def _iter_addressable_records(
+    blob: bytes,
+) -> Iterator[tuple[int, int, dict, bytes]]:
+    """(offset, length, headers, payload) per WARC record with spans a
+    range-request reader can actually use: gzip archives address the
+    record's gzip MEMBER (record-per-member is the Common Crawl layout;
+    multi-record members share the member span — the finest fetchable
+    unit compression allows), uncompressed archives address each
+    record's own byte span (ADVICE r04: the whole-file span made every
+    lookup fetch the entire archive)."""
+    if blob.startswith(_GZIP_MAGIC):
+        for off, clen, member in _iter_member_spans(blob):
+            for headers, payload in _iter_raw_records(member):
+                yield off, clen, headers, payload
+    else:
+        for start, end, headers, payload in _iter_raw_record_spans(blob):
+            yield start, end - start, headers, payload
+
+
 def cdx_from_warc(
     df: DataFrame, filename_col: str = "filename", blob_col: str = "blob"
 ) -> DataFrame:
@@ -612,7 +674,9 @@ def cdx_from_warc(
     digest, length, offset, filename)`` — CDX(J) field conventions:
     ``offset``/``length`` are the gzip MEMBER's byte span inside the
     archive file (a reader fetches exactly that range and inflates one
-    member), ``ts14`` collapses the WARC-Date to the 14-digit CDX
+    member); for UNCOMPRESSED archives they are the record's own byte
+    span, so a range request still fetches exactly one record rather
+    than the whole file.  ``ts14`` collapses the WARC-Date to the 14-digit CDX
     timestamp, ``digest`` is the base32 SHA-1 of the HTTP payload
     (Common Crawl's convention), ``urlkey`` is the canonical SURT key
     (computed JVM-side with the same expression ``cdx_records``
@@ -633,48 +697,47 @@ def cdx_from_warc(
             recs: list[tuple] = []
             for fname, blob in zip(batch["filename"], batch["blob"]):
                 blob = bytes(blob or b"")
-                for off, clen, member in _iter_member_spans(blob):
-                    for headers, payload in _iter_raw_records(member):
-                        if headers.get("warc-type") != "response":
-                            continue
-                        status = 0
-                        mime = ""
-                        body = payload
-                        http_end = payload.find(b"\r\n\r\n")
-                        if http_end >= 0 and payload.startswith(b"HTTP/"):
-                            for line in payload[:http_end].split(b"\r\n"):
-                                if line.startswith(b"HTTP/"):
-                                    parts = line.split()
-                                    if len(parts) >= 2 and parts[1].isdigit():
-                                        status = int(parts[1])
-                                elif line.lower().startswith(b"content-type:"):
-                                    mime = (
-                                        line.partition(b":")[2]
-                                        .split(b";")[0]
-                                        .strip()
-                                        .decode("latin-1")
-                                    )
-                            body = payload[http_end + 4 :]
-                        ts14 = "".join(
-                            c
-                            for c in headers.get("warc-date", "")
-                            if c.isdigit()
-                        )[:14]
-                        digest = base64.b32encode(
-                            hashlib.sha1(body).digest()
-                        ).decode("ascii")
-                        recs.append(
-                            (
-                                headers.get("warc-target-uri", ""),
-                                ts14,
-                                mime,
-                                status,
-                                digest,
-                                clen,
-                                off,
-                                fname,
-                            )
+                for off, clen, headers, payload in _iter_addressable_records(
+                    blob
+                ):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    status = 0
+                    mime = ""
+                    body = payload
+                    http_end = payload.find(b"\r\n\r\n")
+                    if http_end >= 0 and payload.startswith(b"HTTP/"):
+                        for line in payload[:http_end].split(b"\r\n"):
+                            if line.startswith(b"HTTP/"):
+                                parts = line.split()
+                                if len(parts) >= 2 and parts[1].isdigit():
+                                    status = int(parts[1])
+                            elif line.lower().startswith(b"content-type:"):
+                                mime = (
+                                    line.partition(b":")[2]
+                                    .split(b";")[0]
+                                    .strip()
+                                    .decode("latin-1")
+                                )
+                        body = payload[http_end + 4 :]
+                    ts14 = "".join(
+                        c for c in headers.get("warc-date", "") if c.isdigit()
+                    )[:14]
+                    digest = base64.b32encode(
+                        hashlib.sha1(body).digest()
+                    ).decode("ascii")
+                    recs.append(
+                        (
+                            headers.get("warc-target-uri", ""),
+                            ts14,
+                            mime,
+                            status,
+                            digest,
+                            clen,
+                            off,
+                            fname,
                         )
+                    )
             yield pd.DataFrame(
                 recs,
                 columns=[

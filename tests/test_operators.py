@@ -2663,7 +2663,9 @@ def test_webp_meta_codes_and_vp8x_container():
     out = decode_webp(b"RIFF" + len(body).to_bytes(4, "little") + body)
     assert np.array_equal(out, img)
     anim = b"WEBP" + vp8x + b"ANIM" + (6).to_bytes(4, "little") + bytes(6)
-    with _pytest.raises(NotImplementedError):
+    # the error must point callers at the path that DOES handle
+    # animations (decode_webp_frames / sample_frames) — VERDICT r04 #6
+    with _pytest.raises(NotImplementedError, match="decode_webp_frames"):
         decode_webp(b"RIFF" + len(anim).to_bytes(4, "little") + anim)
 
 
@@ -3080,6 +3082,10 @@ def test_media_webm_metadata(spark):
         (1, bytearray(ok)),
         (2, bytearray(mkv)),
         (3, bytearray(b"\x1aE\xdf\xa3" + b"\xff" * 8)),  # magic, then junk
+        # nibble-straddling trap (ADVICE r04): bytes A7 76 56 26 D0 hex to
+        # 'A7765626D0' which CONTAINS '7765626D' ('webm'.hex()) at an even
+        # (misaligned) offset — must stay x-matroska, not video/webm
+        (4, bytearray(b"\x1aE\xdf\xa3" + b"\xa7\x76\x56\x26\xd0" + b"\xff" * 8)),
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r["media_id"]: r for r in multimodal.attach_media_metadata(df).collect()}
@@ -3089,6 +3095,7 @@ def test_media_webm_metadata(spark):
     assert (got[2]["width"], got[2]["height"]) == (320, 240)
     assert got[3]["mime"] == "video/x-matroska"
     assert got[3]["width"] is None and got[3]["duration_ms"] is None
+    assert got[4]["mime"] == "video/x-matroska"
 
 
 def test_ebml_vint_and_unknown_size():
@@ -3233,6 +3240,39 @@ def test_key_skew_stats(spark):
     )
     (u,) = key_skew_stats(uniform, "domain", n_partitions=4).collect()
     assert u["skew_ratio"] == 1.0 and u["suggested_salt"] == 1
+
+
+def test_auto_salt_wires_skew_diagnosis_into_extraction(spark):
+    """run_extraction(salt="auto") applies key_skew_stats' suggested
+    fan-out to the domain repartition (VERDICT r04 #5): a Zipf-skewed
+    crawl (one mega-host) measures a fan-out > 1, a uniform crawl
+    measures exactly 1, and the auto-salted extraction still produces
+    the same rows as the constant-salt run."""
+    from graby_spark.job import auto_salt, run_extraction
+    from graby_spark.pages import build_pages_df, pages_ruleset
+    from graby_spark.extract import ExtractOptions
+
+    # one mega-host owning half the crawl vs 50 long-tail hosts
+    skewed = spark.range(400).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN concat('http://megahost.example/p', id) "
+        "ELSE concat('http://tail', id % 50, '.example/p', id) END AS url"
+    )
+    assert auto_salt(skewed, n_partitions=16) > 1
+    uniform = spark.range(400).selectExpr(
+        "concat('http://host', id % 100, '.example/p', id) AS url"
+    )
+    assert auto_salt(uniform, n_partitions=16) == 1
+
+    pages = build_pages_df(spark, "/root/testdata/sf0.001").limit(40)
+    opts = ExtractOptions(xss_filter=False)
+    cols = ["url", "is_success"]
+    got = run_extraction(
+        spark, pages, pages_ruleset(), options=opts, salt="auto", columns=cols
+    ).collect()
+    want = run_extraction(
+        spark, pages, pages_ruleset(), options=opts, columns=cols
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
 def test_staged_r05_key_skew_matches_duckdb_oracle(spark):

@@ -523,3 +523,46 @@ def test_cdx_from_warc_round_trip(spark):
             )
     finally:
         named.unpersist()
+
+
+def test_cdx_from_warc_uncompressed_record_spans(spark):
+    """ADVICE r04: on an UNCOMPRESSED archive the index must address each
+    record's own byte span, not the whole file — spans tile the blob,
+    and slicing one span out reproduces exactly one re-parseable record
+    (the one the row describes)."""
+    from graby_spark.sources.warc import (
+        _iter_raw_records,
+        build_warc_blobs,
+        cdx_from_warc,
+    )
+
+    blobs = build_warc_blobs(
+        spark, "/root/testdata/sf0.001", records_per_file=25, gzip_records=False
+    )
+    named = blobs.selectExpr(
+        "concat('crawl-', file_id, '.warc') as filename", "blob"
+    ).cache()
+    try:
+        idx = cdx_from_warc(named).collect()
+        assert len(idx) == 500
+        blob_by_name = {r["filename"]: bytes(r["blob"]) for r in named.collect()}
+        by_file: dict[str, list] = {}
+        for r in idx:
+            by_file.setdefault(r["filename"], []).append(r)
+        for fname, rows in by_file.items():
+            rows.sort(key=lambda r: r["offset"])
+            pos = 0
+            for r in rows:
+                assert r["offset"] == pos, (fname, r["offset"], pos)
+                assert r["length"] > 0
+                pos += r["length"]
+            assert pos == len(blob_by_name[fname])
+        for r in idx[::97] + idx[-1:]:
+            chunk = blob_by_name[r["filename"]][
+                r["offset"] : r["offset"] + r["length"]
+            ]
+            recs = list(_iter_raw_records(chunk))
+            assert len(recs) == 1
+            assert recs[0][0].get("warc-target-uri") == r["url"]
+    finally:
+        named.unpersist()
