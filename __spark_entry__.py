@@ -3133,6 +3133,116 @@ FROM variants
 """
 
 
+#: planted page-body text for the pipeline_translate fixture, shared
+#: verbatim by the Spark query and the DuckDB oracle (columns ``id``,
+#: ``lang`` in scope).  Each language's phrase uses ONLY words unique to
+#: that language's stopword list (no en/fr/es/de cross-hits), so langid
+#: is closed-form; the three planted defects rotate by id % 3:
+#:   0 → the fr page carries ENGLISH text (langid disagreement; fr
+#:       member drops, only the de-en pair survives)
+#:   1 → the de page is 3x longer (length-ratio kill for both de pairs,
+#:       only en-fr survives)
+#:   2 → clean (all three pairs survive)
+_TRANSLATE_TEXT_SYNTH = (
+    "CASE "
+    "WHEN lang = 'en' OR (lang = 'fr' AND id % 3 = 0) "
+    "THEN repeat('the of and to that ', 3 + id % 4) "
+    "WHEN lang = 'fr' THEN repeat('le les et est une ', 3 + id % 4) "
+    "WHEN id % 3 = 1 THEN repeat('der die und das von ', (3 + id % 4) * 3) "
+    "ELSE repeat('der die und das von ', 3 + id % 4) END"
+)
+
+
+def q_pipeline_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MT-corpus showcase (VERDICT r04 #7): the full bitext-mining
+    composition — hreflang declarations (graph.hreflang_clusters) ∧
+    langid agreement (textstats.language_id) ∧ length-ratio filter —
+    via graph.translation_pairs over deterministic 3-language sets with
+    one planted defect per cluster rotating by id (language mislabel /
+    length blow-up / clean); see _TRANSLATE_TEXT_SYNTH."""
+    _ship(spark)
+    from graby_spark.operators.graph import translation_pairs
+
+    def link(o: str) -> str:
+        return (
+            f"'<link rel=\"alternate\" hreflang=\"{o}\" "
+            f"href=\"http://hl.example/{o}/', id, '\">'"
+        )
+
+    xdef = (
+        "'<link rel=\"alternate\" hreflang=\"x-default\" "
+        "href=\"http://hl.example/en/', id, '\">'"
+    )
+    pages = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id % 11 = 0")
+        .selectExpr("doc_id AS id")
+        .selectExpr("id", "explode(array('de', 'en', 'fr')) AS lang")
+        .selectExpr(
+            "concat('http://hl.example/', lang, '/', id) AS url",
+            f"concat('<html><head>', CASE lang "
+            f"WHEN 'de' THEN concat({link('en')}, {link('fr')}) "
+            f"WHEN 'en' THEN concat({link('de')}, {link('fr')}, concat({xdef})) "
+            f"ELSE concat({link('de')}, {link('en')}) END, "
+            "'</head><body>x</body></html>') AS html",
+            f"({_TRANSLATE_TEXT_SYNTH}) AS text",
+        )
+    )
+    return translation_pairs(pages)
+
+
+def _translate_oracle() -> str:
+    """Exact SQL replay of q_pipeline_translate: reconstructs the pages,
+    replays the langid stopword vote (same lists, same tie order as
+    textstats.language_id), derives the symmetric cluster key, applies
+    the agreement and length-ratio filters."""
+    from graby_spark.operators.textstats import STOPWORDS
+
+    def hits(lang: str) -> str:
+        words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+
+    return f"""
+WITH m AS (
+  SELECT doc_id AS id, unnest(['de', 'en', 'fr']) AS lang
+  FROM documents WHERE doc_id % 11 = 0
+), t AS (
+  SELECT id, lang,
+         'http://hl.example/' || lang || '/' || id AS url,
+         {_TRANSLATE_TEXT_SYNTH} AS text
+  FROM m
+), s AS (
+  SELECT id, lang, url,
+         length(trim(text)) AS text_len,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks,
+         length(regexp_replace(lower(trim(text)), '[^一-鿿]', '', 'g')) AS cjk,
+         length(lower(trim(text))) AS n
+  FROM t
+), g AS (
+  SELECT id, lang, url, text_len,
+         {hits('en')} AS en_hits, {hits('fr')} AS fr_hits,
+         {hits('es')} AS es_hits, {hits('de')} AS de_hits, cjk, n
+  FROM s
+), agreed AS (
+  SELECT id, lang, url, text_len,
+         'http://hl.example/de/' || id AS cluster_key
+  FROM g
+  WHERE lang = CASE WHEN cjk * 4 > n THEN 'zh'
+               WHEN greatest(en_hits, fr_hits, es_hits, de_hits) = 0 THEN 'unknown'
+               WHEN en_hits = greatest(en_hits, fr_hits, es_hits, de_hits) THEN 'en'
+               WHEN fr_hits = greatest(en_hits, fr_hits, es_hits, de_hits) THEN 'fr'
+               WHEN es_hits = greatest(en_hits, fr_hits, es_hits, de_hits) THEN 'es'
+               ELSE 'de' END
+)
+SELECT a.cluster_key AS cluster_key,
+       a.lang AS lang_a, a.url AS url_a, CAST(a.text_len AS BIGINT) AS len_a,
+       b.lang AS lang_b, b.url AS url_b, CAST(b.text_len AS BIGINT) AS len_b,
+       round(least(a.text_len, b.text_len) * 1.0 / greatest(a.text_len, b.text_len, 1), 4) AS len_ratio
+FROM agreed a JOIN agreed b ON a.id = b.id AND a.lang < b.lang
+WHERE least(a.text_len, b.text_len) * 1.0 / greatest(a.text_len, b.text_len, 1) >= 0.5
+"""
+
+
 def staged_queries() -> dict[str, tuple]:
     """Queries staged for a future registry rotation: (callable, oracle
     SQL or None for rows-only) per future key.  Empty since the r05
@@ -3162,6 +3272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_imagetext": q_pipeline_imagetext,
         "hreflang_clusters": q_hreflang_clusters,
         "ann_pq": q_ann_pq,
+        # --- new in r05: MT bitext-mining composition (VERDICT r04 #7)
+        "pipeline_translate": q_pipeline_translate,
         # --- driver-verified in r04; re-verified as sweep room allows
         "media_avi_frames": q_media_avi_frames,
         "media_g711_decode": q_media_g711_decode,
@@ -3666,6 +3778,7 @@ FROM packed p JOIN (
         "key_skew_stats": R05_ORACLE_KEY_SKEW_STATS,
         "pipeline_imagetext": R05_ORACLE_PIPELINE_IMAGETEXT,
         "hreflang_clusters": R05_ORACLE_HREFLANG_CLUSTERS,
+        "pipeline_translate": _translate_oracle(),
         "pipeline_pretrain": pretrain_oracle,
         "text_pii": pii_oracle(),
         "text_c4": c4_oracle,

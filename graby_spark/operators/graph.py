@@ -36,6 +36,7 @@ __all__ = [
     "link_relations",
     "canonical_dedup",
     "hreflang_clusters",
+    "translation_pairs",
     "sitemap_urls",
     "pagerank",
     "frontier_schedule",
@@ -828,4 +829,86 @@ def hreflang_clusters(
         "hreflang",
         "variant_url",
         F.count("*").over(w).alias("n_variants"),
+    )
+
+
+def translation_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    text_col: str = "text",
+    min_len_ratio: float = 0.5,
+) -> DataFrame:
+    """Bitext candidate mining — the composition an MT-corpus builder
+    actually runs (VERDICT r04 #7): publisher-declared translation sets
+    (:func:`hreflang_clusters`) ∧ content-language agreement
+    (``language_id`` on each page's own text vs the language its
+    cluster declares for it) ∧ length-ratio plausibility (true
+    translations have comparable lengths; a 3× blow-up is boilerplate
+    or a stub, not a translation).
+
+    One row per surviving unordered language pair within a cluster:
+    ``(cluster_key, lang_a, url_a, len_a, lang_b, url_b, len_b,
+    len_ratio)`` with ``lang_a < lang_b``; ``len_ratio`` is
+    min(len)/max(len) rounded to 4, filtered UNROUNDED against
+    ``min_len_ratio``.  A member whose detected language contradicts
+    its declared hreflang drops out (taking its pairs with it) — the
+    safe failure for mislabeled variants; inconsistent declarations for
+    one URL keep whichever row content agrees with.
+
+    Scale shape: declarations are map-only JVM over the pages scan
+    (hreflang_clusters); langid is pure CASE/array expressions; the
+    pair expansion self-joins on ``cluster_key`` where a cluster is at
+    most a handful of language variants, so fan-out is bounded and the
+    join carries only (url, lang, length) — page text and HTML never
+    ride a shuffle."""
+    from .textstats import language_id
+
+    clusters = hreflang_clusters(pages, url_col=url_col, html_col=html_col)
+    members = (
+        clusters.where(F.col("hreflang") != "x-default")
+        .select(
+            "cluster_key",
+            F.col("variant_url").alias("url"),
+            F.col("hreflang").alias("declared_lang"),
+        )
+        .distinct()
+    )
+    sides = language_id(
+        pages.select(F.col(url_col).alias("url"), F.col(text_col).alias("text")),
+        id_col="url",
+        text_col="text",
+    ).select("url", "lang_guess")
+    lens = pages.select(
+        F.col(url_col).alias("url"),
+        F.length(F.trim(F.col(text_col))).alias("text_len"),
+    )
+    agreed = (
+        members.join(sides, "url")
+        .join(lens, "url")
+        .where(F.col("lang_guess") == F.col("declared_lang"))
+        .select("cluster_key", "url", "declared_lang", "text_len")
+    )
+    a = agreed.alias("a")
+    b = agreed.alias("b")
+    ratio = F.least(F.col("a.text_len"), F.col("b.text_len")) / F.greatest(
+        F.col("a.text_len"), F.col("b.text_len"), F.lit(1)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_key") == F.col("b.cluster_key"))
+            & (F.col("a.declared_lang") < F.col("b.declared_lang")),
+        )
+        .where(ratio >= min_len_ratio)
+        .select(
+            F.col("a.cluster_key").alias("cluster_key"),
+            F.col("a.declared_lang").alias("lang_a"),
+            F.col("a.url").alias("url_a"),
+            F.col("a.text_len").cast("long").alias("len_a"),
+            F.col("b.declared_lang").alias("lang_b"),
+            F.col("b.url").alias("url_b"),
+            F.col("b.text_len").cast("long").alias("len_b"),
+            F.round(ratio, 4).alias("len_ratio"),
+        )
     )

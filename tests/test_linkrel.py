@@ -149,6 +149,73 @@ def test_hreflang_clusters(spark):
     assert "http://ex.com/solo" not in by_url
 
 
+def test_translation_pairs_planted_set(spark):
+    """translation_pairs = hreflang clusters ∧ langid agreement ∧
+    length-ratio: a planted 3-language set yields its three pairs; a
+    mislabeled variant (declared fr, English body) drops out with its
+    pairs; a 3x-length stub fails the ratio filter."""
+    from graby_spark.operators.graph import translation_pairs
+
+    def head(me, others):
+        links = "".join(
+            f'<link rel="alternate" hreflang="{h}" href="http://ex.com/{h}/{me[1]}">'
+            for h in others
+        )
+        return f"<html><head>{links}</head><body>x</body></html>"
+
+    en_text = "the of and to that " * 4
+    fr_text = "le les et est une " * 4
+    de_text = "der die und das von " * 4
+    rows = []
+    # cluster 1: clean — all three pairs
+    for lang, text in (("en", en_text), ("fr", fr_text), ("de", de_text)):
+        others = [o for o in ("en", "fr", "de") if o != lang]
+        rows.append((f"http://ex.com/{lang}/1", head((lang, 1), others), text))
+    # cluster 2: fr page carries ENGLISH text — only (de, en) survives
+    for lang, text in (("en", en_text), ("fr", en_text), ("de", de_text)):
+        others = [o for o in ("en", "fr", "de") if o != lang]
+        rows.append(
+            (f"http://ex.com/{lang}/2", head((lang, 2), others).replace("/1", "/2"), text)
+        )
+    # cluster 3: de page 4x longer — only (en, fr) survives
+    for lang, text in (("en", en_text), ("fr", fr_text), ("de", de_text * 4)):
+        others = [o for o in ("en", "fr", "de") if o != lang]
+        rows.append((f"http://ex.com/{lang}/3", head((lang, 3), others), text))
+    pages = spark.createDataFrame(rows, "url string, html string, text string")
+    got = translation_pairs(pages).collect()
+    pairs = {(r["cluster_key"], r["lang_a"], r["lang_b"]) for r in got}
+    c1, c2, c3 = "http://ex.com/de/1", "http://ex.com/de/2", "http://ex.com/de/3"
+    assert pairs == {
+        (c1, "de", "en"), (c1, "de", "fr"), (c1, "en", "fr"),
+        (c2, "de", "en"),
+        (c3, "en", "fr"),
+    }
+    for r in got:
+        assert r["lang_a"] < r["lang_b"]
+        assert 0.5 <= r["len_ratio"] <= 1.0
+        assert r["len_a"] == len(
+            {"en": en_text, "fr": fr_text, "de": de_text}[r["lang_a"]].strip()
+        ) or r["cluster_key"] == c2
+
+
+def test_r05_pipeline_translate_matches_duckdb_oracle(spark):
+    """The pipeline_translate driver query against its DuckDB oracle at
+    sf0.001 — same comparison the driver runs."""
+    duckdb = pytest.importorskip("duckdb")
+    e = importlib.import_module("__spark_entry__")
+    sf = "/root/testdata/sf0.001"
+    got = e.q_pipeline_translate(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{sf}/documents.parquet'")
+    exp = con.execute(e.oracle_sql()["pipeline_translate"]).df()
+    key = ["cluster_key", "lang_a", "lang_b"]
+    g = got.sort_values(key).reset_index(drop=True)
+    x = exp[got.columns].sort_values(key).reset_index(drop=True)
+    assert len(g) == len(x) and len(g) > 0
+    for col in got.columns:
+        assert (g[col].values == x[col].values).all(), col
+
+
 def test_staged_r05_hreflang_matches_duckdb_oracle(spark):
     """The staged driver query (q_hreflang_clusters) against its DuckDB
     oracle at sf0.001."""
