@@ -2540,10 +2540,9 @@ def q_extract_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered slot — so the span-aware grid algorithm, header detection
     and document-order table walk are all on a closed-form oracle.
 
-    STAGED FOR THE r05 REGISTRY ROTATION: the r04 driver sweep cap (50)
-    is exactly filled by the never-driver-verified block, so this query
-    is pytest-gated against the same DuckDB oracle (tests/test_tables.py)
-    until the r05 rotation promotes it into ``queries()``."""
+    PROMOTED at the r05 rotation (staged through r04 because the driver
+    sweep cap was full; pytest-gated against the same DuckDB oracle in
+    tests/test_tables.py throughout)."""
     _ship(spark)
     from graby_spark.operators.tables import extract_tables
 
@@ -2602,8 +2601,8 @@ def _suffixes_sql() -> str:
     return ",".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
 
 
-#: oracle for the staged query above — same DuckDB dialect as
-#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+#: oracle for the query above — registered verbatim in ``oracle_sql()``
+#: since the r05 rotation (kept near its query for readability).
 R05_ORACLE_EXTRACT_HTML_TABLES = """
 WITH m AS (
   SELECT doc_id AS id, 3 + doc_id % 2 AS nr, 2 + doc_id % 2 AS nc
@@ -2638,11 +2637,9 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nullable columns are coalesced to sentinels in BOTH engines so the
     value compare is NaN-free.
 
-    STAGED FOR THE r05 REGISTRY ROTATION: the r04 driver sweep cap (50)
-    is exactly filled by the never-driver-verified block, so this query
-    is pytest-gated against the same DuckDB oracle
-    (tests/test_imagetext.py) until the rotation promotes it into
-    ``queries()``."""
+    PROMOTED at the r05 rotation (staged through r04 because the driver
+    sweep cap was full; pytest-gated against the same DuckDB oracle in
+    tests/test_imagetext.py throughout)."""
     _ship(spark)
     from graby_spark.operators.imagetext import image_text_pairs
 
@@ -2687,8 +2684,8 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: oracle for the staged query above — same DuckDB dialect as
-#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+#: oracle for the query above — registered verbatim in ``oracle_sql()``
+#: since the r05 rotation (kept near its query for readability).
 R05_ORACLE_IMAGE_TEXT_PAIRS = """
 WITH m AS (
   SELECT doc_id AS id,
@@ -2728,7 +2725,7 @@ def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion, href resolution, min_by tie-break and the one-shuffle
     clustering are all on a closed-form oracle.
 
-    STAGED FOR THE r05 REGISTRY ROTATION (pytest-gated in
+    PROMOTED at the r05 rotation (formerly staged; pytest-gated in
     tests/test_linkrel.py until the rotation promotes it)."""
     _ship(spark)
     from graby_spark.operators.graph import canonical_dedup
@@ -2756,8 +2753,8 @@ def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_dedup(pages)
 
 
-#: oracle for the staged query above — same DuckDB dialect as
-#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+#: oracle for the query above — registered verbatim in ``oracle_sql()``
+#: since the r05 rotation (kept near its query for readability).
 R05_ORACLE_CANONICAL_DEDUP = """
 WITH m AS (
   SELECT doc_id AS id,
@@ -2782,7 +2779,7 @@ def q_extract_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     table and child-item linkage, all oracle-replayable.  ``child_item``
     is coalesced to -1 in both engines so the compare is NaN-free.
 
-    STAGED FOR THE r05 REGISTRY ROTATION (pytest-gated in
+    PROMOTED at the r05 rotation (formerly staged; pytest-gated in
     tests/test_microdata.py until the rotation promotes it)."""
     _ship(spark)
     from graby_spark.operators.microdata import extract_microdata
@@ -2820,8 +2817,8 @@ def q_extract_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: oracle for the staged query above — same DuckDB dialect as
-#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+#: oracle for the query above — registered verbatim in ``oracle_sql()``
+#: since the r05 rotation (kept near its query for readability).
 R05_ORACLE_EXTRACT_MICRODATA = """
 WITH m AS (
   SELECT doc_id AS id, 'http://md.example/' || doc_id AS url
@@ -2947,6 +2944,146 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual ANN (operators/similarity.py ivfpq_topk, NEW
+    r05): coarse md5-sampled cells bound which codes are scanned
+    (nprobe=3 of 8), residual PQ bounds what is scanned per row; ADC =
+    q·centroid + LUT adds, rounded to 6; exact rerank.  The whole
+    pipeline is a deterministic closed form, so the oracle replays it
+    stage for stage in SQL (cells → residual codebooks → encode → probe
+    → ADC → candidate cut → rerank)."""
+    _ship(spark)
+    from graby_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(
+        emb, emb.where("vec_id < 20"), k=10, n_cells=8, nprobe=3, refine=8
+    )
+
+
+#: exact SQL replay of q_ann_ivfpq (k=10, n_cells=8, nprobe=3, m=4,
+#: ks=16, refine=8 → 80 candidates; 64-dim embeddings → d_sub=16).
+R05_ORACLE_ANN_IVFPQ = """
+WITH unitc AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE /
+           sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
+  FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR)
+         ) - 1 AS ci, u
+  FROM unitc
+  QUALIFY row_number() OVER (
+    ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR)
+  ) <= 8
+),
+sample AS (
+  SELECT row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR)
+         ) - 1 AS sidx, u
+  FROM unitc
+  QUALIFY row_number() OVER (
+    ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR)
+  ) <= 16
+),
+subspaces AS (SELECT unnest(range(4)) AS j),
+scell AS (
+  SELECT sidx, ci FROM (
+    SELECT s.sidx, c.ci,
+           row_number() OVER (PARTITION BY s.sidx
+             ORDER BY list_sum(list_transform(range(64), i -> s.u[i+1] * c.u[i+1])) DESC,
+                      c.ci ASC) AS rn
+    FROM sample s CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+resid_sample AS (
+  SELECT s.sidx, list_transform(range(64), i -> s.u[i+1] - c.u[i+1]) AS r
+  FROM sample s JOIN scell USING (sidx) JOIN cents c USING (ci)
+),
+cb AS (
+  SELECT j, sidx AS cx,
+         list_slice(r, j * 16 + 1, (j + 1) * 16) AS c,
+         list_sum(list_transform(list_slice(r, j * 16 + 1, (j + 1) * 16), v -> v * v)) AS c2
+  FROM resid_sample CROSS JOIN subspaces
+),
+vcell AS (
+  SELECT vec_id, ci FROM (
+    SELECT v.vec_id, c.ci,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(64), i -> v.u[i+1] * c.u[i+1])) DESC,
+                      c.ci ASC) AS rn
+    FROM unitc v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+vsub AS (
+  SELECT v.vec_id, vc.ci, sp.j,
+         list_slice(list_transform(range(64), i -> v.u[i+1] - c.u[i+1]),
+                    sp.j * 16 + 1, (sp.j + 1) * 16) AS x
+  FROM unitc v
+  JOIN vcell vc USING (vec_id)
+  JOIN cents c ON c.ci = vc.ci
+  CROSS JOIN subspaces sp
+),
+codes AS (
+  SELECT vec_id, ci, j, cx FROM (
+    SELECT s.vec_id, s.ci, s.j, c.cx,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY c.c2 - 2 * list_sum(list_transform(range(16), i -> s.x[i+1] * c.c[i+1])) ASC,
+                      c.cx ASC) AS rn
+    FROM vsub s JOIN cb c USING (j)
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT qid, ci, score FROM (
+    SELECT v.vec_id AS qid, c.ci,
+           list_sum(list_transform(range(64), i -> v.u[i+1] * c.u[i+1])) AS score,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(64), i -> v.u[i+1] * c.u[i+1])) DESC,
+                      c.ci ASC) AS rn
+    FROM unitc v CROSS JOIN cents c
+    WHERE v.vec_id < 20
+  ) WHERE rn <= 3
+),
+qsub AS (
+  SELECT vec_id AS qid, j, list_slice(u, j * 16 + 1, (j + 1) * 16) AS qx
+  FROM unitc CROSS JOIN subspaces
+  WHERE vec_id < 20
+),
+adc AS (
+  SELECT q.qid, co.vec_id AS nid,
+         round(max(p.score) +
+               SUM(list_sum(list_transform(range(16), i -> q.qx[i+1] * c.c[i+1]))), 6) AS adc
+  FROM qsub q
+  JOIN codes co USING (j)
+  JOIN qprobe p ON p.qid = q.qid AND p.ci = co.ci
+  JOIN cb c ON c.j = co.j AND c.cx = co.cx
+  WHERE co.vec_id != q.qid
+  GROUP BY q.qid, co.vec_id
+),
+cand AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS rn
+    FROM adc
+  ) WHERE rn <= 80
+),
+rerank AS (
+  SELECT cd.qid AS query_id, cd.nid AS neighbor_id,
+         round(list_sum(list_transform(range(64), i -> qu.u[i+1] * cu.u[i+1])), 8) AS cosine
+  FROM cand cd
+  JOIN unitc qu ON qu.vec_id = cd.qid
+  JOIN unitc cu ON cu.vec_id = cd.nid
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rerank
+) WHERE rank <= 10
+"""
+
+
 def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis (storage.py key_skew_stats): a planted
     hot key (every fifth doc) over an otherwise uniform domain column —
@@ -2954,7 +3091,7 @@ def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is environment-independent; float columns are rounded in
     BOTH engines.
 
-    STAGED FOR THE r05 REGISTRY ROTATION (pytest-gated in
+    PROMOTED at the r05 rotation (formerly staged; pytest-gated in
     tests/test_operators.py::test_key_skew_stats plus the oracle test
     until the rotation promotes it)."""
     _ship(spark)
@@ -2977,8 +3114,8 @@ def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: oracle for the staged query above — same DuckDB dialect as
-#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+#: oracle for the query above — registered verbatim in ``oracle_sql()``
+#: since the r05 rotation (kept near its query for readability).
 R05_ORACLE_KEY_SKEW_STATS = """
 WITH keyed AS (
   SELECT CASE WHEN doc_id % 5 = 0 THEN 'hot'
@@ -3009,7 +3146,7 @@ def q_pipeline_imagetext(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc (filename alt / 1×1 pixel / data URI / empty alt), so the filter
     logic itself is on the closed-form oracle.
 
-    STAGED FOR THE r05 REGISTRY ROTATION (pytest-gated in
+    PROMOTED at the r05 rotation (formerly staged; pytest-gated in
     tests/test_imagetext.py until the rotation promotes it)."""
     _ship(spark)
     from graby_spark.operators.imagetext import image_text_pairs, pair_quality
@@ -3048,8 +3185,8 @@ def q_pipeline_imagetext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("url", "src", "text", "text_words", "width", "height")
 
 
-#: oracle for the staged query above — same DuckDB dialect as
-#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+#: oracle for the query above — registered verbatim in ``oracle_sql()``
+#: since the r05 rotation (kept near its query for readability).
 R05_ORACLE_PIPELINE_IMAGETEXT = """
 SELECT 'http://pairs.example/' || doc_id AS url,
        'http://pairs.example/keep' || doc_id || '.jpg' AS src,
@@ -3068,7 +3205,7 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     page) — the local min-key derivation and variant counting are on a
     closed-form oracle.
 
-    STAGED FOR THE r05 REGISTRY ROTATION (pytest-gated in
+    PROMOTED at the r05 rotation (formerly staged; pytest-gated in
     tests/test_linkrel.py until the rotation promotes it)."""
     _ship(spark)
     from graby_spark.operators.graph import hreflang_clusters
@@ -3107,8 +3244,8 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_clusters(pages)
 
 
-#: oracle for the staged query above — same DuckDB dialect as
-#: ``oracle_sql()`` entries; moved there verbatim at the r05 rotation.
+#: oracle for the query above — registered verbatim in ``oracle_sql()``
+#: since the r05 rotation (kept near its query for readability).
 R05_ORACLE_HREFLANG_CLUSTERS = """
 WITH m AS (
   SELECT doc_id AS id, unnest(['de', 'en', 'fr']) AS lang
@@ -3248,19 +3385,21 @@ def staged_queries() -> dict[str, tuple]:
     SQL or None for rows-only) per future key.  Empty since the r05
     rotation promoted the eight r04-staged queries into ``queries()``
     AT THE FRONT — the driver's 50-query sweep (dict order) verifies
-    them this round, completing driver coverage of all 120 registry
-    keys across CORRECTNESS_r01..r05."""
+    them (plus the new pipeline_translate) this round, completing
+    driver coverage of the full 122-key registry across
+    CORRECTNESS_r01..r05."""
     return {}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep, which caps at 50
     # queries taken in dict order (VERDICT r03 #2).  r05 rotation: the
-    # eight r04-staged queries lead (never driver-verified; everything
-    # else has a green row in the union of CORRECTNESS_r01..r04), so this
-    # round's sweep completes driver coverage of the full 120-key
-    # registry.  Everything also has a green row in the locally-published
-    # full-registry artifact regardless of this rotation.
+    # eight r04-staged queries plus the new pipeline_translate lead
+    # (never driver-verified; everything else has a green row in the
+    # union of CORRECTNESS_r01..r04), so this round's sweep completes
+    # driver coverage of the full 122-key registry.  Everything also has
+    # a green row in the locally-published full-registry artifact
+    # regardless of this rotation.
     return {
         # --- never driver-verified (staged in r04, promoted r05): MUST
         # --- sit within the driver sweep's 50-query cap (pinned by test)
@@ -3273,7 +3412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_clusters": q_hreflang_clusters,
         "ann_pq": q_ann_pq,
         # --- new in r05: MT bitext-mining composition (VERDICT r04 #7)
+        # --- and IVF-PQ residual ANN (the bolt-on VERDICT r04 named)
         "pipeline_translate": q_pipeline_translate,
+        "ann_ivfpq": q_ann_ivfpq,
         # --- driver-verified in r04; re-verified as sweep room allows
         "media_avi_frames": q_media_avi_frames,
         "media_g711_decode": q_media_g711_decode,
@@ -3779,6 +3920,7 @@ FROM packed p JOIN (
         "pipeline_imagetext": R05_ORACLE_PIPELINE_IMAGETEXT,
         "hreflang_clusters": R05_ORACLE_HREFLANG_CLUSTERS,
         "pipeline_translate": _translate_oracle(),
+        "ann_ivfpq": R05_ORACLE_ANN_IVFPQ,
         "pipeline_pretrain": pretrain_oracle,
         "text_pii": pii_oracle(),
         "text_c4": c4_oracle,

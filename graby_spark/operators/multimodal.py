@@ -1780,21 +1780,37 @@ def encode_wav_g711(
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """REAL BMP decode (the legacy web bitmap): BITMAPINFOHEADER,
-    BI_RGB (uncompressed) at 8 (palette), 24 and 32 bpp, 4-byte row
-    padding, bottom-up or top-down (negative height) row order, BGR(A)
-    channel order.  Returns (h, w, 3|4) uint8.  Compressed or exotic
-    variants raise (loud, never a fake)."""
-    if len(data) < 54 or data[:2] != b"BM":
+    """REAL BMP decode (the legacy web bitmap): BITMAPINFOHEADER or the
+    OS/2 BITMAPCOREHEADER, BI_RGB (uncompressed) at 8 (palette), 24 and
+    32 bpp, 4-byte row padding, bottom-up or top-down (negative height,
+    info header only) row order, BGR(A) channel order; core-header
+    palettes are 3-byte RGBTRIPLEs.  Returns (h, w, 3|4) uint8.
+    Compressed or exotic variants raise (loud, never a fake)."""
+    if len(data) < 26 or data[:2] != b"BM":
         raise ValueError("not a BMP stream")
     off_bits = int.from_bytes(data[10:14], "little")
     hdr_size = int.from_bytes(data[14:18], "little")
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMP unsupported")
-    w = int.from_bytes(data[18:22], "little", signed=True)
-    h = int.from_bytes(data[22:26], "little", signed=True)
-    bpp = int.from_bytes(data[28:30], "little")
-    compression = int.from_bytes(data[30:34], "little")
+    core = hdr_size == 12
+    if core:
+        # BITMAPCOREHEADER: WORD width/height (unsigned, always
+        # bottom-up), WORD planes, WORD bpp, no compression field
+        w = int.from_bytes(data[18:20], "little")
+        h = int.from_bytes(data[20:22], "little")
+        bpp = int.from_bytes(data[24:26], "little")
+        compression = 0
+        if bpp not in (8, 24):
+            raise NotImplementedError(
+                f"{bpp}-bpp core-header BMP unsupported (8/24 only)"
+            )
+    elif hdr_size < 40:
+        raise NotImplementedError(f"BMP header size {hdr_size} unsupported")
+    else:
+        if len(data) < 54:
+            raise ValueError("truncated BMP header")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        compression = int.from_bytes(data[30:34], "little")
     if compression != 0:
         raise NotImplementedError(f"BMP compression {compression} unsupported")
     if bpp not in (8, 24, 32):
@@ -1811,11 +1827,15 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]
     if bpp == 8:
-        n_colors = int.from_bytes(data[46:50], "little") or 256
-        pal_raw = data[14 + hdr_size : 14 + hdr_size + n_colors * 4]
-        if len(pal_raw) < n_colors * 4:
+        entry = 3 if core else 4
+        if core:
+            n_colors = max((off_bits - 26) // 3, 0) or 256
+        else:
+            n_colors = int.from_bytes(data[46:50], "little") or 256
+        pal_raw = data[14 + hdr_size : 14 + hdr_size + n_colors * entry]
+        if len(pal_raw) < n_colors * entry:
             raise ValueError("truncated BMP palette")
-        pal = np.frombuffer(pal_raw, dtype=np.uint8).reshape(-1, 4)[:, [2, 1, 0]]
+        pal = np.frombuffer(pal_raw, dtype=np.uint8).reshape(-1, entry)[:, [2, 1, 0]]
         idx = rows[:, :w]
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("BMP palette index out of range")
@@ -1847,6 +1867,50 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     hdr += (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
     hdr += bytes(16)
     return bytes(hdr) + bytes(body)
+
+
+def encode_bmp_core(arr: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+    """OS/2 BITMAPCOREHEADER fixture writer: 24-bpp from (h, w, 3), or
+    8-bpp palette indices from a 2-D array with an RGB ``palette``
+    (stored as the core header's 3-byte BGR RGBTRIPLEs) — exercises the
+    WORD-geometry header and triple-palette branches of decode_bmp."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        if palette is None:
+            palette = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        pal = np.asarray(palette, dtype=np.uint8)
+        pal_bytes = pal[:, [2, 1, 0]].tobytes()  # RGB -> BGR triples
+        h, w = a.shape
+        row_bytes = (w + 3) & ~3
+        body = b"".join(
+            a[y].tobytes().ljust(row_bytes, b"\x00") for y in range(h - 1, -1, -1)
+        )
+        off = 14 + 12 + len(pal_bytes)
+        bpp = 8
+    else:
+        h, w, _ = a.shape
+        row_bytes = (w * 3 + 3) & ~3
+        body = b"".join(
+            a[y][:, [2, 1, 0]].tobytes().ljust(row_bytes, b"\x00")
+            for y in range(h - 1, -1, -1)
+        )
+        pal_bytes = b""
+        off = 14 + 12
+        bpp = 24
+    hdr = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + bytes(4)
+        + off.to_bytes(4, "little")
+    )
+    core = (
+        (12).to_bytes(4, "little")
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+    )
+    return hdr + core + pal_bytes + body
 
 
 def decode_ico(data: bytes) -> np.ndarray:
@@ -1954,10 +2018,165 @@ def encode_ico(arrs: list[np.ndarray], as_png: bool = True) -> bytes:
     return bytes(out)
 
 
+def _packbits_decode(buf: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §9 PackBits: control byte n ∈ [0,127] copies n+1
+    literals, n ∈ [129,255] repeats the next byte 257-n times, 128 is a
+    no-op.  Decodes until ``expected`` bytes or input exhausted."""
+    out = bytearray()
+    i, n = 0, len(buf)
+    while i < n and len(out) < expected:
+        b = buf[i]
+        i += 1
+        if b == 128:
+            continue
+        if b < 128:
+            out += buf[i : i + b + 1]
+            i += b + 1
+        elif i < n:
+            out += bytes([buf[i]]) * (257 - b)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """PackBits one row (TIFF 6.0 recommends per-row packing): runs of
+    ≥2 as replicates, literals broken at the start of a ≥3 run."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            continue
+        lit = i
+        i += 1
+        while i < n and i - lit < 128:
+            if i + 2 < n and row[i] == row[i + 1] == row[i + 2]:
+                break
+            i += 1
+        out.append(i - lit - 1)
+        out += row[lit:i]
+    return bytes(out)
+
+
+def _tiff_lzw_decode(buf: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first code packing, ClearCode=256, EOI=257,
+    9→12-bit codes with the TIFF "early change" (width bumps when the
+    next table index reaches (1<<width)-1, one code before the power of
+    two)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    total_bits = len(buf) * 8
+    bitpos = 0
+    width = 9
+    table: list[bytes] = []
+    next_code = 258
+
+    def reset() -> None:
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        next_code = 258
+
+    def get_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return EOI
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(buf[byte0 : byte0 + 3].ljust(3, b"\x00"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        return code
+
+    reset()
+    old: int | None = None
+    while len(out) < expected:
+        code = get_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset()
+            code = get_code()
+            if code == EOI:
+                break
+            out += table[code]
+            old = code
+            continue
+        if old is None:
+            raise ValueError("LZW stream lacks initial clear/literal")
+        if code < next_code:
+            entry = table[code]
+            out += entry
+            table.append(table[old] + entry[:1])
+        else:  # KwKwK
+            entry = table[old] + table[old][:1]
+            out += entry
+            table.append(entry)
+        next_code += 1
+        # early change, seen from the decoder: its table add lags the
+        # writer's by one code, so the bump fires at 510/1022/2046
+        # ((1<<width)-2), one entry before the writer's (1<<width)-1
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
+        old = code
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW writer (fixture side): same early-change width
+    schedule as the decoder, Clear emitted before the table would
+    overflow 12 bits."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    s = b""
+    for ch in data:
+        c = bytes([ch])
+        if s + c in table:
+            s += c
+            continue
+        emit(table[s], width)
+        table[s + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        s = c
+    if s:
+        emit(table[s], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
-    """REAL baseline TIFF decode: IFD walk (both byte orders, via the
-    shared EXIF reader), uncompressed (Compression=1) strips, 8-bit
-    grayscale or RGB(A).  Returns (h, w, channels) uint8; other
+    """REAL TIFF decode: IFD walk (both byte orders, via the shared
+    EXIF reader); Compression 1 (none), 5 (LZW, early-change) and
+    32773 (PackBits) strips; Predictor 1/2 (horizontal differencing);
+    8-bit grayscale or RGB(A).  Returns (h, w, channels) uint8; other
     compressions and depths raise (loud, never a fake)."""
     from graby_spark.operators.exif import _read_ifd
 
@@ -1996,8 +2215,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
     h = uint(257)
     if not w or not h or w > 1 << 20 or h > 1 << 20:
         raise ValueError("bad TIFF geometry")
-    if uint(259, 1) != 1:
-        raise NotImplementedError("compressed TIFF unsupported (baseline only)")
+    comp = uint(259, 1)
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported (none/LZW/PackBits only)"
+        )
+    predictor = uint(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     spp = uint(277, 1)
     bits = uint_list(258) or [8]
     if any(b != 8 for b in bits) or spp not in (1, 3, 4):
@@ -2006,17 +2231,43 @@ def decode_tiff(data: bytes) -> np.ndarray:
     counts = uint_list(279)
     if not offsets or len(offsets) != len(counts):
         raise ValueError("TIFF strips missing")
-    raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+    rows_per_strip = uint(278) or h
+    row_bytes = w * spp
+    strips = []
+    remaining = h
+    for o, c in zip(offsets, counts):
+        strip_rows = min(rows_per_strip, remaining)
+        expected = strip_rows * row_bytes
+        chunk = data[o : o + c]
+        if comp == 1:
+            strips.append(chunk)
+        elif comp == 5:
+            strips.append(_tiff_lzw_decode(chunk, expected))
+        else:
+            strips.append(_packbits_decode(chunk, expected))
+        remaining -= strip_rows
+    raw = b"".join(strips)
     need = w * h * spp
     if len(raw) < need:
         raise ValueError("truncated TIFF strip data")
-    return np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, spp)
+    img = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: stored values are per-channel deltas
+        # along each row — undo with a mod-256 prefix sum
+        img = np.cumsum(img, axis=1, dtype=np.uint32).astype(np.uint8)
+    return img
 
 
-def encode_tiff(arr: np.ndarray, byte_order: str = "II") -> bytes:
-    """Baseline uncompressed TIFF fixture writer (8-bit, single strip),
-    either byte order — exercises the IFD reader against spec-derived
-    structures, not copied binaries."""
+def encode_tiff(
+    arr: np.ndarray,
+    byte_order: str = "II",
+    compression: int = 1,
+    predictor: int = 1,
+) -> bytes:
+    """TIFF fixture writer (8-bit, single strip), either byte order,
+    Compression 1/5 (LZW)/32773 (PackBits, packed per row) and
+    Predictor 1/2 — exercises the IFD reader and strip codecs against
+    spec-derived structures, not copied binaries."""
     import struct as _struct
 
     endian = "<" if byte_order == "II" else ">"
@@ -2024,19 +2275,40 @@ def encode_tiff(arr: np.ndarray, byte_order: str = "II") -> bytes:
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, spp = a.shape
-    pix = a.tobytes()
+    if predictor == 2:
+        # horizontal differencing mod 256 per channel along each row
+        d = a.astype(np.int16)
+        d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+        a = (d % 256).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"predictor {predictor} unsupported")
+    flat = a.tobytes()
+    if compression == 1:
+        pix = flat
+    elif compression == 5:
+        pix = _tiff_lzw_encode(flat)
+    elif compression == 32773:
+        row_bytes = w * spp
+        pix = b"".join(
+            _packbits_encode_row(flat[y * row_bytes : (y + 1) * row_bytes])
+            for y in range(h)
+        )
+    else:
+        raise ValueError(f"compression {compression} unsupported")
     # layout: header(8) | IFD | bits heap | pixel data
     tags = [
         (256, 4, 1, w),
         (257, 4, 1, h),
         (258, 3, spp, None),  # BitsPerSample (heap when spp > 2)
-        (259, 3, 1, 1),
+        (259, 3, 1, compression),
         (262, 3, 1, 1 if spp == 1 else 2),
         (273, 4, 1, None),  # StripOffsets (patched below)
         (277, 3, 1, spp),
         (278, 4, 1, h),
         (279, 4, 1, len(pix)),
     ]
+    if predictor == 2:
+        tags.append((317, 3, 1, 2))
     n = len(tags)
     ifd_off = 8
     heap_off = ifd_off + 2 + n * 12 + 4

@@ -2927,6 +2927,87 @@ def test_ico_and_tiff_decode(spark):
     assert stats[2]["mean_pixel"] == big.sum() / big.size
 
 
+def test_tiff_compressed_strips_round_trip():
+    """Compressed TIFF (the r04 boundary closed in r05): LZW (TIFF 6.0
+    §13 early-change code widths, Clear recycling past 12 bits) and
+    PackBits (§9) strips round-trip bit-exact in both byte orders, with
+    and without the horizontal-differencing predictor; runs long enough
+    to force LZW width growth; unknown compressions still raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graby_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode_row,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(33)
+    # raw codec pins: random (literal-heavy), constant (run-heavy), and a
+    # long buffer that forces 10/11-bit LZW codes and KwKwK cases
+    for buf in (
+        # 16 KiB of noise forces full width growth to 12 bits AND a
+        # mid-stream Clear recycle (table refills past entry 4094)
+        rng.randint(0, 256, 16384).astype(np.uint8).tobytes(),
+        b"\x07" * 1000,
+        bytes((i * 7 + (i >> 3)) % 5 for i in range(20000)),
+        b"",
+    ):
+        assert _tiff_lzw_decode(_tiff_lzw_encode(buf), len(buf)) == buf
+        assert _packbits_decode(_packbits_encode_row(buf), len(buf)) == buf
+    # smooth gradient: predictor-2 turns it into tiny deltas; flat noise
+    grad = (
+        np.arange(29 * 17 * 3, dtype=np.uint32).reshape(29, 17, 3) % 256
+    ).astype(np.uint8)
+    noise = rng.randint(0, 256, (11, 23, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (9, 31)).astype(np.uint8)
+    for bo in ("II", "MM"):
+        for comp in (5, 32773):
+            for pred in (1, 2):
+                for img in (grad, noise):
+                    blob = encode_tiff(img, bo, compression=comp, predictor=pred)
+                    assert np.array_equal(decode_tiff(blob), img), (bo, comp, pred)
+                blob = encode_tiff(gray, bo, compression=comp, predictor=pred)
+                assert np.array_equal(decode_tiff(blob)[:, :, 0], gray)
+    # predictor makes the gradient smaller under LZW (the point of it)
+    assert len(encode_tiff(grad, compression=5, predictor=2)) < len(
+        encode_tiff(grad, compression=5, predictor=1)
+    )
+    # unknown compression still a loud boundary
+    bad = bytearray(encode_tiff(noise))
+    # Compression tag (259) SHORT value lives in the IFD; patch via re-encode
+    import struct
+
+    idx = bad.find(struct.pack("<HH", 259, 3))
+    bad[idx + 8 : idx + 10] = (6).to_bytes(2, "little")  # old-JPEG
+    with _pytest.raises(NotImplementedError):
+        decode_tiff(bytes(bad))
+
+
+def test_bmp_core_header_decode():
+    """OS/2 BITMAPCOREHEADER BMP (the other r04 boundary): WORD
+    geometry, 3-byte RGBTRIPLE palettes at 8 bpp, 24 bpp BGR — both
+    decode; 4-bpp core stays a loud boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graby_spark.operators.multimodal import decode_bmp, encode_bmp_core
+
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, (6, 5, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp_core(img)), img)
+    idx = rng.randint(0, 256, (4, 9)).astype(np.uint8)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp_core(idx, palette=pal)), pal[idx])
+    bad = bytearray(encode_bmp_core(img))
+    bad[24:26] = (4).to_bytes(2, "little")
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
+
+
 def test_flac_decode_matrix(spark):
     """FLAC: every subframe type (constant/verbatim/fixed 0-2) and all
     three stereo decorrelations round-trip bit-exact with VERIFIED
@@ -3212,6 +3293,48 @@ def test_pq_topk_recall_and_determinism(spark):
         assert r16 >= r8
         a = similarity.pq_topk(emb, queries.where("vec_id < 5"), k=5).collect()
         b = similarity.pq_topk(
+            emb.repartition(7), queries.where("vec_id < 5"), k=5
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        exact.unpersist()
+    finally:
+        emb.unpersist()
+
+
+def test_ivfpq_topk_recall_and_determinism(spark):
+    """IVF-PQ residual ANN (new r05): recall@10 >= 0.9 on the clustered
+    fixture at n_cells=32/nprobe=8/refine=16 (measured 0.94; the same
+    refine plain PQ's pin uses — sampled cells can merge clusters, so
+    within-mega-cell ADC ties make refine the recall lever, exactly the
+    resolution caveat pq_topk documents); refine widens recall
+    monotonically; result is independent of corpus partitioning."""
+    emb = similarity.make_clustered_embeddings(spark).cache()
+    try:
+        queries = emb.where("vec_id < 50")
+        exact = (
+            similarity.brute_force_topk(emb, queries, k=10)
+            .select("query_id", "neighbor_id")
+            .cache()
+        )
+        total = exact.count()
+
+        def recall(df):
+            return exact.intersect(df.select("query_id", "neighbor_id")).count() / total
+
+        r = recall(
+            similarity.ivfpq_topk(emb, queries, k=10, n_cells=32, nprobe=8, refine=16)
+        )
+        assert r >= 0.9, r
+        # a wider candidate cut can only see more of the true top-k
+        r16 = recall(
+            similarity.ivfpq_topk(emb, queries, k=10, n_cells=16, nprobe=4, refine=16)
+        )
+        r32 = recall(
+            similarity.ivfpq_topk(emb, queries, k=10, n_cells=16, nprobe=4, refine=32)
+        )
+        assert r32 >= r16
+        a = similarity.ivfpq_topk(emb, queries.where("vec_id < 5"), k=5).collect()
+        b = similarity.ivfpq_topk(
             emb.repartition(7), queries.where("vec_id < 5"), k=5
         ).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
