@@ -62,6 +62,15 @@ _EMPTY_NODE_RE = re.compile(
 )
 _IE_COND_RE = re.compile(r"<!--\[if[^>]*>.*?(<!\[endif\]-->|<!-- <!\[endif\] -->)", re.S | re.I)
 
+# strict ISO-8601 with an explicit offset — the overwhelmingly common shape
+# of article:published_time / JSON-LD datePublished on real pages; fast-pathed
+# below because dateutil's full parser is ~0.3 ms/call and dates sit on the
+# extraction hot path (one validate_date per dated page)
+_ISO_DATE_RE = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2}):(\d{2})(?:\.\d+)?"
+    r"(Z|[+-]\d{2}:?\d{2})$"
+)
+
 
 def excerpt(text: str, length: int = 250, separator: str = " &hellip;") -> str:
     """250-char word-boundary excerpt of an HTML string."""
@@ -211,13 +220,47 @@ def validate_date(date: str | None, tz_name: str = DEFAULT_TZ) -> str | None:
     # PHP DateTime treats a trailing offset after 'Z' as noise ('...21Z-09:00'
     # parses as UTC); dateutil would honour the trailing offset — normalize
     date = re.sub(r"Z[+-]\d{2}:?\d{2}$", "Z", date)
+    m = _ISO_DATE_RE.match(date)
+    if m is not None:
+        off = m.group(7)
+        if off == "Z":
+            off = "+00:00"
+        else:
+            if ":" not in off:
+                off = off[:3] + ":" + off[3:]
+            if not (int(off[1:3]) < 24 and int(off[4:6]) < 60):
+                off = None  # dateutil rejects out-of-range offsets → slow path
+            elif off[1:] == "00:00":
+                off = "+00:00"  # dateutil maps '-00:00' to UTC
+        try:
+            # constructing the datetime validates the calendar fields the
+            # same way dateutil would (bad month/day → slow path → None)
+            datetime(
+                int(m.group(1)), int(m.group(2)), int(m.group(3)),
+                int(m.group(4)), int(m.group(5)), int(m.group(6)),
+            )
+        except ValueError:
+            pass
+        else:
+            if off is not None:
+                # int() on the year matches strftime('%Y'), which glibc does
+                # NOT zero-pad below 1000 — byte-compatible with the slow path
+                return (
+                    f"{int(m.group(1))}-{m.group(2)}-{m.group(3)}"
+                    f"T{m.group(4)}:{m.group(5)}:{m.group(6)}{off}"
+                )
     try:
         parsed = _dateparser.parse(date, default=datetime(2000, 1, 1, 0, 0, 0))
     except (ValueError, OverflowError, TypeError):
         return None
     if parsed.tzinfo is None:
         parsed = parsed.replace(tzinfo=ZoneInfo(tz_name))
-    formatted = parsed.strftime("%Y-%m-%dT%H:%M:%S%z")
+    try:
+        formatted = parsed.strftime("%Y-%m-%dT%H:%M:%S%z")
+    except ValueError:
+        # dateutil accepts offsets ≥ 24 h that strftime then rejects
+        # ('...+25:00'); treat as unparseable rather than failing the row
+        return None
     return formatted[:-2] + ":" + formatted[-2:]
 
 

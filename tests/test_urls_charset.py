@@ -246,3 +246,39 @@ def test_registrable_domain_expr():
         for r in df.select(registrable_domain_expr("url")).collect()
     ]
     assert got == [e for _, e in cases]
+
+
+def test_validate_date_iso_fast_path_matches_dateutil():
+    """The strict-ISO fast path in validate_date must be byte-identical to
+    the dateutil slow path (ContentExtractor.php:735-748 semantics); pins
+    the offset normalization, calendar validation, Z handling, fractional
+    truncation, and the glibc unpadded-%Y year quirk."""
+    from graby_spark.textutils import validate_date
+
+    cases = {
+        # fast path hits
+        "2020-01-01T00:00:00+00:00": "2020-01-01T00:00:00+00:00",
+        "2020-01-01T00:00:00Z": "2020-01-01T00:00:00+00:00",
+        "2021-12-31T23:59:59-09:30": "2021-12-31T23:59:59-09:30",
+        "2020-06-15T12:34:56+0200": "2020-06-15T12:34:56+02:00",
+        "2020-06-15 12:34:56+02:00": "2020-06-15T12:34:56+02:00",
+        "2020-06-15T12:34:56.123+02:00": "2020-06-15T12:34:56+02:00",
+        "2024-02-29T01:02:03Z": "2024-02-29T01:02:03+00:00",
+        # dateutil maps -00:00 to UTC
+        "2020-01-01T12:00:00-00:00": "2020-01-01T12:00:00+00:00",
+        # glibc strftime does not zero-pad %Y below 1000
+        "0237-08-13T01:05:27+00:00": "237-08-13T01:05:27+00:00",
+        # calendar-invalid → None (fast path falls through, slow path rejects)
+        "2023-02-29T01:02:03Z": None,
+        "2020-13-01T00:00:00Z": None,
+        "2020-01-01T24:00:00Z": None,
+        # offset ≥ 24h: dateutil parses but strftime rejects → None, not a crash
+        "2020-01-01T12:00:00+25:00": None,
+        # slow-path shapes still work
+        "2020-06-15T12:34:56": "2020-06-15T12:34:56+02:00",
+        "2020-01-01T01:02:03Z-09:00": "2020-01-01T01:02:03+00:00",
+        "garbage": None,
+        "": None,
+    }
+    for raw, expected in cases.items():
+        assert validate_date(raw) == expected, raw
