@@ -2961,6 +2961,64 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/dedup.py semantic_dedup, NEW
+    r05): md5-sampled centroids (same closed-form init as ivf_topk) ->
+    map-only cell assignment -> within-cell pairwise cosine -> greedy
+    earliest-id-wins pruning.  Every stage is deterministic, so the
+    oracle replays centroid sample, argmax assignment (ci ASC ties),
+    pair cut and best-earlier-match selection in SQL."""
+    _ship(spark)
+    from graby_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, n_clusters=8, threshold=0.4)
+
+
+#: exact SQL replay of q_dedup_semantic (n_clusters=8, threshold=0.4,
+#: 64-dim embeddings; cosine rounded to 8 like the ANN family).
+R05_ORACLE_DEDUP_SEMANTIC = """
+WITH unitc AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE /
+           sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
+  FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR)
+         ) - 1 AS ci, u
+  FROM unitc
+  QUALIFY row_number() OVER (
+    ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR)
+  ) <= 8
+),
+vcell AS (
+  SELECT vec_id, ci FROM (
+    SELECT v.vec_id, c.ci,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(64), i -> v.u[i+1] * c.u[i+1])) DESC,
+                      c.ci ASC) AS rn
+    FROM unitc v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS dup_id, b.vec_id AS keep_id, a.ci AS cell,
+         round(list_sum(list_transform(range(64), i -> ua.u[i+1] * ub.u[i+1])), 8) AS cosine
+  FROM vcell a
+  JOIN vcell b ON a.ci = b.ci AND b.vec_id < a.vec_id
+  JOIN unitc ua ON ua.vec_id = a.vec_id
+  JOIN unitc ub ON ub.vec_id = b.vec_id
+)
+SELECT dup_id, keep_id, cell, cosine FROM (
+  SELECT dup_id, keep_id, cell, cosine,
+         row_number() OVER (PARTITION BY dup_id ORDER BY cosine DESC, keep_id ASC) AS rn
+  FROM pairs WHERE cosine >= 0.4
+) WHERE rn = 1
+"""
+
+
+
 #: exact SQL replay of q_ann_ivfpq (k=10, n_cells=8, nprobe=3, m=4,
 #: ks=16, refine=8 → 80 candidates; 64-dim embeddings → d_sub=16).
 R05_ORACLE_ANN_IVFPQ = """
@@ -3415,6 +3473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- and IVF-PQ residual ANN (the bolt-on VERDICT r04 named)
         "pipeline_translate": q_pipeline_translate,
         "ann_ivfpq": q_ann_ivfpq,
+        # --- new in r05 session 2: SemDeDup semantic dedup
+        "dedup_semantic": q_dedup_semantic,
         # --- driver-verified in r04; re-verified as sweep room allows
         "media_avi_frames": q_media_avi_frames,
         "media_g711_decode": q_media_g711_decode,
@@ -3921,6 +3981,7 @@ FROM packed p JOIN (
         "hreflang_clusters": R05_ORACLE_HREFLANG_CLUSTERS,
         "pipeline_translate": _translate_oracle(),
         "ann_ivfpq": R05_ORACLE_ANN_IVFPQ,
+        "dedup_semantic": R05_ORACLE_DEDUP_SEMANTIC,
         "pipeline_pretrain": pretrain_oracle,
         "text_pii": pii_oracle(),
         "text_c4": c4_oracle,

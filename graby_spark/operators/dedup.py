@@ -42,6 +42,7 @@ __all__ = [
     "contamination_spans",
     "build_minhash_index",
     "incremental_minhash_pairs",
+    "semantic_dedup",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -1207,4 +1208,115 @@ def sentence_dedup(
         "n_sents",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication").
+
+    Pipeline (every stage deterministic, SQL-replayable):
+
+      1. unit-normalize the embeddings (float64, like brute_force_topk);
+      2. pick ``n_clusters`` centroids as the md5-ordered sample of the
+         corpus itself (same closed-form init as ``ivf_topk`` — no
+         k-means iterations, which is the standard first cut at scale
+         and keeps the oracle exact);
+      3. assign every row to its max-cosine centroid (vectorized numpy
+         matmul in one Arrow batch pass; ``np.argmax`` = lowest cell
+         index on ties, matching the oracle's ``ci ASC`` tie-break);
+      4. within each cell, pairwise cosine (rounded to 8 like the ANN
+         family) — a row is a semantic duplicate iff an EARLIER row
+         (smaller id) in the same cell matches at ``>= threshold``;
+      5. each duplicate reports its single best earlier match
+         (max cosine, then min id).
+
+    Returns (dup_id, keep_id, cell, cosine) — one row per REMOVED doc;
+    the deduplicated corpus is ``df`` anti-joined on ``dup_id``.  Greedy
+    earliest-id-wins chaining means keep_id may itself be a duplicate;
+    the kept SET is still exactly {ids not in dup_id}, the SemDeDup
+    semantics.
+
+    Scale shape: centroids are a bounded broadcast; assignment is a pure
+    map stage (no shuffle); the ONLY shuffle is the equi-join on cell
+    id.  The per-cell pairwise join is the SemDeDup design point —
+    n_clusters grows with the corpus (the paper uses 50k clusters for
+    LAION) so cells stay bounded and the quadratic never materializes
+    globally.  Reference has no embedding ops; this extends the dedup
+    family (SURVEY §2 L-ops) for LLM-corpus curation.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent_rows = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.conv(F.substring(F.md5(F.col("cid").cast("string")), 1, 15), 16, 10))
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cent_rows])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents_bc = df.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = cents_bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                yield pd.DataFrame({"id": [], "cell": []})
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "id": batch["id"].values,
+                    "cell": np.argmax(mat @ c.T, axis=1).astype("int32"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("cell", IntegerType()),
+        ]
+    )
+    cells = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).mapInPandas(
+        assign, schema
+    )
+    unit = _with_norm(df, id_col, vec_col).join(cells, "id")
+    a = unit.select(
+        F.col("id").alias("dup_id"), F.col("unit").alias("a_unit"), "cell"
+    )
+    b = unit.select(
+        F.col("id").alias("keep_id"), F.col("unit").alias("b_unit"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("keep_id") < F.col("dup_id"))
+        .select(
+            "dup_id",
+            "keep_id",
+            "cell",
+            F.round(
+                F.aggregate(
+                    F.zip_with("a_unit", "b_unit", lambda x, y: x * y),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                ),
+                8,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+    )
+    w = Window.partitionBy("dup_id").orderBy(F.desc("cosine"), F.asc("keep_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("dup_id", "keep_id", "cell", "cosine")
     )

@@ -2,6 +2,7 @@
 
 import math
 
+import numpy as np
 import pytest
 
 from pyspark.sql import functions as F
@@ -3414,3 +3415,52 @@ def test_staged_r05_key_skew_matches_duckdb_oracle(spark):
     assert len(got) == len(exp) == 1
     for col in got.columns:
         assert got[col][0] == exp[col][0], (col, got[col][0], exp[col][0])
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup, r05 session 2)
+
+
+def test_semantic_dedup_planted_pairs(spark):
+    """Planted near-identical embeddings inside a clustered corpus are
+    pruned; a lone distinct vector survives.  Greedy earliest-id-wins:
+    within a planted triple the two later ids are removed."""
+    from graby_spark.operators.similarity import make_clustered_embeddings
+
+    base = make_clustered_embeddings(spark, n=120, dim=32, n_clusters=6, sigma=0.3)
+    # plant: ids 200/201/202 = one tight triple (copies of id 0's vector
+    # with tiny jitter), id 300 = an isolated far-off direction
+    src = base.select("vec_id", "embedding").toPandas()
+    v0 = np.asarray(src.loc[src.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    lone = np.zeros(32)
+    lone[7] = 1.0
+    extra = spark.createDataFrame(
+        [
+            (200, (v0 + 0.001).astype(np.float32).tolist()),
+            (201, (v0 + 0.002).astype(np.float32).tolist()),
+            (202, (v0 + 0.003).astype(np.float32).tolist()),
+            (300, lone.astype(np.float32).tolist()),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    df = base.select("vec_id", "embedding").unionByName(extra)
+    out = dedup.semantic_dedup(df, n_clusters=6, threshold=0.995).toPandas()
+    dups = set(out.dup_id)
+    assert {201, 202} <= dups  # later members of the triple pruned
+    assert 300 not in dups  # isolated vector kept
+    # each removed row's keeper is an earlier id in the same cell
+    assert (out.keep_id < out.dup_id).all()
+    assert (out.cosine >= 0.995).all()
+
+
+def test_semantic_dedup_partitioning_independent(spark):
+    """Result is identical under a different input partitioning — the
+    centroid sample, assignment and pair cut are all closed-form."""
+    from graby_spark.operators.similarity import make_clustered_embeddings
+
+    df = make_clustered_embeddings(spark, n=200, dim=32, n_clusters=8, sigma=0.05)
+    a = dedup.semantic_dedup(df, n_clusters=8, threshold=0.9).toPandas()
+    b = dedup.semantic_dedup(df.repartition(13), n_clusters=8, threshold=0.9).toPandas()
+    key = lambda d: sorted(map(tuple, d[["dup_id", "keep_id", "cell", "cosine"]].values.tolist()))
+    assert len(a) > 0
+    assert key(a) == key(b)
