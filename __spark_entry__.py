@@ -3018,6 +3018,139 @@ SELECT dup_id, keep_id, cell, cosine FROM (
 """
 
 
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed spherical k-means (operators/cluster.py, NEW
+    r05): unit vectors snapped to a 1e-9 integer grid so assignment
+    dots and per-cell update sums are EXACT int64 arithmetic —
+    order-independent under any partitioning, which is what lets two
+    Lloyd iterations replay value-exact in SQL (the only floats are
+    the JVM-side grid snap and the k-row driver renormalize, both in
+    DuckDB's left-to-right list_sum order)."""
+    _ship(spark)
+    from graby_spark.operators.cluster import kmeans_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_embeddings(emb, k=8, n_iter=2)
+
+
+def _kmeans_ctes(k: int, n_iter: int, dim: int) -> str:
+    """Shared CTE prefix replaying kmeans_train: grid-snapped unit
+    vectors -> md5-sample init -> per-iteration (integer-dot argmax
+    assignment with ci-ASC ties, exact integer cell sums, renormalize +
+    re-snap, empty cells keep the old centroid).  Ends at c{n_iter},
+    the trained centroid table."""
+    md5ord = "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR)"
+    dot = f"list_sum(list_transform(range({dim}), i -> v.u[i+1] * c.u[i+1]))"
+    sums = ", ".join(f"sum(u[{i + 1}]) AS s{i}" for i in range(dim))
+    slist = ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000000.0 / cnt" for i in range(dim))
+    cte = [
+        f"""u9 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(
+    x::DOUBLE / sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))
+    * 1000000000.0 + 0.5) AS BIGINT)) AS u
+  FROM embeddings
+),
+c0 AS (
+  SELECT rn - 1 AS ci, u FROM (
+    SELECT row_number() OVER (ORDER BY {md5ord}) AS rn, u FROM u9
+  ) WHERE rn <= {k}
+)"""
+    ]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        cte.append(
+            f"""a{t} AS (
+  SELECT vec_id, ci, u FROM (
+    SELECT v.vec_id, c.ci, v.u,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {dot} DESC, c.ci ASC) AS rn
+    FROM u9 v CROSS JOIN c{p} c
+  ) WHERE rn = 1
+),
+m{t} AS (
+  SELECT ci, [{slist}] AS m
+  FROM (SELECT ci, count(*) AS cnt, {sums} FROM a{t} GROUP BY ci)
+),
+n{t} AS (
+  SELECT ci, m, sqrt(list_sum(list_transform(m, x -> x * x))) AS nrm FROM m{t}
+),
+c{t} AS (
+  SELECT p.ci,
+         coalesce(list_transform(n.m,
+           x -> CAST(floor(x / n.nrm * 1000000000.0 + 0.5) AS BIGINT)), p.u) AS u
+  FROM c{p} p LEFT JOIN n{t} n USING (ci)
+)"""
+        )
+    return ", ".join(cte)
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Exact SQL replay of q_embed_kmeans: the trained-centroid CTE
+    prefix plus the final integer-dot assignment."""
+    dot = f"list_sum(list_transform(range({dim}), i -> v.u[i+1] * c.u[i+1]))"
+    return f"""
+WITH {_kmeans_ctes(k, n_iter, dim)}
+SELECT vec_id, cell, CAST(dot AS DOUBLE) / 1e18 AS cosine FROM (
+  SELECT v.vec_id, c.ci AS cell, {dot} AS dot,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY {dot} DESC, c.ci ASC) AS rn
+  FROM u9 v CROSS JOIN c{n_iter} c
+) WHERE rn = 1
+"""
+
+
+def q_dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with TRAINED clusters (NEW r05): semantic_dedup's
+    n_iter>0 path routes cell assignment through the exact integer-grid
+    k-means (cluster.kmeans_embeddings) — the paper's actual clustering
+    step instead of the sampled init — then runs the same within-cell
+    pairwise prune.  The oracle replays both Lloyd iterations AND the
+    pairwise stage in one SQL statement."""
+    _ship(spark)
+    from graby_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, n_clusters=8, threshold=0.4, n_iter=2)
+
+
+def _semantic_kmeans_oracle(
+    k: int = 8, n_iter: int = 2, dim: int = 64, threshold: float = 0.4
+) -> str:
+    """q_dedup_semantic_kmeans replay: kmeans-trained cells feed the
+    same pairwise-prune SQL as R05_ORACLE_DEDUP_SEMANTIC (float unit
+    vectors, cosine rounded to 8, earliest-id-wins window)."""
+    dot = f"list_sum(list_transform(range({dim}), i -> v.u[i+1] * c.u[i+1]))"
+    return f"""
+WITH {_kmeans_ctes(k, n_iter, dim)},
+vcell AS (
+  SELECT vec_id, ci FROM (
+    SELECT v.vec_id, c.ci,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {dot} DESC, c.ci ASC) AS rn
+    FROM u9 v CROSS JOIN c{n_iter} c
+  ) WHERE rn = 1
+),
+unitc AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE /
+           sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS dup_id, b.vec_id AS keep_id, a.ci AS cell,
+         round(list_sum(list_transform(range({dim}), i -> ua.u[i+1] * ub.u[i+1])), 8) AS cosine
+  FROM vcell a
+  JOIN vcell b ON a.ci = b.ci AND b.vec_id < a.vec_id
+  JOIN unitc ua ON ua.vec_id = a.vec_id
+  JOIN unitc ub ON ub.vec_id = b.vec_id
+)
+SELECT dup_id, keep_id, cell, cosine FROM (
+  SELECT dup_id, keep_id, cell, cosine,
+         row_number() OVER (PARTITION BY dup_id ORDER BY cosine DESC, keep_id ASC) AS rn
+  FROM pairs WHERE cosine >= {threshold}
+) WHERE rn = 1
+"""
+
 
 #: exact SQL replay of q_ann_ivfpq (k=10, n_cells=8, nprobe=3, m=4,
 #: ks=16, refine=8 → 80 candidates; 64-dim embeddings → d_sub=16).
@@ -3475,6 +3608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         # --- new in r05 session 2: SemDeDup semantic dedup
         "dedup_semantic": q_dedup_semantic,
+        "embed_kmeans": q_embed_kmeans,
+        "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
         # --- driver-verified in r04; re-verified as sweep room allows
         "media_avi_frames": q_media_avi_frames,
         "media_g711_decode": q_media_g711_decode,
@@ -3982,6 +4117,8 @@ FROM packed p JOIN (
         "pipeline_translate": _translate_oracle(),
         "ann_ivfpq": R05_ORACLE_ANN_IVFPQ,
         "dedup_semantic": R05_ORACLE_DEDUP_SEMANTIC,
+        "embed_kmeans": _kmeans_oracle(),
+        "dedup_semantic_kmeans": _semantic_kmeans_oracle(),
         "pipeline_pretrain": pretrain_oracle,
         "text_pii": pii_oracle(),
         "text_c4": c4_oracle,

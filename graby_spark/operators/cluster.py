@@ -1,0 +1,212 @@
+"""Exact distributed k-means over an embedding column.
+
+Spherical k-means (cosine assignment, mean-then-renormalize update) is
+the training step behind both IVF ANN cells (similarity.ivf_topk) and
+SemDeDup semantic dedup (dedup.semantic_dedup); those operators ship
+with the standard trillion-row first cut — a deterministic md5-ordered
+corpus sample as centroids.  This module adds real Lloyd iterations on
+top of that init, with a twist that makes the whole loop *bitwise
+deterministic* and therefore value-exact SQL-replayable:
+
+  every unit vector is snapped to a 1e-9 grid and carried as
+  ``array<long>`` (``floor(u * 1e9 + 0.5)``), so
+
+  * the assignment dot product is an INTEGER dot (|dot| <= 1e18 by
+    Cauchy-Schwarz, inside int64) — exact, order-independent, immune
+    to BLAS-vs-naive summation differences;
+  * the per-cell update sums integer components — exact and
+    order-independent under any partitioning or shuffle order;
+  * only the driver-side renormalize touches floats, in a fixed
+    left-to-right order that DuckDB's ``list_sum`` replays verbatim.
+
+Scale shape (the 100 TB story): per iteration the corpus is touched
+once by a pure map stage (broadcast k x dim int64 centroids, Arrow
+batches, numpy integer matmul) followed by ONE aggregation keyed by
+cell id whose map-side partials reduce each partition to at most
+k rows of dim longs — the shuffle moves O(k * dim * partitions)
+longs, never the corpus.  The driver round-trip per iteration is
+k rows (same bounded pattern as bpe.py's merge loop); k for SemDeDup
+grows with the corpus (the paper uses 50k for LAION) but stays a
+broadcast-sized table.  Reference (j0k3r/graby) has no embedding
+operators; this extends the LLM-curation family (SURVEY §2 L-ops).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_embeddings", "kmeans_train"]
+
+_GRID = 1e9  # unit-vector quantization grid; dots live in [-1e18, 1e18]
+
+
+def _u9_df(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, u9 array<long>): unit-normalized embedding snapped to the
+    1e-9 grid, computed entirely JVM-side.  The norm is a left-to-right
+    ``F.aggregate`` fold — the exact operation sequence DuckDB's
+    ``list_sum(list_transform(...))`` performs, so both engines snap to
+    identical longs (the repo-wide dot-product convention, cf.
+    similarity._unit)."""
+    vec_d = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(vec_d, F.lit(0.0).cast("double"), lambda a, v: a + v * v)
+    )
+    u9 = F.transform(
+        vec_d, lambda v: F.floor(v / norm * F.lit(_GRID) + F.lit(0.5)).cast("long")
+    )
+    return df.select(F.col(id_col).alias("id"), u9.alias("u9"))
+
+
+def _assign_fn(cents_bc, with_vec: bool):
+    """mapInPandas kernel: integer argmax assignment.  np.argmax picks
+    the FIRST maximum, i.e. the lowest cell index on exact-integer ties
+    — the oracle's ``dot DESC, ci ASC`` window order."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = cents_bc.value  # (k, dim) int64
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.int64) for v in batch["u9"]])
+            dots = mat @ c.T  # exact: |partial sums| <= 1e18 < 2^63
+            cell = np.argmax(dots, axis=1)
+            out = {
+                "id": batch["id"].values,
+                "cell": cell.astype("int32"),
+                "dot": dots[np.arange(len(cell)), cell],
+            }
+            if with_vec:
+                out["u9"] = batch["u9"].values
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def kmeans_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+) -> np.ndarray:
+    """Train spherical k-means; returns (k, dim) int64 grid-snapped unit
+    centroids.  Init = the md5-ordered corpus sample (the ivf_topk /
+    semantic_dedup convention), then ``n_iter`` exact Lloyd steps:
+    integer-dot argmax assignment, exact integer per-cell sums, one
+    bounded driver renormalize per iteration.  Empty cells keep their
+    previous centroid."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    u9 = _u9_df(df, id_col, vec_col)
+    init_rows = (
+        u9.orderBy(
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        )
+        .limit(k)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["u9"], dtype=np.int64) for r in init_rows])
+    dim = cents.shape[1]
+    if n_iter <= 0:
+        return cents
+
+    sc = df.sparkSession.sparkContext
+    u9 = u9.localCheckpoint(eager=False)  # cut lineage for the loop
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("cell", IntegerType()),
+            StructField("dot", LongType()),
+            StructField("u9", u9.schema["u9"].dataType),
+        ]
+    )
+    sums = [F.sum(F.element_at("u9", i + 1)).alias(f"s{i}") for i in range(dim)]
+    for _ in range(n_iter):
+        cents_bc = sc.broadcast(cents)
+        agg = (
+            u9.mapInPandas(_assign_fn(cents_bc, with_vec=True), schema)
+            .groupBy("cell")
+            .agg(*sums, F.count("*").alias("cnt"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in agg:
+            cnt = r["cnt"]
+            # float(s) FIRST (one nearest-rounding, = SQL's CAST(s AS
+            # DOUBLE)) so the op sequence matches the oracle at any cell
+            # size, not just below 2^53
+            m = [float(r[f"s{i}"]) / _GRID / cnt for i in range(dim)]
+            norm = 0.0
+            for x in m:  # left-to-right, DuckDB list_sum order
+                norm += x * x
+            norm = math.sqrt(norm)
+            new[r["cell"]] = np.array(
+                [math.floor(x / norm * _GRID + 0.5) for x in m], dtype=np.int64
+            )
+        cents_bc.destroy()
+        cents = new
+    return cents
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Train + final assignment.  Returns (vec_id, cell, cosine) — one
+    row per input vector, ``cosine`` = integer dot / 1e18 (a single
+    IEEE division of an exact integer, identical in any engine).
+
+    Every stage is deterministic under repartitioning: the ONLY floats
+    in the loop are the initial grid snap (JVM fold, fixed order) and
+    the k-row driver renormalize — everything the cluster shuffles or
+    the executors sum is int64.  The plan per iteration: map stage +
+    one k-row aggregate; the output assignment is one more map stage,
+    zero shuffles."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cents = kmeans_train(df, id_col, vec_col, k=k, n_iter=n_iter)
+    cents_bc = df.sparkSession.sparkContext.broadcast(cents)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = cents_bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.int64) for v in batch["u9"]])
+            dots = mat @ c.T
+            cell = np.argmax(dots, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": batch["id"].values,
+                    "cell": cell.astype("int32"),
+                    "cosine": dots[np.arange(len(cell)), cell] / (_GRID * _GRID),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("vec_id", df.schema[id_col].dataType),
+            StructField("cell", IntegerType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    return _u9_df(df, id_col, vec_col).mapInPandas(fn, schema)

@@ -1217,6 +1217,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_clusters: int = 8,
     threshold: float = 0.9,
+    n_iter: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -1226,9 +1227,12 @@ def semantic_dedup(
 
       1. unit-normalize the embeddings (float64, like brute_force_topk);
       2. pick ``n_clusters`` centroids as the md5-ordered sample of the
-         corpus itself (same closed-form init as ``ivf_topk`` — no
-         k-means iterations, which is the standard first cut at scale
-         and keeps the oracle exact);
+         corpus itself (same closed-form init as ``ivf_topk``; the
+         standard first cut at scale, oracle-exact) — or, with
+         ``n_iter > 0``, refine that init with exact integer-grid Lloyd
+         iterations (``cluster.kmeans_embeddings``, the paper's actual
+         k-means clustering step, still bitwise-deterministic and
+         SQL-replayable);
       3. assign every row to its max-cosine centroid (vectorized numpy
          matmul in one Arrow batch pass; ``np.argmax`` = lowest cell
          index on ties, matching the oracle's ``ci ASC`` tie-break);
@@ -1255,40 +1259,47 @@ def semantic_dedup(
     from pyspark.sql import Window
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    cent_rows = (
-        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy(F.conv(F.substring(F.md5(F.col("cid").cast("string")), 1, 15), 16, 10))
-        .limit(n_clusters)
-        .collect()
-    )
-    cents = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cent_rows])
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    cents_bc = df.sparkSession.sparkContext.broadcast(cents)
+    if n_iter > 0:
+        from graby_spark.operators.cluster import kmeans_embeddings
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = cents_bc.value
-        for batch in batches:
-            if len(batch) == 0:
-                yield pd.DataFrame({"id": [], "cell": []})
-                continue
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {
-                    "id": batch["id"].values,
-                    "cell": np.argmax(mat @ c.T, axis=1).astype("int32"),
-                }
-            )
+        cells = kmeans_embeddings(
+            df, id_col, vec_col, k=n_clusters, n_iter=n_iter
+        ).select(F.col("vec_id").alias("id"), "cell")
+    else:
+        cent_rows = (
+            df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .orderBy(F.conv(F.substring(F.md5(F.col("cid").cast("string")), 1, 15), 16, 10))
+            .limit(n_clusters)
+            .collect()
+        )
+        cents = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cent_rows])
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        cents_bc = df.sparkSession.sparkContext.broadcast(cents)
 
-    schema = StructType(
-        [
-            StructField("id", df.schema[id_col].dataType),
-            StructField("cell", IntegerType()),
-        ]
-    )
-    cells = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).mapInPandas(
-        assign, schema
-    )
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = cents_bc.value
+            for batch in batches:
+                if len(batch) == 0:
+                    yield pd.DataFrame({"id": [], "cell": []})
+                    continue
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                yield pd.DataFrame(
+                    {
+                        "id": batch["id"].values,
+                        "cell": np.argmax(mat @ c.T, axis=1).astype("int32"),
+                    }
+                )
+
+        schema = StructType(
+            [
+                StructField("id", df.schema[id_col].dataType),
+                StructField("cell", IntegerType()),
+            ]
+        )
+        cells = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).mapInPandas(assign, schema)
     unit = _with_norm(df, id_col, vec_col).join(cells, "id")
     a = unit.select(
         F.col("id").alias("dup_id"), F.col("unit").alias("a_unit"), "cell"

@@ -3464,3 +3464,83 @@ def test_semantic_dedup_partitioning_independent(spark):
     key = lambda d: sorted(map(tuple, d[["dup_id", "keep_id", "cell", "cosine"]].values.tolist()))
     assert len(a) > 0
     assert key(a) == key(b)
+
+
+# ---------------------------------------------------------------------------
+# exact distributed k-means (operators/cluster.py, r05 session 2)
+
+
+def test_kmeans_partitioning_independent_and_exact(spark):
+    """The integer-grid design's whole point: assignment dots and cell
+    sums are int64-exact, so the trained model and the assignment are
+    IDENTICAL under any input partitioning."""
+    from graby_spark.operators.cluster import kmeans_embeddings, kmeans_train
+
+    df = similarity.make_clustered_embeddings(spark, n=200, dim=32, n_clusters=5, sigma=0.2)
+    c_a = kmeans_train(df, k=5, n_iter=2)
+    c_b = kmeans_train(df.repartition(13), k=5, n_iter=2)
+    assert (c_a == c_b).all()  # bitwise-equal int64 centroids
+    a = kmeans_embeddings(df, k=5, n_iter=2).toPandas()
+    b = kmeans_embeddings(df.repartition(7), k=5, n_iter=2).toPandas()
+    key = lambda d: sorted(map(tuple, d[["vec_id", "cell", "cosine"]].values.tolist()))
+    assert len(a) == 200
+    assert key(a) == key(b)
+
+
+def test_kmeans_lloyd_improves_objective(spark):
+    """Lloyd steps on the clustered fixture raise the spherical k-means
+    objective (mean cosine to assigned centroid) over the sampled init."""
+    from graby_spark.operators.cluster import kmeans_embeddings
+
+    df = similarity.make_clustered_embeddings(spark, n=300, dim=32, n_clusters=6, sigma=0.4)
+    m0 = kmeans_embeddings(df, k=6, n_iter=0).toPandas().cosine.mean()
+    m2 = kmeans_embeddings(df, k=6, n_iter=2).toPandas().cosine.mean()
+    m4 = kmeans_embeddings(df, k=6, n_iter=4).toPandas().cosine.mean()
+    assert m2 > m0 + 0.01  # real improvement, not noise
+    assert m4 >= m2 - 1e-9  # monotone up to grid quantization
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    """Two identical input vectors make two identical init centroids;
+    argmax ties break to the lower cell, so the higher one empties and
+    must keep its previous centroid (the coalesce branch)."""
+    from graby_spark.operators.cluster import kmeans_embeddings, kmeans_train
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # duplicate of id 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_train(df, k=3, n_iter=2)
+    assert cents.shape == (3, 4)
+    out = kmeans_embeddings(df, k=3, n_iter=2).toPandas()
+    assert len(out) == 3
+    assert out.cell.nunique() == 2  # one cell stayed empty throughout
+    assert (out.cosine > 0.999999).all()  # every point sits on a centroid
+
+
+def test_semantic_dedup_kmeans_path(spark):
+    """n_iter>0 routes cells through the exact k-means; the planted
+    near-identical triple is still pruned, the result is partitioning-
+    independent, and trained cells differ from the sampled-init cells
+    on a corpus where Lloyd actually moves centroids."""
+    from graby_spark.operators.similarity import make_clustered_embeddings
+
+    base = make_clustered_embeddings(spark, n=120, dim=32, n_clusters=6, sigma=0.3)
+    src = base.select("vec_id", "embedding").toPandas()
+    v0 = np.asarray(src.loc[src.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    extra = spark.createDataFrame(
+        [
+            (200, (v0 + 0.001).astype(np.float32).tolist()),
+            (201, (v0 + 0.002).astype(np.float32).tolist()),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    df = base.select("vec_id", "embedding").unionByName(extra)
+    out = dedup.semantic_dedup(df, n_clusters=6, threshold=0.995, n_iter=2).toPandas()
+    assert 201 in set(out.dup_id)  # later twin pruned inside its trained cell
+    assert (out.keep_id < out.dup_id).all()
+    b = dedup.semantic_dedup(df.repartition(11), n_clusters=6, threshold=0.995, n_iter=2).toPandas()
+    key = lambda d: sorted(map(tuple, d[["dup_id", "keep_id", "cell", "cosine"]].values.tolist()))
+    assert key(out) == key(b)
