@@ -3152,6 +3152,77 @@ SELECT dup_id, keep_id, cell, cosine FROM (
 """
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with k-means-TRAINED cells (NEW r05): the inverted
+    file comes from 2 exact integer-grid Lloyd iterations
+    (cluster.kmeans_train) instead of the sampled init, probes stay
+    exact int64 dots, and the float rerank is the shared
+    _exact_rerank tail — so the ENTIRE pipeline replays value-exact in
+    SQL (no planted-recall contract needed, unlike ann_topk_ivf whose
+    oracle is the brute-force answer)."""
+    _ship(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk = similarity.ivf_kmeans_topk(emb, emb, k=3, n_cells=8, nprobe=2, n_iter=2)
+    return topk.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _ivf_kmeans_oracle(
+    k: int = 3, n_cells: int = 8, nprobe: int = 2, n_iter: int = 2, dim: int = 64
+) -> str:
+    """q_ann_ivf_kmeans replay: the trained-centroid CTE prefix
+    (_kmeans_ctes), integer-dot cell windows (top-1 corpus /
+    top-nprobe queries, ties ci ASC), candidate join excluding self,
+    then the repo-standard float rerank (unit vectors, cosine rounded
+    to 8, neighbor_id ASC ties)."""
+    dot = f"list_sum(list_transform(range({dim}), i -> v.u[i+1] * c.u[i+1]))"
+    return f"""
+WITH {_kmeans_ctes(n_cells, n_iter, dim)},
+ccell AS (
+  SELECT vec_id AS neighbor_id, ci AS cell FROM (
+    SELECT v.vec_id, c.ci,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {dot} DESC, c.ci ASC) AS rn
+    FROM u9 v CROSS JOIN c{n_iter} c
+  ) WHERE rn = 1
+),
+qcell AS (
+  SELECT vec_id AS query_id, ci AS cell FROM (
+    SELECT v.vec_id, c.ci,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {dot} DESC, c.ci ASC) AS rn
+    FROM u9 v CROSS JOIN c{n_iter} c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, n.neighbor_id
+  FROM qcell q JOIN ccell n USING (cell)
+  WHERE q.query_id <> n.neighbor_id
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE /
+           sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
+  FROM embeddings
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_sum(list_transform(range({dim}),
+           i -> uq.u[i+1] * un.u[i+1])), 8) AS cosine
+  FROM cand
+  JOIN unit uq ON uq.vec_id = cand.query_id
+  JOIN unit un ON un.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 #: exact SQL replay of q_ann_ivfpq (k=10, n_cells=8, nprobe=3, m=4,
 #: ks=16, refine=8 → 80 candidates; 64-dim embeddings → d_sub=16).
 R05_ORACLE_ANN_IVFPQ = """
@@ -3610,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "embed_kmeans": q_embed_kmeans,
         "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         # --- driver-verified in r04; re-verified as sweep room allows
         "media_avi_frames": q_media_avi_frames,
         "media_g711_decode": q_media_g711_decode,
@@ -4119,6 +4191,7 @@ FROM packed p JOIN (
         "dedup_semantic": R05_ORACLE_DEDUP_SEMANTIC,
         "embed_kmeans": _kmeans_oracle(),
         "dedup_semantic_kmeans": _semantic_kmeans_oracle(),
+        "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "pipeline_pretrain": pretrain_oracle,
         "text_pii": pii_oracle(),
         "text_c4": c4_oracle,

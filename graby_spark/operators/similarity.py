@@ -27,6 +27,7 @@ __all__ = [
     "lsh_signatures",
     "lsh_topk",
     "ivf_topk",
+    "ivf_kmeans_topk",
     "pq_encode",
     "pq_topk",
     "ivfpq_encode",
@@ -301,6 +302,22 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    return _exact_rerank(cand, corpus, queries, id_col, vec_col, k)
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact float-cosine rerank of a (query_id, neighbor_id) candidate
+    set — the shared tail of every bucketed ANN path (IVF sampled or
+    k-means-trained, LSH): JVM-side ``aggregate(zip_with(...))`` dots
+    rounded to 8 decimals, ``(cosine DESC, neighbor_id ASC)`` window,
+    rank <= k.  Candidates-only cost; the corpus is touched once."""
     c = _unit(corpus, id_col, vec_col, "n")
     q = _unit(queries, id_col, vec_col, "q")
     scored = (
@@ -325,6 +342,75 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN with TRAINED cells: the inverted-file partition comes
+    from ``cluster.kmeans_train``'s exact integer-grid Lloyd iterations
+    instead of :func:`ivf_topk`'s md5-sampled init — the refinement that
+    function's docstring promises would "bolt on here".
+
+    Cell assignment happens on the 1e-9 grid: vectors and centroids are
+    ``int64``, the probe dot products are exact integer arithmetic, and
+    top-``nprobe`` selection uses a stable argsort so ties break to the
+    lowest cell id — bitwise-deterministic under any partitioning, which
+    is what lets the WHOLE pipeline (train -> probe -> candidate join ->
+    float rerank) replay value-exact in SQL.  Scale shape is ivf_topk's:
+    probe cost O(|q| * corpus/n_cells * nprobe), corpus shuffled once by
+    cell id, centroids broadcast; training adds n_iter passes that
+    shuffle only k*dim longs per partition (see cluster.py).
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from graby_spark.operators.cluster import _u9_df, kmeans_train
+
+    cents = kmeans_train(corpus, id_col, vec_col, k=n_cells, n_iter=n_iter)
+    cents_bc = corpus.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(n_best: int):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = cents_bc.value  # (n_cells, dim) int64
+            for batch in batches:
+                if len(batch) == 0:
+                    continue
+                mat = np.stack([np.asarray(v, dtype=np.int64) for v in batch["u9"]])
+                dots = mat @ c.T  # exact: |dot| <= 1e18 < 2^63
+                # stable sort on exact integers == (dot DESC, ci ASC)
+                order = np.argsort(-dots, axis=1, kind="stable")[:, :n_best]
+                yield pd.DataFrame(
+                    {
+                        "id": batch["id"].values.repeat(n_best),
+                        "cell": order.astype("int32").ravel(),
+                    }
+                )
+
+        return fn
+
+    schema = StructType(
+        [
+            StructField("id", corpus.schema[id_col].dataType),
+            StructField("cell", IntegerType()),
+        ]
+    )
+    c_cells = _u9_df(corpus, id_col, vec_col).mapInPandas(assign(1), schema)
+    q_cells = _u9_df(queries, id_col, vec_col).mapInPandas(assign(nprobe), schema)
+    cand = (
+        q_cells.select(F.col("id").alias("query_id"), "cell")
+        .join(c_cells.select(F.col("id").alias("neighbor_id"), "cell"), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _exact_rerank(cand, corpus, queries, id_col, vec_col, k)
 
 
 def _pq_codebooks(

@@ -3520,6 +3520,44 @@ def test_kmeans_empty_cell_keeps_centroid(spark):
     assert (out.cosine > 0.999999).all()  # every point sits on a centroid
 
 
+def test_ivf_kmeans_topk_recall_and_partitioning(spark):
+    """Trained-cell IVF: on the clustered fixture, probing nprobe=2 of
+    k-means-trained cells recovers >= 0.9 of exact top-1 neighbors, and
+    the whole pipeline (train -> probe -> rerank) is partitioning-
+    independent thanks to the integer-grid assignment."""
+    df = similarity.make_clustered_embeddings(spark, n=300, dim=32, n_clusters=6, sigma=0.2)
+    exact = similarity.brute_force_topk(df, df, k=1).toPandas()
+    approx = similarity.ivf_kmeans_topk(df, df, k=1, n_cells=6, nprobe=2, n_iter=2).toPandas()
+    truth = dict(zip(exact.query_id, exact.neighbor_id))
+    got = dict(zip(approx.query_id, approx.neighbor_id))
+    hits = sum(1 for q, n in truth.items() if got.get(q) == n)
+    assert hits / len(truth) >= 0.9
+    b = similarity.ivf_kmeans_topk(
+        df.repartition(11), df.repartition(7), k=1, n_cells=6, nprobe=2, n_iter=2
+    ).toPandas()
+    key = lambda d: sorted(
+        map(tuple, d[["query_id", "neighbor_id", "cosine", "rank"]].values.tolist())
+    )
+    assert key(approx) == key(b)
+
+
+def test_ivf_kmeans_topk_planted_twin(spark):
+    """A near-identical planted twin must land in the same trained cell
+    as its source and come back as the exact top-1 neighbor."""
+    base = similarity.make_clustered_embeddings(spark, n=200, dim=32, n_clusters=5, sigma=0.3)
+    src = base.select("vec_id", "embedding").toPandas()
+    v0 = np.asarray(src.loc[src.vec_id == 7, "embedding"].iloc[0], dtype=np.float64)
+    twin = spark.createDataFrame(
+        [(900, (v0 + 0.0005).astype(np.float32).tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = base.select("vec_id", "embedding").unionByName(twin)
+    out = similarity.ivf_kmeans_topk(corpus, twin, k=1, n_cells=5, nprobe=1, n_iter=2).toPandas()
+    assert len(out) == 1
+    assert out.neighbor_id.iloc[0] == 7
+    assert out.cosine.iloc[0] > 0.999
+
+
 def test_semantic_dedup_kmeans_path(spark):
     """n_iter>0 routes cells through the exact k-means; the planted
     near-identical triple is still pruned, the result is partitioning-
