@@ -297,6 +297,16 @@ def main() -> None:
     queries["ann_topk_lsh"] = timed(
         lambda: similarity.lsh_topk(emb, emb.where("vec_id < 50"), k=10).count()
     )
+    # r05 embedding family: exact integer-grid k-means (2 Lloyd passes
+    # over the corpus + final assignment) and SemDeDup over trained cells
+    from graby_spark.operators import cluster
+
+    queries["embed_kmeans"] = timed(
+        lambda: cluster.kmeans_embeddings(emb, k=16, n_iter=2).count()
+    )
+    queries["dedup_semantic"] = timed(
+        lambda: dedup.semantic_dedup(emb, n_clusters=16, threshold=0.4, n_iter=2).count()
+    )
     queries["text_quality"] = timed(lambda: textstats.quality_score(docs).count())
     queries["text_classifier"] = timed(
         lambda: textstats.linear_quality_score(docs).count()
