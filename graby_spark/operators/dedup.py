@@ -1218,6 +1218,7 @@ def semantic_dedup(
     n_clusters: int = 8,
     threshold: float = 0.9,
     n_iter: int = 0,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -1300,6 +1301,24 @@ def semantic_dedup(
         cells = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         ).mapInPandas(assign, schema)
+    if max_cell is not None:
+        # quadratic-blowup guard (the semantic twin of ngram_jaccard's
+        # max_df cap): the within-cell prune below is O(cell^2), so one
+        # hot cell on a skewed corpus is the operator's scale killer.
+        # Counts-only aggregation (map-side combined, <= n_clusters rows
+        # collected); cells is checkpointed so the assignment pass isn't
+        # recomputed for the join.
+        cells = cells.localCheckpoint()
+        hot = cells.groupBy("cell").count().where(F.col("count") > max_cell).collect()
+        if hot:
+            detail = ", ".join(f"cell {r['cell']}={r['count']}" for r in hot)
+            raise ValueError(
+                f"semantic_dedup: {len(hot)} cell(s) exceed max_cell={max_cell} "
+                f"({detail}); the within-cell prune is quadratic per cell. "
+                "Raise n_clusters (SemDeDup scales cluster count with the "
+                "corpus — 50k for LAION), add Lloyd iterations (n_iter) to "
+                "balance cells, or raise max_cell if the blowup is acceptable."
+            )
     unit = _with_norm(df, id_col, vec_col).join(cells, "id")
     a = unit.select(
         F.col("id").alias("dup_id"), F.col("unit").alias("a_unit"), "cell"

@@ -3520,6 +3520,31 @@ def test_kmeans_empty_cell_keeps_centroid(spark):
     assert (out.cosine > 0.999999).all()  # every point sits on a centroid
 
 
+def test_semantic_dedup_max_cell_guard(spark):
+    """The hot-cell guard: a corpus that collapses into one cell trips
+    max_cell with the offending cell named; a balanced corpus passes
+    untouched (result identical to the unguarded run)."""
+    import pytest as _pytest
+
+    hot = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, float(i % 3) * 1e-4]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="exceed max_cell=10"):
+        dedup.semantic_dedup(hot, n_clusters=4, threshold=0.5, max_cell=10)
+    balanced = similarity.make_clustered_embeddings(
+        spark, n=120, dim=32, n_clusters=6, sigma=0.1
+    )
+    guarded = dedup.semantic_dedup(
+        balanced, n_clusters=6, threshold=0.9, n_iter=1, max_cell=60
+    ).toPandas()
+    plain = dedup.semantic_dedup(
+        balanced, n_clusters=6, threshold=0.9, n_iter=1
+    ).toPandas()
+    key = lambda d: sorted(map(tuple, d[["dup_id", "keep_id", "cell", "cosine"]].values.tolist()))
+    assert key(guarded) == key(plain)
+
+
 def test_ivf_kmeans_topk_recall_and_partitioning(spark):
     """Trained-cell IVF: on the clustered fixture, probing nprobe=2 of
     k-means-trained cells recovers >= 0.9 of exact top-1 neighbors, and
