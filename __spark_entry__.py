@@ -3223,6 +3223,143 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q_media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata survey on the correctness gate (queued in PLANS.md
+    r04: 'planted EXIF values are closed-form replayable'): per doc a
+    structurally-valid APP1 TIFF block is spliced into a JPEG by
+    exif.build_exif_jpeg — byte order alternating II/MM so BOTH endian
+    walks sit on the oracle hot path — with orientation/make/model/
+    datetime planted closed-form and a GPS IFD (integer degrees, so the
+    rational-triple round-trip is exact) on every third row.  has_gps is
+    the image-side PII flag, the analog of text_pii."""
+    _ship(spark)
+    from graby_spark.operators import exif
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 9 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_jpeg(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.exif import build_exif_jpeg
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            gps = None
+            if mid % 3 == 0:
+                lat = float(1 + mid % 89) * (1.0 if mid % 2 == 0 else -1.0)
+                lon = float(mid % 179 - 89)
+                gps = (lat, lon)
+            out.append(
+                build_exif_jpeg(
+                    b"\xff\xd8\xff\xd9",
+                    orientation=1 + mid % 8,
+                    make="graby",
+                    model=f"m{mid % 4}",
+                    datetime=f"2024:01:{1 + mid % 28:02d} 00:00:00",
+                    gps=gps,
+                    byte_order="II" if mid % 2 == 0 else "MM",
+                )
+            )
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_jpeg("media_id")
+    )
+    return exif.image_exif(media)
+
+
+#: closed-form replay of q_media_exif's planted APP1 values (the parse
+#: itself is pinned by test_exif_parse_both_byte_orders + the hypothesis
+#: totality property; the oracle checks the planted-value round-trip).
+R05_ORACLE_MEDIA_EXIF = """
+SELECT doc_id AS media_id,
+       CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+       'graby' AS make,
+       'm' || CAST(doc_id % 4 AS VARCHAR) AS model,
+       '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         || ' 00:00:00' AS datetime,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(1 + doc_id % 89 AS DOUBLE)
+                 * (CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END) END AS gps_lat,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(doc_id % 179 - 89 AS DOUBLE) END AS gps_lon,
+       (doc_id % 3 = 0) AS has_gps
+FROM documents WHERE doc_id % 9 = 0
+"""
+
+
+def q_media_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampled video signatures on the correctness gate (the
+    registry slot PLANS.md deferred from r04): per doc a REAL 4-frame
+    animated GIF (identity grayscale palette, 250 ms cadence, pixel
+    values closed-form in (id, frame, row, col)) is synthesized, then
+    video_phash REALLY decodes + composes frames (decode_gif_frames),
+    samples on the 500 ms schedule (frames 0 and 2 — 'always including
+    frame 0' + next_sample accumulation), and aHashes each sampled
+    canvas.  The oracle replays sampling schedule, timestamps AND the
+    full hash computation (8x8 nearest resize, mean threshold,
+    two's-complement packing) in SQL."""
+    _ship(spark)
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 13 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_gif(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.multimodal import encode_gif_anim
+
+        pal = np.array([[v, v, v] for v in range(256)], dtype=np.uint8)
+        r = np.arange(8)[:, None]
+        c = np.arange(16)[None, :]
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            frames = [
+                ((mid % 97 + 60 * f + r * 5 + c * 7) % 256).astype(np.uint8)
+                for f in range(4)
+            ]
+            out.append(encode_gif_anim(frames, pal, delays_ms=[250] * 4))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_gif("media_id")
+    )
+    hashes = multimodal.video_phash(media, every_ms=500, max_frames=2)
+    return hashes.select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        "phash",
+    )
+
+
+#: full replay of q_media_video_phash: the 500ms-over-250ms schedule keeps
+#: frames 0 (ts 0) and 2 (ts 500); each kept frame's aHash samples the
+#: 8x16 canvas at (q//8, 2*(q%8)) — the integer nearest-resize map — and
+#: packs bits two's-complement, same CTE shape as _PHASH_CAND_CTES.
+R05_ORACLE_MEDIA_VIDEO_PHASH = """
+WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 13 = 0),
+fr AS (SELECT id, unnest([0, 2]) AS frame_no FROM ids),
+samp AS (
+  SELECT id, frame_no,
+    list_transform(range(64), q ->
+      CAST((id % 97 + 60 * frame_no + (q // 8) * 5 + ((q % 8) * 2) * 7) % 256
+           AS DOUBLE)) AS s
+  FROM fr
+)
+SELECT id AS media_id,
+       CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(frame_no * 250 AS BIGINT) AS ts_ms,
+       CAST(list_aggregate(list_transform(range(63), q ->
+         CASE WHEN s[CAST(q + 1 AS INTEGER)] > list_aggregate(s, 'avg')
+              THEN (1::BIGINT << CAST(q AS INTEGER)) ELSE 0 END), 'sum')
+       AS BIGINT)
+       + CASE WHEN s[64] > list_aggregate(s, 'avg')
+              THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END AS phash
+FROM samp
+"""
+
+
 #: exact SQL replay of q_ann_ivfpq (k=10, n_cells=8, nprobe=3, m=4,
 #: ks=16, refine=8 → 80 candidates; 64-dim embeddings → d_sub=16).
 R05_ORACLE_ANN_IVFPQ = """
@@ -3682,6 +3819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans": q_embed_kmeans,
         "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "media_exif": q_media_exif,
+        "media_video_phash": q_media_video_phash,
         # --- driver-verified in r04; re-verified as sweep room allows
         "media_avi_frames": q_media_avi_frames,
         "media_g711_decode": q_media_g711_decode,
@@ -4192,6 +4331,8 @@ FROM packed p JOIN (
         "embed_kmeans": _kmeans_oracle(),
         "dedup_semantic_kmeans": _semantic_kmeans_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
+        "media_exif": R05_ORACLE_MEDIA_EXIF,
+        "media_video_phash": R05_ORACLE_MEDIA_VIDEO_PHASH,
         "pipeline_pretrain": pretrain_oracle,
         "text_pii": pii_oracle(),
         "text_c4": c4_oracle,
