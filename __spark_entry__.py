@@ -3288,6 +3288,66 @@ FROM documents WHERE doc_id % 9 = 0
 """
 
 
+def q_media_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS-scrub round-trip on the correctness gate: the SAME planted
+    corpus as media_exif goes through exif.exif_scrub (allowlist APP1
+    rebuild — GPS and any non-allowlisted tag cannot survive) and is
+    re-surveyed with image_exif.  The oracle is media_exif's closed form
+    with gps_lat/gps_lon NULL and has_gps false on EVERY row while
+    orientation/make/model/datetime are unchanged — i.e. the oracle
+    proves the scrub removed exactly the PII and nothing else."""
+    _ship(spark)
+    from graby_spark.operators import exif
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 9 = 0")
+
+    @F.pandas_udf("binary")
+    def gen_jpeg(ids: pd.Series) -> pd.Series:
+        from graby_spark.operators.exif import build_exif_jpeg
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            gps = None
+            if mid % 3 == 0:
+                lat = float(1 + mid % 89) * (1.0 if mid % 2 == 0 else -1.0)
+                lon = float(mid % 179 - 89)
+                gps = (lat, lon)
+            out.append(
+                build_exif_jpeg(
+                    b"\xff\xd8\xff\xd9",
+                    orientation=1 + mid % 8,
+                    make="graby",
+                    model=f"m{mid % 4}",
+                    datetime=f"2024:01:{1 + mid % 28:02d} 00:00:00",
+                    gps=gps,
+                    byte_order="II" if mid % 2 == 0 else "MM",
+                )
+            )
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id")).withColumn(
+        "payload", gen_jpeg("media_id")
+    )
+    return exif.image_exif(exif.exif_scrub(media))
+
+
+#: media_exif's closed form with the GPS columns forced NULL/false —
+#: what a correct scrub must produce from the identical planted corpus.
+R05_ORACLE_MEDIA_EXIF_SCRUB = """
+SELECT doc_id AS media_id,
+       CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+       'graby' AS make,
+       'm' || CAST(doc_id % 4 AS VARCHAR) AS model,
+       '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         || ' 00:00:00' AS datetime,
+       CAST(NULL AS DOUBLE) AS gps_lat,
+       CAST(NULL AS DOUBLE) AS gps_lon,
+       FALSE AS has_gps
+FROM documents WHERE doc_id % 9 = 0
+"""
+
+
 def q_media_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampled video signatures on the correctness gate (the
     registry slot PLANS.md deferred from r04): per doc a REAL 4-frame
@@ -3820,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "media_exif": q_media_exif,
+        "media_exif_scrub": q_media_exif_scrub,
         "media_video_phash": q_media_video_phash,
         # --- driver-verified in r04; re-verified as sweep room allows
         "media_avi_frames": q_media_avi_frames,
@@ -4332,6 +4393,7 @@ FROM packed p JOIN (
         "dedup_semantic_kmeans": _semantic_kmeans_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "media_exif": R05_ORACLE_MEDIA_EXIF,
+        "media_exif_scrub": R05_ORACLE_MEDIA_EXIF_SCRUB,
         "media_video_phash": R05_ORACLE_MEDIA_VIDEO_PHASH,
         "pipeline_pretrain": pretrain_oracle,
         "text_pii": pii_oracle(),

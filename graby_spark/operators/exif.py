@@ -43,7 +43,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["parse_exif", "build_exif_jpeg", "image_exif", "EXIF_SCHEMA"]
+__all__ = [
+    "parse_exif",
+    "build_exif_jpeg",
+    "image_exif",
+    "scrub_exif",
+    "exif_scrub",
+    "EXIF_SCHEMA",
+]
 
 EXIF_SCHEMA = StructType(
     [
@@ -271,6 +278,80 @@ def build_exif_jpeg(
     if jpeg[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     return jpeg[0:2] + seg + jpeg[2:]
+
+
+def scrub_exif(data: bytes) -> bytes:
+    """Privacy scrub for JPEG payloads — the image-side analog of
+    ``pii.pii_scrub``'s redaction: GPS coordinates (and anything else
+    non-allowlisted in the EXIF block) are removed while the fields a
+    training pipeline legitimately needs survive.
+
+    Allowlist REBUILD, not tag deletion: every APP1 ``Exif`` segment is
+    stripped from the stream, then a fresh one is spliced back carrying
+    ONLY orientation/make/model/datetime read from the original — so
+    unknown or future PII tags (GPS, serial numbers, owner name,
+    MakerNotes) cannot leak by omission from a blocklist.  Absent safe
+    fields rebuild as defaults (orientation 1, empty strings); output
+    byte order is normalized to II.  Non-JPEG bytes pass through
+    unchanged; the operation is idempotent after the first pass."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return data
+    meta = parse_exif(data)
+    out = bytearray(data[0:2])
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            break
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            out += data[i : i + 2]
+            i += 2
+            continue
+        if marker == 0xDA:  # start of scan: entropy data copies verbatim
+            break
+        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        if not (marker == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00"):
+            out += data[i : i + 2 + seg_len]
+        i += 2 + seg_len
+    out += data[i:]
+    stripped = bytes(out)
+    if any(meta[k] is not None for k in ("orientation", "make", "model", "datetime")):
+        stripped = build_exif_jpeg(
+            stripped,
+            orientation=meta["orientation"] or 1,
+            make=meta["make"] or "",
+            model=meta["model"] or "",
+            datetime=meta["datetime"] or "",
+            gps=None,
+        )
+    return stripped
+
+
+def exif_scrub(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Spark stage over :func:`scrub_exif`: (media_id, payload) with
+    GPS-free payloads.  Same scale shape as :func:`image_exif` — one
+    Arrow-batched map pass, no shuffle; pre-route on mime so only JPEG
+    rows pay the payload transfer."""
+    src = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", df.schema[payload_col].dataType),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                out.append(
+                    {"media_id": mid, "payload": scrub_exif(bytes(payload or b""))}
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return src.mapInPandas(fn, schema)
 
 
 def image_exif(

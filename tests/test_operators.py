@@ -2819,6 +2819,49 @@ def test_exif_parse_both_byte_orders(spark):
     assert rows[2]["orientation"] == 3 and rows[3]["orientation"] is None
 
 
+def test_exif_scrub_gps_removed_pixels_intact(spark):
+    """scrub_exif (allowlist APP1 rebuild): GPS gone in BOTH byte
+    orders, safe fields preserved, pixels bit-identical, idempotent;
+    EXIF-less and non-JPEG payloads pass through unchanged; the Spark
+    stage round-trips through image_exif with has_gps false."""
+    import numpy as np
+
+    from graby_spark.operators import exif
+    from graby_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    base = encode_jpeg(np.full((16, 24), 100, dtype=np.uint8))
+    for bo in ("II", "MM"):
+        j = exif.build_exif_jpeg(
+            base,
+            orientation=6,
+            make="TestCam",
+            model="X100",
+            datetime="2023:05:04 12:00:01",
+            gps=(48.8566, -2.3522),
+            byte_order=bo,
+        )
+        s = exif.scrub_exif(j)
+        m = exif.parse_exif(s)
+        assert m["gps_lat"] is None and m["gps_lon"] is None
+        assert m["orientation"] == 6 and m["make"] == "TestCam"
+        assert m["model"] == "X100" and m["datetime"] == "2023:05:04 12:00:01"
+        assert (decode_jpeg(s) == decode_jpeg(j)).all()
+        assert exif.scrub_exif(s) == s  # idempotent after the first pass
+    assert exif.scrub_exif(base) == base  # no EXIF: byte-identical
+    assert exif.scrub_exif(b"GIF89a junk") == b"GIF89a junk"  # non-JPEG
+
+    withgps = exif.build_exif_jpeg(base, orientation=3, gps=(1.5, 2.5))
+    df = spark.createDataFrame(
+        [(1, bytearray(withgps)), (2, bytearray(base))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r for r in exif.image_exif(exif.exif_scrub(df)).collect()
+    }
+    assert not rows[1]["has_gps"] and rows[1]["orientation"] == 3
+    assert not rows[2]["has_gps"] and rows[2]["orientation"] is None
+
+
 def test_ima_adpcm_wav_decode():
     """IMA ADPCM (WAV format 17): decoder state machine pinned by
     hand-computed vectors from the published algorithm, and the full
