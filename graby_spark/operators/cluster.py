@@ -24,7 +24,16 @@ once by a pure map stage (broadcast k x dim int64 centroids, Arrow
 batches, numpy integer matmul) followed by ONE aggregation keyed by
 cell id whose map-side partials reduce each partition to at most
 k rows of dim longs — the shuffle moves O(k * dim * partitions)
-longs, never the corpus.  The driver round-trip per iteration is
+longs, never the corpus.
+
+Honest scale boundary: the per-cell component sums are int64, so a
+single cell overflows once rows_in_cell * max|component| exceeds
+2^63 ~ 9.2e18.  max|component| is 1e9 only for an axis-aligned unit
+vector; typical magnitude is 1e9/sqrt(dim) (~1.25e8 at dim 64),
+giving ~7e10 rows per cell headroom — two orders above any sane
+cell at trillion-row scale with SemDeDup-sized k (50k+), and the
+remedy for a pathological mono-cell corpus is more clusters, the
+same lever semantic_dedup's max_cell guard already points at.  The driver round-trip per iteration is
 k rows (same bounded pattern as bpe.py's merge loop); k for SemDeDup
 grows with the corpus (the paper uses 50k for LAION) but stays a
 broadcast-sized table.  Reference (j0k3r/graby) has no embedding

@@ -286,11 +286,15 @@ def scrub_exif(data: bytes) -> bytes:
     non-allowlisted in the EXIF block) are removed while the fields a
     training pipeline legitimately needs survive.
 
-    Allowlist REBUILD, not tag deletion: every APP1 ``Exif`` segment is
-    stripped from the stream, then a fresh one is spliced back carrying
-    ONLY orientation/make/model/datetime read from the original — so
-    unknown or future PII tags (GPS, serial numbers, owner name,
-    MakerNotes) cannot leak by omission from a blocklist.  Absent safe
+    Allowlist REBUILD, not tag deletion: every metadata-bearing app
+    segment — APP1 whether ``Exif`` or XMP (XMP carries GPS too) and
+    APP13 (Photoshop/IPTC, which carries location strings) — is
+    stripped from the stream, then a fresh APP1 is spliced back
+    carrying ONLY orientation/make/model/datetime read from the
+    original — so unknown or future PII tags (GPS, serial numbers,
+    owner name, MakerNotes, XMP location) cannot leak by omission from
+    a blocklist.  Segments a decoder needs (APP0 JFIF, APP2 ICC, APP14
+    Adobe color transform, DQT/DHT/SOF) are untouched.  Absent safe
     fields rebuild as defaults (orientation 1, empty strings); output
     byte order is normalized to II.  Non-JPEG bytes pass through
     unchanged; the operation is idempotent after the first pass."""
@@ -310,7 +314,7 @@ def scrub_exif(data: bytes) -> bytes:
         if marker == 0xDA:  # start of scan: entropy data copies verbatim
             break
         seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
-        if not (marker == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00"):
+        if not (marker == 0xE1 or marker == 0xED):
             out += data[i : i + 2 + seg_len]
         i += 2 + seg_len
     out += data[i:]

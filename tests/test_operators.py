@@ -2850,6 +2850,22 @@ def test_exif_scrub_gps_removed_pixels_intact(spark):
     assert exif.scrub_exif(base) == base  # no EXIF: byte-identical
     assert exif.scrub_exif(b"GIF89a junk") == b"GIF89a junk"  # non-JPEG
 
+    # XMP (APP1 without Exif header) and Photoshop/IPTC (APP13) also
+    # carry GPS/location — the allowlist rebuild must drop them too
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00<x:xmpmeta GPSLatitude=48.85/>"
+    app13 = b"Photoshop 3.0\x008BIM city=Paris"
+    tagged = (
+        base[:2]
+        + b"\xff\xe1" + (len(xmp) + 2).to_bytes(2, "big") + xmp
+        + b"\xff\xed" + (len(app13) + 2).to_bytes(2, "big") + app13
+        + base[2:]
+    )
+    s2 = exif.scrub_exif(exif.build_exif_jpeg(tagged, orientation=5, gps=(1.0, 2.0)))
+    assert b"GPSLatitude" not in s2 and b"8BIM" not in s2
+    m2 = exif.parse_exif(s2)
+    assert m2["gps_lat"] is None and m2["orientation"] == 5
+    assert (decode_jpeg(s2) == decode_jpeg(base)).all()
+
     withgps = exif.build_exif_jpeg(base, orientation=3, gps=(1.5, 2.5))
     df = spark.createDataFrame(
         [(1, bytearray(withgps)), (2, bytearray(base))],
