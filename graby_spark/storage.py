@@ -131,7 +131,9 @@ def key_skew_stats(
     Scale shape: one partial-aggregated shuffle on the key (counts only,
     no payload), then a single-row global aggregate.  Percentile is
     exact here for oracle comparability; swap ``percentile_approx`` in
-    at trillion-key scale.
+    at trillion-key scale.  ``top_key`` ties (two keys sharing the max
+    count) resolve arbitrarily — it's a diagnostic label; every numeric
+    column is tie-free by construction.
     """
     spark = df.sparkSession
     if n_partitions is None:
