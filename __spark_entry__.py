@@ -3223,6 +3223,106 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 ANN (NEW r05): FAISS's ``IVF,SQ8`` shape completing the
+    index family — k-means-trained cells + per-vector int8 scalar
+    quantization.  The approximate score q_scale·n_scale·intdot(codes)
+    is zero-Python JVM codegen (unlike PQ's ADC) and its only floats
+    are two IEEE multiplications — bitwise-identical in DuckDB — so
+    train → probe → int8 scan → cut → exact rerank replays value-exact
+    in SQL."""
+    _ship(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk = similarity.ivf_sq8_topk(
+        emb, emb, k=3, n_cells=8, nprobe=2, n_iter=2, refine=8
+    )
+    return topk.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _ivf_sq8_oracle(
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 2,
+    refine: int = 8,
+    dim: int = 64,
+) -> str:
+    """q_ann_ivf_sq8 replay: trained-centroid prefix (_kmeans_ctes),
+    integer-dot cell windows, SQ8 encode of the float unit vectors
+    (scale = max|u|/127, floor(u/scale + 0.5) — the shared grid-snap
+    rounding), int64 code dot × the two scales, refine·k candidate cut,
+    then the repo-standard float rerank."""
+    dot = f"list_sum(list_transform(range({dim}), i -> v.u[i+1] * c.u[i+1]))"
+    return f"""
+WITH {_kmeans_ctes(n_cells, n_iter, dim)},
+ccell AS (
+  SELECT vec_id AS neighbor_id, ci AS cell FROM (
+    SELECT v.vec_id, c.ci,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {dot} DESC, c.ci ASC) AS rn
+    FROM u9 v CROSS JOIN c{n_iter} c
+  ) WHERE rn = 1
+),
+qcell AS (
+  SELECT vec_id AS query_id, ci AS cell FROM (
+    SELECT v.vec_id, c.ci,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {dot} DESC, c.ci ASC) AS rn
+    FROM u9 v CROSS JOIN c{n_iter} c
+  ) WHERE rn <= {nprobe}
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE /
+           sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
+  FROM embeddings
+),
+sq8 AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(u, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+              ELSE list_transform(u, x -> CAST(0 AS BIGINT)) END AS codes
+  FROM (SELECT vec_id, u,
+               list_max(list_transform(u, x -> abs(x))) / 127.0 AS scale
+        FROM unit)
+),
+scored AS (
+  SELECT q.query_id, n.neighbor_id,
+         sq.scale * sn.scale
+           * list_sum(list_transform(range({dim}),
+               i -> sq.codes[i+1] * sn.codes[i+1])) AS approx
+  FROM qcell q JOIN ccell n USING (cell)
+  JOIN sq8 sq ON sq.vec_id = q.query_id
+  JOIN sq8 sn ON sn.vec_id = n.neighbor_id
+  WHERE q.query_id <> n.neighbor_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx DESC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {refine * k}
+),
+rer AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_sum(list_transform(range({dim}),
+           i -> uq.u[i+1] * un.u[i+1])), 8) AS cosine
+  FROM cand
+  JOIN unit uq ON uq.vec_id = cand.query_id
+  JOIN unit un ON un.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rer
+) WHERE rank <= {k}
+"""
+
+
 def q_media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF metadata survey on the correctness gate (queued in PLANS.md
     r04: 'planted EXIF values are closed-form replayable'): per doc a
@@ -3879,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans": q_embed_kmeans,
         "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "ann_ivf_sq8": q_ann_ivf_sq8,
         "media_exif": q_media_exif,
         "media_exif_scrub": q_media_exif_scrub,
         "media_video_phash": q_media_video_phash,
@@ -4392,6 +4493,7 @@ FROM packed p JOIN (
         "embed_kmeans": _kmeans_oracle(),
         "dedup_semantic_kmeans": _semantic_kmeans_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
+        "ann_ivf_sq8": _ivf_sq8_oracle(),
         "media_exif": R05_ORACLE_MEDIA_EXIF,
         "media_exif_scrub": R05_ORACLE_MEDIA_EXIF_SCRUB,
         "media_video_phash": R05_ORACLE_MEDIA_VIDEO_PHASH,

@@ -28,6 +28,8 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "ivf_kmeans_topk",
+    "sq8_encode",
+    "ivf_sq8_topk",
     "pq_encode",
     "pq_topk",
     "ivfpq_encode",
@@ -636,6 +638,143 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def sq8_encode(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization of the UNIT vector
+    — FAISS's SQ8 storage baseline (4x smaller than float32, the first
+    compression step before PQ): ``scale = max|u_i| / 127``,
+    ``code_i = floor(u_i / scale + 0.5)`` in [-127, 127] (the repo's
+    grid-snap rounding convention, identical in DuckDB — numpy's
+    banker's rounding is deliberately NOT used).
+
+    Returns (id, scale double, codes array<int>).  Entirely JVM-side
+    expressions — the payload never crosses into Python — so encode is
+    whole-stage-codegen over the corpus scan.  A zero vector encodes as
+    scale 0 / all-zero codes."""
+    vec_d = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0).cast("double"), lambda a, v: a + v * v))
+    u = F.transform(vec_d, lambda v: v / norm)
+    scale = F.array_max(F.transform(u, lambda v: F.abs(v))) / F.lit(127.0)
+    return df.select(
+        F.col(id_col).alias("id"),
+        scale.alias("scale"),
+        F.when(
+            scale > 0,
+            F.transform(u, lambda v: F.floor(v / scale + F.lit(0.5)).cast("int")),
+        )
+        .otherwise(F.transform(u, lambda v: F.lit(0)))
+        .alias("codes"),
+    )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 2,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-SQ8 ANN — the FAISS ``IVF,SQ8`` index shape, completing the
+    family next to IVF-flat (:func:`ivf_kmeans_topk`) and IVF-PQ
+    (:func:`ivfpq_topk`): k-means-trained cells bound WHICH codes a
+    query scans, per-vector int8 scalar quantization bounds WHAT is
+    scanned per row (dim bytes + one scale), and the approximate score
+    factors as
+
+        q·n  ≈  q_scale · n_scale · Σ_i cq_i · cn_i
+
+    where the Σ is an INTEGER dot of int8 codes (|Σ| ≤ dim · 127² —
+    exact in int64), so unlike PQ's ADC the whole scan is JVM-side
+    whole-stage codegen: zero Python, zero broadcast LUTs, and the two
+    IEEE multiplications are bitwise-identical in any engine — the
+    entire pipeline (train → probe → int8 scan → candidate cut → exact
+    rerank) replays value-exact in SQL.
+
+    Scale shape: train touches the corpus n_iter times (cluster.py's
+    bounded-shuffle Lloyd), encode + assignment are map stages, the
+    scan joins codes on cell id (partition-pruning key at scale), one
+    window cuts refine·k candidates, and only candidates pay the exact
+    float rerank (:func:`_exact_rerank`)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from graby_spark.operators.cluster import _u9_df, kmeans_train
+
+    cents = kmeans_train(corpus, id_col, vec_col, k=n_cells, n_iter=n_iter)
+    cents_bc = corpus.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(n_best: int):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = cents_bc.value
+            for batch in batches:
+                if len(batch) == 0:
+                    continue
+                mat = np.stack([np.asarray(v, dtype=np.int64) for v in batch["u9"]])
+                dots = mat @ c.T
+                order = np.argsort(-dots, axis=1, kind="stable")[:, :n_best]
+                yield pd.DataFrame(
+                    {
+                        "id": batch["id"].values.repeat(n_best),
+                        "cell": order.astype("int32").ravel(),
+                    }
+                )
+
+        return fn
+
+    schema = StructType(
+        [
+            StructField("id", corpus.schema[id_col].dataType),
+            StructField("cell", IntegerType()),
+        ]
+    )
+    c_cells = _u9_df(corpus, id_col, vec_col).mapInPandas(assign(1), schema)
+    q_cells = _u9_df(queries, id_col, vec_col).mapInPandas(assign(nprobe), schema)
+    c_codes = sq8_encode(corpus, id_col, vec_col).join(c_cells, "id")
+    q_codes = sq8_encode(queries, id_col, vec_col).join(q_cells, "id")
+
+    intdot = F.aggregate(
+        F.zip_with("q_codes", "n_codes", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q_codes.select(
+            F.col("id").alias("query_id"),
+            F.col("scale").alias("q_scale"),
+            F.col("codes").alias("q_codes"),
+            "cell",
+        )
+        .join(
+            c_codes.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("scale").alias("n_scale"),
+                F.col("codes").alias("n_codes"),
+                "cell",
+            ),
+            "cell",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            # each corpus vector lives in exactly ONE cell (assign(1)),
+            # so a (query, neighbor) pair joins at most once — no dedup
+            (F.col("q_scale") * F.col("n_scale") * intdot).alias("approx"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(cand, corpus, queries, id_col, vec_col, k)
 
 
 def _md5_ordered_sample(

@@ -3642,6 +3642,49 @@ def test_ivf_kmeans_topk_planted_twin(spark):
     assert out.cosine.iloc[0] > 0.999
 
 
+def test_ivf_sq8_topk_recall_and_partitioning(spark):
+    """IVF-SQ8: the int8 scan recovers >= 0.9 of exact top-1 neighbors
+    on the clustered fixture (the exact rerank repairs quantization
+    error inside the candidate set), and the whole pipeline is
+    partitioning-independent (integer cells + the two-IEEE-mult approx
+    score admit no summation-order freedom)."""
+    df = similarity.make_clustered_embeddings(spark, n=300, dim=32, n_clusters=6, sigma=0.2)
+    exact = similarity.brute_force_topk(df, df, k=1).toPandas()
+    approx = similarity.ivf_sq8_topk(
+        df, df, k=1, n_cells=6, nprobe=2, n_iter=2, refine=8
+    ).toPandas()
+    truth = dict(zip(exact.query_id, exact.neighbor_id))
+    got = dict(zip(approx.query_id, approx.neighbor_id))
+    hits = sum(1 for q, n in truth.items() if got.get(q) == n)
+    assert hits / len(truth) >= 0.9
+    b = similarity.ivf_sq8_topk(
+        df.repartition(11), df.repartition(7), k=1, n_cells=6, nprobe=2, n_iter=2, refine=8
+    ).toPandas()
+    key = lambda d: sorted(
+        map(tuple, d[["query_id", "neighbor_id", "cosine", "rank"]].values.tolist())
+    )
+    assert key(approx) == key(b)
+
+
+def test_sq8_encode_bounds_and_roundtrip(spark):
+    """sq8_encode: codes bounded to [-127, 127], the max-|component|
+    coordinate hits exactly ±127, and decoding (scale * code) recovers
+    every unit-vector component within half a quantization step."""
+    import numpy as np
+
+    df = similarity.make_clustered_embeddings(spark, n=50, dim=16, n_clusters=4, sigma=0.5)
+    rows = similarity.sq8_encode(df).collect()
+    src = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in
+           df.select("vec_id", "embedding").collect()}
+    assert len(rows) == 50
+    for r in rows:
+        codes = np.asarray(r.codes)
+        assert codes.min() >= -127 and codes.max() <= 127
+        assert np.abs(codes).max() == 127  # the max component saturates
+        u = src[r.id] / np.linalg.norm(src[r.id])
+        assert np.abs(codes * r.scale - u).max() <= r.scale / 2 + 1e-12
+
+
 def test_semantic_dedup_kmeans_path(spark):
     """n_iter>0 routes cells through the exact k-means; the planted
     near-identical triple is still pruned, the result is partitioning-
