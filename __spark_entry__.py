@@ -3250,10 +3250,11 @@ def _ivf_sq8_oracle(
     dim: int = 64,
 ) -> str:
     """q_ann_ivf_sq8 replay: trained-centroid prefix (_kmeans_ctes),
-    integer-dot cell windows, SQ8 encode of the float unit vectors
-    (scale = max|u|/127, floor(u/scale + 0.5) — the shared grid-snap
-    rounding), int64 code dot × the two scales, refine·k candidate cut,
-    then the repo-standard float rerank."""
+    integer-dot cell windows, SQ8 encode of the GRID-SNAPPED unit
+    vectors (sc9 = max|u9|/127, code = floor(u9/sc9 + 0.5), score
+    scale = sc9/1e9 — the kernel's exact op sequence), int64 code dot
+    × the two scales, refine·k candidate cut, then the repo-standard
+    float rerank."""
     dot = f"list_sum(list_transform(range({dim}), i -> v.u[i+1] * c.u[i+1]))"
     return f"""
 WITH {_kmeans_ctes(n_cells, n_iter, dim)},
@@ -3280,13 +3281,14 @@ unit AS (
   FROM embeddings
 ),
 sq8 AS (
-  SELECT vec_id, scale,
-         CASE WHEN scale > 0
-              THEN list_transform(u, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+  SELECT vec_id,
+         CASE WHEN mx > 0 THEN mx / 127.0 / 1000000000.0 ELSE 0.0 END AS scale,
+         CASE WHEN mx > 0
+              THEN list_transform(u, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT))
               ELSE list_transform(u, x -> CAST(0 AS BIGINT)) END AS codes
   FROM (SELECT vec_id, u,
-               list_max(list_transform(u, x -> abs(x))) / 127.0 AS scale
-        FROM unit)
+               list_max(list_transform(u, x -> abs(x))) AS mx
+        FROM u9)
 ),
 scored AS (
   SELECT q.query_id, n.neighbor_id,

@@ -307,6 +307,18 @@ def main() -> None:
     queries["dedup_semantic"] = timed(
         lambda: dedup.semantic_dedup(emb, n_clusters=16, threshold=0.4, n_iter=2).count()
     )
+    # compressed-index ANN scans (corpus as its own query set): residual
+    # PQ's Arrow ADC vs SQ8's zero-Python JVM int-dot over trained cells
+    queries["ann_ivfpq"] = timed(
+        lambda: similarity.ivfpq_topk(
+            emb, emb.where("vec_id < 50"), k=10, n_cells=16, nprobe=3
+        ).count()
+    )
+    queries["ann_ivf_sq8"] = timed(
+        lambda: similarity.ivf_sq8_topk(
+            emb, emb.where("vec_id < 50"), k=10, n_cells=16, nprobe=2, n_iter=2
+        ).count()
+    )
     queries["text_quality"] = timed(lambda: textstats.quality_score(docs).count())
     queries["text_classifier"] = timed(
         lambda: textstats.linear_quality_score(docs).count()

@@ -373,7 +373,7 @@ def ivf_kmeans_topk(
     """
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    from graby_spark.operators.cluster import _u9_df, kmeans_train
+    from graby_spark.operators.cluster import _src_df, _u9_batch, kmeans_train
 
     cents = kmeans_train(corpus, id_col, vec_col, k=n_cells, n_iter=n_iter)
     cents_bc = corpus.sparkSession.sparkContext.broadcast(cents)
@@ -384,7 +384,7 @@ def ivf_kmeans_topk(
             for batch in batches:
                 if len(batch) == 0:
                     continue
-                mat = np.stack([np.asarray(v, dtype=np.int64) for v in batch["u9"]])
+                mat = _u9_batch(batch["vec"])
                 dots = mat @ c.T  # exact: |dot| <= 1e18 < 2^63
                 # stable sort on exact integers == (dot DESC, ci ASC)
                 order = np.argsort(-dots, axis=1, kind="stable")[:, :n_best]
@@ -403,8 +403,8 @@ def ivf_kmeans_topk(
             StructField("cell", IntegerType()),
         ]
     )
-    c_cells = _u9_df(corpus, id_col, vec_col).mapInPandas(assign(1), schema)
-    q_cells = _u9_df(queries, id_col, vec_col).mapInPandas(assign(nprobe), schema)
+    c_cells = _src_df(corpus, id_col, vec_col).mapInPandas(assign(1), schema)
+    q_cells = _src_df(queries, id_col, vec_col).mapInPandas(assign(nprobe), schema)
     cand = (
         q_cells.select(F.col("id").alias("query_id"), "cell")
         .join(c_cells.select(F.col("id").alias("neighbor_id"), "cell"), "cell")
@@ -691,20 +691,33 @@ def ivf_sq8_topk(
         q·n  ≈  q_scale · n_scale · Σ_i cq_i · cn_i
 
     where the Σ is an INTEGER dot of int8 codes (|Σ| ≤ dim · 127² —
-    exact in int64), so unlike PQ's ADC the whole scan is JVM-side
+    exact in int64), so unlike PQ's ADC the SCAN is JVM-side
     whole-stage codegen: zero Python, zero broadcast LUTs, and the two
     IEEE multiplications are bitwise-identical in any engine — the
     entire pipeline (train → probe → int8 scan → candidate cut → exact
-    rerank) replays value-exact in SQL.
+    rerank) replays value-exact in SQL.  This variant quantizes the
+    GRID-SNAPPED unit vector (u9/1e9, one extra 1e-9 rounding vs
+    :func:`sq8_encode`'s float path) so codes/scales derive from the
+    same u9 table the k-means oracle already replays.
 
     Scale shape: train touches the corpus n_iter times (cluster.py's
-    bounded-shuffle Lloyd), encode + assignment are map stages, the
-    scan joins codes on cell id (partition-pruning key at scale), one
+    bounded-shuffle Lloyd); ONE map pass per side emits cell + scale +
+    codes (encode rides the assignment kernel — the Arrow boundary
+    also materializes the codes, which matters: leaving encode as JVM
+    HOF expressions lets Catalyst collapse them through the joins and
+    recompute codes per candidate PAIR, measured 25x slower); the scan
+    joins codes on cell id (partition-pruning key at scale), one
     window cuts refine·k candidates, and only candidates pay the exact
     float rerank (:func:`_exact_rerank`)."""
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
-    from graby_spark.operators.cluster import _u9_df, kmeans_train
+    from graby_spark.operators.cluster import _src_df, _u9_batch, kmeans_train
 
     cents = kmeans_train(corpus, id_col, vec_col, k=n_cells, n_iter=n_iter)
     cents_bc = corpus.sparkSession.sparkContext.broadcast(cents)
@@ -715,13 +728,20 @@ def ivf_sq8_topk(
             for batch in batches:
                 if len(batch) == 0:
                     continue
-                mat = np.stack([np.asarray(v, dtype=np.int64) for v in batch["u9"]])
-                dots = mat @ c.T
+                u9 = _u9_batch(batch["vec"])
+                dots = u9 @ c.T
                 order = np.argsort(-dots, axis=1, kind="stable")[:, :n_best]
+                mx = np.abs(u9).max(axis=1)
+                sc9 = np.where(mx > 0, mx / 127.0, 1.0)
+                codes = np.floor(u9 / sc9[:, None] + 0.5).astype(np.int32)
+                scale = np.where(mx > 0, sc9 / 1e9, 0.0)
+                idx = np.arange(len(u9)).repeat(n_best)
                 yield pd.DataFrame(
                     {
                         "id": batch["id"].values.repeat(n_best),
                         "cell": order.astype("int32").ravel(),
+                        "scale": scale[idx],
+                        "codes": [codes[i] for i in idx],
                     }
                 )
 
@@ -731,12 +751,12 @@ def ivf_sq8_topk(
         [
             StructField("id", corpus.schema[id_col].dataType),
             StructField("cell", IntegerType()),
+            StructField("scale", DoubleType()),
+            StructField("codes", ArrayType(IntegerType())),
         ]
     )
-    c_cells = _u9_df(corpus, id_col, vec_col).mapInPandas(assign(1), schema)
-    q_cells = _u9_df(queries, id_col, vec_col).mapInPandas(assign(nprobe), schema)
-    c_codes = sq8_encode(corpus, id_col, vec_col).join(c_cells, "id")
-    q_codes = sq8_encode(queries, id_col, vec_col).join(q_cells, "id")
+    c_codes = _src_df(corpus, id_col, vec_col).mapInPandas(assign(1), schema)
+    q_codes = _src_df(queries, id_col, vec_col).mapInPandas(assign(nprobe), schema)
 
     intdot = F.aggregate(
         F.zip_with("q_codes", "n_codes", lambda x, y: (x * y).cast("long")),
