@@ -80,28 +80,43 @@ def _src_df(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 
 
-def _assign_fn(cents_bc, with_vec: bool):
-    """mapInPandas kernel: grid snap (:func:`_u9_batch`) + integer
-    argmax assignment.  np.argmax picks the FIRST maximum, i.e. the
-    lowest cell index on exact-integer ties — the oracle's
-    ``dot DESC, ci ASC`` window order."""
+def _train_partials_fn(cents_bc, dim: int):
+    """mapInPandas kernel for one Lloyd pass with IN-KERNEL partial
+    aggregation (guide §2.3 "aggregate before you shuffle"): grid snap
+    (:func:`_u9_batch`), integer argmax assignment (np.argmax picks the
+    FIRST maximum, i.e. the lowest cell index on exact-integer ties —
+    the oracle's ``dot DESC, ci ASC`` window order), then the per-cell
+    component sums accumulate across every batch of the task and at
+    most ``k`` rows of ``(cell, s0..s{dim-1}, cnt)`` leave the task.
+
+    Exactness: the sums are int64 adds — associative, commutative and
+    overflow-bounded by the same headroom argument as the module
+    docstring — so the totals the JVM aggregation collects are bitwise
+    identical to summing per-row emissions; what changes is only that
+    O(rows) (id, cell, dot, u9) records no longer cross the Arrow
+    boundary or the shuffle (measured r06: the per-row plan shipped the
+    dim-long u9 array per input row and evaluated dim ``element_at``
+    aggregates per row JVM-side)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = cents_bc.value  # (k, dim) int64
+        k = c.shape[0]
+        acc = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
         for batch in batches:
             if len(batch) == 0:
                 continue
             mat = _u9_batch(batch["vec"])
             dots = mat @ c.T  # exact: |partial sums| <= 1e18 < 2^63
             cell = np.argmax(dots, axis=1)
-            out = {
-                "id": batch["id"].values,
-                "cell": cell.astype("int32"),
-                "dot": dots[np.arange(len(cell)), cell],
-            }
-            if with_vec:
-                out["u9"] = list(mat)
-            yield pd.DataFrame(out)
+            np.add.at(acc, cell, mat)  # exact int64 per-cell sums
+            cnt += np.bincount(cell, minlength=k)
+        nz = np.nonzero(cnt)[0]
+        out = {"cell": nz.astype("int32")}
+        for i in range(dim):
+            out[f"s{i}"] = acc[nz, i]
+        out["cnt"] = cnt[nz]
+        yield pd.DataFrame(out)
 
     return fn
 
@@ -126,8 +141,6 @@ def kmeans_train(
         StructType,
     )
 
-    from pyspark.sql.types import ArrayType
-
     src = _src_df(df, id_col, vec_col)
     init_rows = (
         src.orderBy(
@@ -143,21 +156,19 @@ def kmeans_train(
 
     sc = df.sparkSession.sparkContext
     src = src.localCheckpoint(eager=False)  # cut lineage for the loop
+    # per-task partial rows: (cell, s0..s{dim-1}, cnt) — at most k per task
     schema = StructType(
-        [
-            StructField("id", df.schema[id_col].dataType),
-            StructField("cell", IntegerType()),
-            StructField("dot", LongType()),
-            StructField("u9", ArrayType(LongType())),
-        ]
+        [StructField("cell", IntegerType())]
+        + [StructField(f"s{i}", LongType()) for i in range(dim)]
+        + [StructField("cnt", LongType())]
     )
-    sums = [F.sum(F.element_at("u9", i + 1)).alias(f"s{i}") for i in range(dim)]
+    sums = [F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)]
     for _ in range(n_iter):
         cents_bc = sc.broadcast(cents)
         agg = (
-            src.mapInPandas(_assign_fn(cents_bc, with_vec=True), schema)
+            src.mapInPandas(_train_partials_fn(cents_bc, dim), schema)
             .groupBy("cell")
-            .agg(*sums, F.count("*").alias("cnt"))
+            .agg(*sums, F.sum("cnt").alias("cnt"))
             .collect()
         )
         new = cents.copy()

@@ -1258,14 +1258,23 @@ def semantic_dedup(
     family (SURVEY §2 L-ops) for LLM-corpus curation.
     """
     from pyspark.sql import Window
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
+    # ---- centroids (unchanged init semantics) -------------------------
+    # n_iter=0: float64 unit-normalized md5 sample; n_iter>0: int64
+    # grid-snapped Lloyd output.  Either way the assignment math below
+    # replicates the pre-r06 kernel op-for-op, so cells are identical.
     if n_iter > 0:
-        from graby_spark.operators.cluster import kmeans_embeddings
+        from graby_spark.operators.cluster import kmeans_train
 
-        cells = kmeans_embeddings(
-            df, id_col, vec_col, k=n_clusters, n_iter=n_iter
-        ).select(F.col("vec_id").alias("id"), "cell")
+        cents = kmeans_train(df, id_col, vec_col, k=n_clusters, n_iter=n_iter)
+        grid = True
     else:
         cent_rows = (
             df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
@@ -1275,41 +1284,67 @@ def semantic_dedup(
         )
         cents = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cent_rows])
         cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-        cents_bc = df.sparkSession.sparkContext.broadcast(cents)
+        grid = False
+    cents_bc = df.sparkSession.sparkContext.broadcast(cents)
 
-        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            c = cents_bc.value
-            for batch in batches:
-                if len(batch) == 0:
-                    yield pd.DataFrame({"id": [], "cell": []})
-                    continue
-                mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
-                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-                yield pd.DataFrame(
-                    {
-                        "id": batch["id"].values,
-                        "cell": np.argmax(mat @ c.T, axis=1).astype("int32"),
-                    }
-                )
+    # ---- fused assignment + unit normalization (one Arrow pass) -------
+    # r06 optimization (guide §2.3/§4.2): the pre-r06 plan computed cells
+    # in one kernel, units in a JVM HOF projection, equi-joined the two on
+    # id, then self-joined the result on cell — shipping every unit vector
+    # through the cell shuffle TWICE and folding a dim-step interpreted
+    # HOF dot PER PAIR.  This path computes (id, cell, unit) in a single
+    # kernel (the unit's norm accumulates LEFT-TO-RIGHT per column — the
+    # exact IEEE op sequence of _with_norm's JVM fold, cluster.py's
+    # parity trick), ships each unit across the cell shuffle ONCE, and
+    # does the within-cell pairwise dots as vectorized fold-left numpy.
 
-        schema = StructType(
-            [
-                StructField("id", df.schema[id_col].dataType),
-                StructField("cell", IntegerType()),
-            ]
-        )
-        cells = df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        ).mapInPandas(assign, schema)
+    def assign_unit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = cents_bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
+            if grid:
+                from graby_spark.operators.cluster import _u9_batch
+
+                cell = np.argmax(_u9_batch(batch["vec"]) @ c.T, axis=1)
+            else:
+                mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                cell = np.argmax(mat_n @ c.T, axis=1)
+            # JVM-parity unit: left-to-right norm fold, then the same
+            # per-element IEEE division _with_norm performs
+            acc = np.zeros(len(mat), dtype=np.float64)
+            for j in range(mat.shape[1]):
+                acc += mat[:, j] * mat[:, j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                unit = mat / np.sqrt(acc)[:, None]
+            yield pd.DataFrame(
+                {
+                    "id": batch["id"].values,
+                    "cell": cell.astype("int32"),
+                    "unit": list(unit),
+                }
+            )
+
+    assign_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("cell", IntegerType()),
+            StructField("unit", ArrayType(DoubleType())),
+        ]
+    )
+    assigned = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(assign_unit, assign_schema)
     if max_cell is not None:
         # quadratic-blowup guard (the semantic twin of ngram_jaccard's
         # max_df cap): the within-cell prune below is O(cell^2), so one
         # hot cell on a skewed corpus is the operator's scale killer.
         # Counts-only aggregation (map-side combined, <= n_clusters rows
-        # collected); cells is checkpointed so the assignment pass isn't
-        # recomputed for the join.
-        cells = cells.localCheckpoint()
-        hot = cells.groupBy("cell").count().where(F.col("count") > max_cell).collect()
+        # collected); the assignment pass is checkpointed so the guard
+        # doesn't recompute it for the pair stage.
+        assigned = assigned.localCheckpoint()
+        hot = assigned.groupBy("cell").count().where(F.col("count") > max_cell).collect()
         if hot:
             detail = ", ".join(f"cell {r['cell']}={r['count']}" for r in hot)
             raise ValueError(
@@ -1319,28 +1354,66 @@ def semantic_dedup(
                 "corpus — 50k for LAION), add Lloyd iterations (n_iter) to "
                 "balance cells, or raise max_cell if the blowup is acceptable."
             )
-    unit = _with_norm(df, id_col, vec_col).join(cells, "id")
-    a = unit.select(
-        F.col("id").alias("dup_id"), F.col("unit").alias("a_unit"), "cell"
-    )
-    b = unit.select(
-        F.col("id").alias("keep_id"), F.col("unit").alias("b_unit"), "cell"
+
+    # conservative in-kernel cut: F.round(x, 8) can raise a value by at
+    # most 5e-9 (+ one ulp), so every pair the JVM filter could keep has
+    # raw dot >= threshold - 1e-6; NaN dots (zero vectors) are kept
+    # because Spark orders NaN above every numeric and the JVM filter
+    # would keep them.  The EXACT cut happens below, in the same JVM
+    # round + filter the pre-r06 plan used.
+    cutoff = float(threshold) - 1e-6
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"dup_id": [], "keep_id": [], "cell": [], "dot": []}
+            ).astype({"cell": "int32"})
+        order = np.argsort(pdf["id"].values, kind="stable")
+        ids = pdf["id"].values[order]
+        U = np.stack(pdf["unit"].values)[order]  # (m, dim) float64
+        cell = int(pdf["cell"].iloc[0])
+        dim = U.shape[1]
+        out_d, out_k, out_s = [], [], []
+        block = max(1, min(m, 4_000_000 // max(m, 1)))  # bound acc memory
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            # fold-left pairwise dots: acc accumulates column products in
+            # index order — the identical IEEE sequence as the JVM
+            # aggregate(zip_with(...)) fold the oracle replays
+            acc = np.zeros((hi - lo, m), dtype=np.float64)
+            for j in range(dim):
+                acc += U[lo:hi, j][:, None] * U[None, :, j]
+            rows, cols = np.nonzero(
+                ((acc >= cutoff) | np.isnan(acc))
+                & (np.arange(m)[None, :] < np.arange(lo, hi)[:, None])
+            )
+            out_d.append(ids[rows + lo])
+            out_k.append(ids[cols])
+            out_s.append(acc[rows, cols])
+        return pd.DataFrame(
+            {
+                "dup_id": np.concatenate(out_d),
+                "keep_id": np.concatenate(out_k),
+                "cell": np.int32(cell),
+                "dot": np.concatenate(out_s),
+            }
+        )
+
+    id_sql = {"bigint": "long"}.get(
+        df.schema[id_col].dataType.simpleString(), df.schema[id_col].dataType.simpleString()
     )
     pairs = (
-        a.join(b, "cell")
-        .where(F.col("keep_id") < F.col("dup_id"))
+        assigned.groupBy("cell")
+        .applyInPandas(
+            cell_pairs,
+            f"dup_id {id_sql}, keep_id {id_sql}, cell int, dot double",
+        )
         .select(
             "dup_id",
             "keep_id",
             "cell",
-            F.round(
-                F.aggregate(
-                    F.zip_with("a_unit", "b_unit", lambda x, y: x * y),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, v: acc + v,
-                ),
-                8,
-            ).alias("cosine"),
+            F.round(F.col("dot"), 8).alias("cosine"),
         )
         .where(F.col("cosine") >= F.lit(float(threshold)))
     )

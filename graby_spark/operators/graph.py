@@ -257,15 +257,23 @@ def pagerank(
     dangling mass is dropped (leaky formulation).  Each iteration rounds
     to 12 dp for cross-engine determinism.
     """
+    spark = edges.sparkSession
+    # one explicit partition count shared by every iteration-invariant
+    # table: the per-iteration joins then find both sides already hash
+    # partitioned on their join key with MATCHING partition counts, so
+    # EnsureRequirements inserts no exchange for them (guide §2.4 "two
+    # operations keyed the same way can share one exchange").  The count
+    # is the session's shuffle parallelism, not a constant — it scales
+    # with the cluster.
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).dropDuplicates(["src", "dst"])
-    if num_partitions:
-        edges = edges.repartition(num_partitions, "src")
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition(n_part, "node")
         .cache()
     )
     n = nodes.count()
@@ -275,7 +283,9 @@ def pagerank(
         return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # (src, dst, deg) is iteration-invariant: partition on src once, cache
-    out_edges = edges.join(deg, "src").cache()
+    # — hash(src, n_part) matches the ranks side's hash(node, n_part), so
+    # the per-iteration rank join runs on the cached layout, exchange-free
+    out_edges = edges.join(deg, "src").repartition(n_part, "src").cache()
 
     base = (1.0 - damping) / n
     # F.round is HALF_UP like the oracle engine's round(); Python's round

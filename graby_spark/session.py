@@ -39,6 +39,17 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"),
         )
+        # scan-parallelism floor, derived from the core count rather than a
+        # constant (guide §6): byte-based splitting packs a small many-file
+        # table into a handful of splits (each file charged openCostInBytes),
+        # which starves the CPU-bound extraction stage that follows the scan.
+        # At production scale the split count dwarfs this floor and the
+        # setting is inert; locally it keeps scan-rooted pipelines at
+        # 2 tasks/core without adding any shuffle.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", str(2 * int(cpus))),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
