@@ -139,6 +139,12 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions, out_names: list[str
     if out_names is None:
         out_names = [f.name for f in EXTRACT_SCHEMA.fields]
 
+    # r06: emit COLUMNS, not row dicts — the pre-r06 loop built a 21-key
+    # dict per row (then pd.DataFrame dropped everything outside
+    # ``out_names``); building only the projected columns as lists skips
+    # the dead fields and the row->column transpose pandas would redo.
+    wanted = set(out_names)
+
     def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import sys
 
@@ -149,7 +155,7 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions, out_names: list[str
             sys.setrecursionlimit(20000)
         ruleset: RuleSet = ruleset_bc.value
         for batch in batches:
-            rows: list[dict[str, Any]] = []
+            cols: dict[str, list[Any]] = {name: [] for name in out_names}
             for row in batch.itertuples(index=False):
                 url = row.url
                 html = row.html if isinstance(row.html, (bytes, bytearray)) else b""
@@ -179,16 +185,24 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions, out_names: list[str
                         "next_page_url": res.next_page_url,
                         "single_page_url": res.single_page_url,
                         "redirect_target": res.redirect_target,
-                        "spans": [{"start": s, "end": e} for s, e in res.spans],
-                        "html": res.html,
-                        "text": res.text,
-                        "summary": res.summary,
                         "mime": res.mime,
-                        "trace": res.trace,
-                        "markdown": (
-                            to_markdown(res.html) if options.markdown else None
-                        ),
                     }
+                    if "spans" in wanted:
+                        record["spans"] = [
+                            {"start": s, "end": e} for s, e in res.spans
+                        ]
+                    if "html" in wanted:
+                        record["html"] = res.html
+                    if "text" in wanted:
+                        record["text"] = res.text
+                    if "summary" in wanted:
+                        record["summary"] = res.summary
+                    if "trace" in wanted:
+                        record["trace"] = res.trace
+                    if "markdown" in wanted:
+                        record["markdown"] = (
+                            to_markdown(res.html) if options.markdown else None
+                        )
                 except Exception:
                     # per-row failure isolation: emit an error row, never
                     # fail the task (reference analog: O12 error result)
@@ -216,8 +230,9 @@ def _make_extract_batch(ruleset_bc, options: ExtractOptions, out_names: list[str
                 record["warc_ts"] = getattr(row, "warc_ts", None)
                 record["bytes_in"] = len(html)
                 record["extract_ms"] = int((time.perf_counter() - started) * 1000)
-                rows.append(record)
-            yield pd.DataFrame(rows, columns=out_names)
+                for name in out_names:
+                    cols[name].append(record.get(name))
+            yield pd.DataFrame(cols, columns=out_names)
 
     return extract_batch
 
@@ -436,16 +451,22 @@ def _hop_step(frontier: DataFrame, visited: DataFrame, lookup: DataFrame) -> Dat
     """One multipage hop, pre-checkpoint: tag cycles against the visited set,
     then attach page payloads.  ``lookup`` arrives already pruned to
     continuation candidates and materialized (see
-    :func:`_continuation_lookup`), so this is three joins between small
-    sides — no corpus scan, no corpus shuffle, per hop."""
+    :func:`_continuation_lookup`), so this is two joins between small
+    sides — no corpus scan, no corpus shuffle, per hop.
+
+    r06 (guide §2.4): the cycle tag used to be a semi-join + anti-join +
+    union (two probes of ``visited`` and an extra union branch per hop);
+    one left join with a marker column computes the same flag in a single
+    probe.  Equivalent because ``visited`` is unique on (root_url,
+    page_url) by construction: it starts as a ``distinct()`` and each
+    hop adds only non-visited frontier keys (one row per root per hop) —
+    so the left join never fans out."""
     return (
-        frontier.join(visited, ["root_url", "page_url"], "left_semi")
-        .withColumn("cycle", F.lit(True))
-        .unionByName(
-            frontier.join(visited, ["root_url", "page_url"], "left_anti").withColumn(
-                "cycle", F.lit(False)
-            )
+        frontier.join(
+            visited.withColumn("_vis", F.lit(True)), ["root_url", "page_url"], "left"
         )
+        .withColumn("cycle", F.coalesce(F.col("_vis"), F.lit(False)))
+        .drop("_vis")
         .join(lookup, "page_url", "left")
     )
 

@@ -607,7 +607,10 @@ def _png_unfilter(
         elif f == 3 or f == 4:  # Average / Paeth — inherently sequential
             # (each byte needs the reconstructed left neighbor); plain-int
             # list arithmetic is ~10x numpy item access here, and `raw`
-            # indexing yields ints directly
+            # indexing yields ints directly.  (r06 measured a hoisted
+            # numpy variant of the Paeth terms SLOWER at these strides —
+            # per-row numpy setup outweighs the saved abs calls — so the
+            # plain-int loop stays.)
             row = raw[start : start + stride]
             pl = prev_list if prev_list is not None else prev.tolist()
             cl = [0] * stride
@@ -647,37 +650,52 @@ def _png_filter_rows(
     flat: np.ndarray, bpp: int, filters: list[int] | None
 ) -> bytes:
     """Filter a (h, stride) byte grid per spec §9, one chosen filter byte
-    per scanline (default: cycle 0..4)."""
-    h = flat.shape[0]
-    stride = flat.shape[1]
-    lines = bytearray()
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = filters[y % len(filters)] if filters else y % 5
-        cur = flat[y]
-        left = np.zeros(stride, dtype=np.int32)
-        left[bpp:] = cur[:-bpp]
-        upleft = np.zeros(stride, dtype=np.int32)
-        upleft[bpp:] = prev[:-bpp]
+    per scanline (default: cycle 0..4).
+
+    Vectorized over the WHOLE image (r06): unlike unfiltering, encode-side
+    filtering reads only ORIGINAL pixel bytes (cur/prev/left/upleft are
+    all views of the input grid), so there is no sequential dependency —
+    all five candidate encodings are computed as (h, stride) arrays and
+    each row selects its filter's result.  Output bytes are identical to
+    the former per-scanline loop (same integer ops, same ``& 0xFF``)."""
+    h, stride = flat.shape
+    cur = flat  # (h, stride) int32
+    prev = np.zeros_like(cur)
+    prev[1:] = cur[:-1]
+    left = np.zeros_like(cur)
+    left[:, bpp:] = cur[:, :-bpp]
+    upleft = np.zeros_like(cur)
+    upleft[:, bpp:] = prev[:, :-bpp]
+    f_row = np.array(
+        [filters[y % len(filters)] if filters else y % 5 for y in range(h)],
+        dtype=np.uint8,
+    )
+    enc = np.empty_like(cur)
+    for f in np.unique(f_row):
+        rows = f_row == f
         if f == 0:
-            enc = cur
+            enc[rows] = cur[rows]
         elif f == 1:
-            enc = cur - left
+            enc[rows] = cur[rows] - left[rows]
         elif f == 2:
-            enc = cur - prev
+            enc[rows] = cur[rows] - prev[rows]
         elif f == 3:
-            enc = cur - ((left + prev) >> 1)
+            enc[rows] = cur[rows] - ((left[rows] + prev[rows]) >> 1)
         else:  # Paeth
-            pp = left + prev - upleft
-            pa, pb, pc = np.abs(pp - left), np.abs(pp - prev), np.abs(pp - upleft)
+            pp = left[rows] + prev[rows] - upleft[rows]
+            pa = np.abs(pp - left[rows])
+            pb = np.abs(pp - prev[rows])
+            pc = np.abs(pp - upleft[rows])
             pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                (pa <= pb) & (pa <= pc),
+                left[rows],
+                np.where(pb <= pc, prev[rows], upleft[rows]),
             )
-            enc = cur - pred
-        lines.append(f)
-        lines += (enc & 0xFF).astype(np.uint8).tobytes()
-        prev = cur
-    return bytes(lines)
+            enc[rows] = cur[rows] - pred
+    out = np.empty((h, stride + 1), dtype=np.uint8)
+    out[:, 0] = f_row
+    out[:, 1:] = enc & 0xFF
+    return out.tobytes()
 
 
 def encode_png(

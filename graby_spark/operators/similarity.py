@@ -97,6 +97,42 @@ def _unit(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
     )
 
 
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    """Fold-left unit normalization — the exact IEEE op sequence of
+    :func:`_unit`'s JVM ``aggregate`` fold (norm accumulates column by
+    column left-to-right, then one per-element division), vectorized
+    across the batch.  This is the parity kernel that lets the Python
+    paths below replace the interpreted JVM HOF math bit-for-bit."""
+    acc = np.zeros(len(mat), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc += mat[:, j] * mat[:, j]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return mat / np.sqrt(acc)[:, None]
+
+
+def _folded_dots(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n, m) fold-left dot matrix of row sets A (n, dim) and B (m, dim):
+    the accumulator adds one column product at a time in index order —
+    identical IEEE sequence to the JVM ``aggregate(zip_with(...))`` fold
+    per pair."""
+    acc = np.zeros((len(A), len(B)), dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc += A[:, j][:, None] * B[:, j][None, :]
+    return acc
+
+
+def _collect_query_units(
+    queries: DataFrame, id_col: str, vec_col: str
+) -> tuple[list, np.ndarray]:
+    """Collect the (bounded, by construction) probe set and unit-normalize
+    it with JVM-parity math — the pq_topk/ivfpq_topk precedent for the
+    query side of every ANN search."""
+    rows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).collect()
+    ids = [r["qid"] for r in rows]
+    mat = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in rows])
+    return ids, _unit_rows(mat)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -107,22 +143,68 @@ def brute_force_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, cosine, rank); self-matches excluded.
-    The query side is broadcast — the corpus is scanned once, no shuffle of
-    the corpus at all; only the (tiny) per-query top-k aggregation moves.
-    """
-    c = _unit(corpus, id_col, vec_col, "n")
-    q = _unit(queries, id_col, vec_col, "q")
-    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
-        F.col("q_id").alias("query_id"),
-        F.col("n_id").alias("neighbor_id"),
-        F.round(
-            F.aggregate(
-                F.zip_with("q_unit", "n_unit", lambda x, y: x * y),
-                F.lit(0.0).cast("double"),
-                lambda acc, v: acc + v,
-            ),
-            8,
-        ).alias("cosine"),
+    The query side is collected and broadcast (bounded probe set) — the
+    corpus is scanned once, no shuffle of the corpus at all; only the
+    per-query candidate slice moves to the top-k window.
+
+    r06 shape (guide §4.2): the former plan was a broadcast nested-loop
+    join materializing |corpus|×|queries| rows, each paying a dim-step
+    interpreted JVM HOF fold.  Now one Arrow kernel computes all dots per
+    batch as vectorized fold-left numpy (bit-identical op order) and
+    emits only each query's per-batch top slice: rows whose raw dot is
+    within 2e-8 of the batch's k-th best (F.round(·, 8) perturbs a value
+    by < 5.1e-9, so any row cut here is STRICTLY below k rows of the
+    same batch after rounding and can never enter the global top-k —
+    the union of batch tops provably contains the exact result).  The
+    exact round + (cosine DESC, neighbor ASC) window semantics are
+    unchanged in the JVM."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_ids, q_units = _collect_query_units(queries, id_col, vec_col)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_units))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qu = bc.value
+        qarr = np.asarray(ids)
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
+            unit = _unit_rows(mat)
+            nid = batch["id"].values
+            dots = _folded_dots(unit, qu)  # (n_batch, n_q)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(ids):
+                keep = nid != qid  # self never occupies a slot
+                col = dots[keep, qi]
+                bnid = nid[keep]
+                if len(col) == 0:
+                    continue
+                if len(col) > k:
+                    # np.partition sorts NaN last = largest, matching the
+                    # JVM window's NaN-above-numerics order; NaN dots are
+                    # always kept (they outrank every numeric cosine)
+                    kth = np.partition(col, len(col) - k)[len(col) - k]
+                    sel = (col >= kth - 2e-8) | np.isnan(col)
+                    col, bnid = col[sel], bnid[sel]
+                out_q.extend([qid] * len(col))
+                out_n.extend(bnid)
+                out_s.extend(col)
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "dot": out_s})
+
+    id_type = corpus.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("dot", DoubleType()),
+        ]
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .mapInPandas(scan, schema)
+        .select("query_id", "neighbor_id", F.round(F.col("dot"), 8).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -204,30 +286,9 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    c = _unit(corpus, id_col, vec_col, "n")
-    q = _unit(queries, id_col, vec_col, "q")
-    scored = (
-        cand.join(q.withColumnRenamed("q_id", "query_id"), "query_id")
-        .join(c.withColumnRenamed("n_id", "neighbor_id"), "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with("q_unit", "n_unit", lambda x, y: x * y),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, v: acc + v,
-                ),
-                8,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # shared vectorized rerank tail (identical semantics to the former
+    # inline block: round-8 fold dots, (cosine DESC, id ASC) window)
+    return _exact_rerank(cand, corpus, queries, id_col, vec_col, k)
 
 
 def ivf_topk(
@@ -317,26 +378,56 @@ def _exact_rerank(
 ) -> DataFrame:
     """Exact float-cosine rerank of a (query_id, neighbor_id) candidate
     set — the shared tail of every bucketed ANN path (IVF sampled or
-    k-means-trained, LSH): JVM-side ``aggregate(zip_with(...))`` dots
-    rounded to 8 decimals, ``(cosine DESC, neighbor_id ASC)`` window,
-    rank <= k.  Candidates-only cost; the corpus is touched once."""
-    c = _unit(corpus, id_col, vec_col, "n")
-    q = _unit(queries, id_col, vec_col, "q")
+    k-means-trained, LSH, PQ/IVF-PQ): candidates join corpus vectors once
+    on the id key, one Arrow kernel computes the fold-left unit/dot math
+    (bit-identical IEEE op order to the former JVM
+    ``aggregate(zip_with(...))`` HOF — see :func:`_unit_rows`), and the
+    exact ``F.round(·, 8)`` + ``(cosine DESC, neighbor_id ASC)`` window
+    semantics stay in the JVM.  The query side is collected + broadcast
+    (bounded probe set, the pq_topk precedent), which also removes the
+    former second join.  Candidates-only cost; the corpus is touched
+    once."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_ids, q_units = _collect_query_units(queries, id_col, vec_col)
+    qmap = dict(zip(q_ids, q_units))
+    sc = corpus.sparkSession.sparkContext
+    q_bc = sc.broadcast(qmap)
+
+    def dots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm = q_bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
+            unit = _unit_rows(mat)
+            Q = np.stack([qm[q] for q in batch["query_id"]])
+            acc = np.zeros(len(unit), dtype=np.float64)
+            for j in range(unit.shape[1]):
+                acc += Q[:, j] * unit[:, j]
+            yield pd.DataFrame(
+                {
+                    "query_id": batch["query_id"].values,
+                    "neighbor_id": batch["neighbor_id"].values,
+                    "dot": acc,
+                }
+            )
+
+    id_type = corpus.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("dot", DoubleType()),
+        ]
+    )
     scored = (
-        cand.join(q.withColumnRenamed("q_id", "query_id"), "query_id")
-        .join(c.withColumnRenamed("n_id", "neighbor_id"), "neighbor_id")
-        .select(
-            "query_id",
+        cand.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
             "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with("q_unit", "n_unit", lambda x, y: x * y),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, v: acc + v,
-                ),
-                8,
-            ).alias("cosine"),
         )
+        .mapInPandas(dots, schema)
+        .select("query_id", "neighbor_id", F.round(F.col("dot"), 8).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -614,30 +705,9 @@ def pq_topk(
         .where(F.col("_r") <= n_cand)
         .select("query_id", "neighbor_id")
     )
-    c = _unit(corpus, id_col, vec_col, "n")
-    q = _unit(queries, id_col, vec_col, "q")
-    scored = (
-        cand.join(F.broadcast(q.withColumnRenamed("q_id", "query_id")), "query_id")
-        .join(c.withColumnRenamed("n_id", "neighbor_id"), "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with("q_unit", "n_unit", lambda x, y: x * y),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, v: acc + v,
-                ),
-                8,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # shared vectorized rerank tail (identical semantics to the former
+    # inline block: round-8 fold dots, (cosine DESC, id ASC) window)
+    return _exact_rerank(cand, corpus, queries, id_col, vec_col, k)
 
 
 def sq8_encode(
@@ -1000,27 +1070,6 @@ def ivfpq_topk(
         .where(F.col("_r") <= n_cand)
         .select("query_id", "neighbor_id")
     )
-    c = _unit(corpus, id_col, vec_col, "n")
-    q = _unit(queries, id_col, vec_col, "q")
-    scored = (
-        cand.join(F.broadcast(q.withColumnRenamed("q_id", "query_id")), "query_id")
-        .join(c.withColumnRenamed("n_id", "neighbor_id"), "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with("q_unit", "n_unit", lambda x, y: x * y),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, v: acc + v,
-                ),
-                8,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # shared vectorized rerank tail (identical semantics to the former
+    # inline block: round-8 fold dots, (cosine DESC, id ASC) window)
+    return _exact_rerank(cand, corpus, queries, id_col, vec_col, k)
