@@ -280,14 +280,19 @@ class Element(Node):
 
     # -- queries ---------------------------------------------------------
     def iter(self, tag: str | None = None):
-        """Depth-first pre-order over descendant elements (self excluded)."""
-        stack = list(reversed(self.children))
+        """Depth-first pre-order over descendant elements (self excluded).
+        Class-identity check + slice reversal match iter_list's idiom
+        (a nested Document cannot occur below an element, and slicing a
+        small children list beats a reversed-iterator round trip)."""
+        stack = self.children[::-1]
         while stack:
             node = stack.pop()
-            if isinstance(node, Element):
+            if node.__class__ is Element:
                 if tag is None or node.tag == tag:
                     yield node
-                stack.extend(reversed(node.children))
+                c = node.children
+                if c:
+                    stack.extend(c[::-1])
 
     def iter_list(self, tag: str | None = None) -> list["Element"]:
         """List-returning twin of ``iter`` — measurably faster for the
@@ -295,7 +300,7 @@ class Element(Node):
         element)."""
         out: list[Element] = []
         append = out.append
-        stack = list(reversed(self.children))
+        stack = self.children[::-1]
         pop = stack.pop
         extend = stack.extend
         while stack:
@@ -303,8 +308,9 @@ class Element(Node):
             if node.__class__ is Element:
                 if tag is None or node.tag == tag:
                     append(node)
-                if node.children:
-                    extend(reversed(node.children))
+                c = node.children
+                if c:
+                    extend(c[::-1])
         return out
 
     def iter_with_self(self, tag: str | None = None):
@@ -315,13 +321,17 @@ class Element(Node):
     @property
     def text_content(self) -> str:
         parts: list[str] = []
-        stack = list(reversed(self.children))
+        append = parts.append
+        stack = self.children[::-1]
         while stack:
             node = stack.pop()
-            if isinstance(node, TextNode):
-                parts.append(node.data)
-            elif isinstance(node, Element):
-                stack.extend(reversed(node.children))
+            cls = node.__class__
+            if cls is TextNode:
+                append(node.data)
+            elif cls is Element:
+                c = node.children
+                if c:
+                    stack.extend(c[::-1])
         return "".join(parts)
 
     def clone(self) -> "Element":

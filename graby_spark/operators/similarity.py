@@ -826,42 +826,73 @@ def ivf_sq8_topk(
         ]
     )
     c_codes = _src_df(corpus, id_col, vec_col).mapInPandas(assign(1), schema)
-    q_codes = _src_df(queries, id_col, vec_col).mapInPandas(assign(nprobe), schema)
 
-    intdot = F.aggregate(
-        F.zip_with("q_codes", "n_codes", lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    # r06 scan shape (mirrors ivfpq_topk, guide §2.3 "shuffle keys and
+    # metadata instead of payloads"): the probe set is bounded, so its
+    # cells/scales/codes are computed on the DRIVER with the exact numpy
+    # ops the former query-side kernel ran (same _u9_batch, same argsort,
+    # same floor/scale arithmetic — values identical), broadcast, and the
+    # cell join + per-pair interpreted JVM intdot fold is replaced by ONE
+    # Arrow kernel over the corpus codes that emits each query's per-batch
+    # top refine*k under the EXACT window order (approx DESC, id ASC —
+    # approx is computed bit-identically: int64 code dot, then the same
+    # (q_scale * n_scale) * dot IEEE sequence), so the union of batch tops
+    # provably contains the global candidate cut.
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+        .collect()
     )
-    scored = (
-        q_codes.select(
-            F.col("id").alias("query_id"),
-            F.col("scale").alias("q_scale"),
-            F.col("codes").alias("q_codes"),
-            "cell",
-        )
-        .join(
-            c_codes.select(
-                F.col("id").alias("neighbor_id"),
-                F.col("scale").alias("n_scale"),
-                F.col("codes").alias("n_codes"),
-                "cell",
-            ),
-            "cell",
-        )
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            # each corpus vector lives in exactly ONE cell (assign(1)),
-            # so a (query, neighbor) pair joins at most once — no dedup
-            (F.col("q_scale") * F.col("n_scale") * intdot).alias("approx"),
-        )
+    q_ids = [r["qid"] for r in q_rows]
+    q_u9 = _u9_batch([r["qvec"] for r in q_rows])
+    q_probe = np.argsort(-(q_u9 @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    q_mx = np.abs(q_u9).max(axis=1)
+    q_sc9 = np.where(q_mx > 0, q_mx / 127.0, 1.0)
+    q_codes_i64 = np.floor(q_u9 / q_sc9[:, None] + 0.5).astype(np.int64)
+    q_scale = np.where(q_mx > 0, q_sc9 / 1e9, 0.0)
+    sq8_bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, q_probe, q_scale, q_codes_i64)
     )
+    n_cand = refine * k
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, probes, qscale, qcodes = sq8_bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            cell_arr = batch["cell"].values
+            nid = batch["id"].values
+            nscale = batch["scale"].values
+            C = np.stack(batch["codes"].values).astype(np.int64)  # (n, dim)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(ids):
+                keep = np.isin(cell_arr, probes[qi]) & (nid != qid)
+                if not keep.any():
+                    continue
+                bnid = nid[keep]
+                intdot = C[keep] @ qcodes[qi]  # exact: |dot| <= dim*127^2
+                approx = (qscale[qi] * nscale[keep]) * intdot.astype(np.float64)
+                top = min(n_cand, len(approx))
+                sel = np.lexsort((bnid, -approx))[:top]
+                out_q.extend([qid] * top)
+                out_n.extend(bnid[sel])
+                out_s.extend(approx[sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "approx": out_s}
+            )
+
+    id_type = corpus.schema[id_col].dataType
+    scan_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("approx", DoubleType()),
+        ]
+    )
+    scored = c_codes.mapInPandas(scan, scan_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
     cand = (
         scored.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= refine * k)
+        .where(F.col("_r") <= n_cand)
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(cand, corpus, queries, id_col, vec_col, k)
