@@ -481,13 +481,16 @@ class _TreeBuilder(HTMLParser):
     # HTMLParser hooks
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         tag = tag.lower()
-        clean_attrs: list[tuple[str, str]] = []
-        seen: set[str] = set()
-        for k, v in attrs:
-            if k in seen:
-                continue  # libxml keeps the first duplicate attribute
-            seen.add(k)
-            clean_attrs.append((k, v if v is not None else ""))
+        if len(attrs) < 2:  # no duplicates possible — skip the seen-set pass
+            clean_attrs = [(k, v if v is not None else "") for k, v in attrs]
+        else:
+            clean_attrs = []
+            seen: set[str] = set()
+            for k, v in attrs:
+                if k in seen:
+                    continue  # libxml keeps the first duplicate attribute
+                seen.add(k)
+                clean_attrs.append((k, v if v is not None else ""))
 
         if tag == "html":
             html = self._ensure_html()

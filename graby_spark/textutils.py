@@ -191,7 +191,12 @@ def make_absolute(base: str, url: str) -> str | None:
 
 def pre_clean(html: str) -> str:
     """Empty-line strip + guarded empty-node strip (P1/P2)."""
-    cleaned = _EMPTY_LINE_RE.sub("", html)
+    # ^[ \t]*[\r\n]+ cannot match a document with no line breaks — skip
+    # the regex pass entirely then (single-line documents are common)
+    if "\n" in html or "\r" in html:
+        cleaned = _EMPTY_LINE_RE.sub("", html)
+    else:
+        cleaned = html
     try:
         # the reference falls back to the un-stripped html when PCRE's JIT
         # stack limit trips on pathological input; bound work the same way
@@ -204,6 +209,10 @@ def pre_clean(html: str) -> str:
 def strip_ie_conditionals(html: str) -> str:
     """Remove IE conditional comments when more than one present
     (HttpClient.php:206-214)."""
+    # every match starts with the literal '<!--[' — a C-speed containment
+    # check skips the regex scan on the overwhelming majority of pages
+    if "<!--[" not in html:
+        return html
     matches = _IE_COND_RE.findall(html)
     if len(matches) > 1:
         return _IE_COND_RE.sub("", html)
