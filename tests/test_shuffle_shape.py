@@ -16,7 +16,7 @@ silently-4x-slower query:
 
 Method: tools/shuffle_audit.py in a SUBPROCESS (the audit needs a
 UI-enabled session with shuffle compression off; the suite's shared
-session keeps the UI disabled), sf0.01, four archetype queries, ~90 s.
+session keeps the UI disabled), sf0.01, five archetype queries, ~90 s.
 Thresholds are generous bands around the measured values (sf0.01 and
 sf0.1 agree to well within them) — they pin the plan SHAPE, not the
 host's timing.
