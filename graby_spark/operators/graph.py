@@ -290,20 +290,44 @@ def pagerank(
     base = (1.0 - damping) / n
     # F.round is HALF_UP like the oracle engine's round(); Python's round
     # is banker's and could disagree at an exact .5 twelfth decimal
-    ranks = nodes.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"))
-    for i in range(n_iter):
-        contrib = out_edges.join(
-            ranks, out_edges["src"] == ranks["node"]
-        ).select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-        incoming = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
-        ranks = nodes.join(incoming, "node", "left").select(
-            "node",
-            F.round(
-                F.lit(base) + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0)), 12
-            ).alias("rank"),
+    rank_expr = lambda in_col: F.round(  # noqa: E731 — shared by loop + tail
+        F.lit(base) + F.lit(damping) * F.coalesce(in_col, F.lit(0.0)), 12
+    )
+    if n_iter <= 0:
+        ranks = nodes.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"))
+    else:
+        # r06 (guide §1.1 first-principles): the rank table never needs to
+        # materialize INSIDE the loop.  rank_i(u) is a closed form of the
+        # incoming sum — round(base + d * coalesce(in_i(u), 0), 12) — so
+        # each iteration folds that expression into the edge join directly:
+        # out_edges (cached, hash(src, n_part)) LEFT JOIN incoming
+        # (hash(node, n_part) from the previous groupBy) is co-partitioned
+        # and exchange-free, and the groupBy(dst) is the iteration's one
+        # fundamental shuffle.  The former per-iteration nodes-left-join
+        # (an n-row join + full rank-table projection every iteration) is
+        # gone; `nodes` is joined ONCE at the end to attach floor ranks to
+        # nodes without in-edges.  Values are identical: every edge u->w
+        # still contributes round(base + d*in(u), 12) / deg(u), with
+        # in(u) = 0 exactly when u had no in-edges.
+        r0 = F.round(F.lit(1.0 / n), 12)  # uniform init: no join needed
+        incoming = (
+            out_edges.select(F.col("dst").alias("node"), (r0 / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=False)
+        for i in range(1, n_iter):
+            contrib = out_edges.join(
+                incoming, out_edges["src"] == incoming["node"], "left"
+            ).select(
+                F.col("dst").alias("node"),
+                (rank_expr(F.col("in_rank")) / F.col("deg")).alias("c"),
+            )
+            incoming = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
+            if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+                incoming = incoming.localCheckpoint(eager=False)
+        ranks = nodes.join(incoming, "node", "left").select(
+            "node", rank_expr(F.col("in_rank")).alias("rank")
+        )
     # materialize the fixed point, then release the iteration-invariant
     # caches — callers get a self-contained result, not a lease on them
     ranks = ranks.localCheckpoint(eager=True)
