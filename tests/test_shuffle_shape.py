@@ -44,7 +44,10 @@ def audit_rows():
     out = os.path.join(REPO, ".pytest_shuffle_audit.json")
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_CPUS", "8")
-    env["SHUFFLE_AUDIT_UI_PORT"] = "4057"  # clear of any sibling session
+    # distinct REQUESTED port so parallel suites don't race for 4049; if
+    # it is taken anyway Spark rebinds to port+1 and the audit follows
+    # its own session via sparkContext.uiWebUrl, so a collision is benign
+    env["SHUFFLE_AUDIT_UI_PORT"] = "4057"
     proc = subprocess.run(
         [
             sys.executable,

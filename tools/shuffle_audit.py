@@ -102,8 +102,19 @@ def _ui_session() -> SparkSession:
     )
 
 
-def _executor_totals(app_id: str) -> dict[str, int]:
-    url = f"http://127.0.0.1:{UI_PORT}/api/v1/applications/{app_id}/executors"
+def _rest_base(spark: SparkSession) -> str:
+    """REST base of the session's OWN UI.  ``spark.ui.port`` is only a
+    request — if the port is taken Spark rebinds to port+1 (up to
+    spark.port.maxRetries), so the URL must come from
+    ``sparkContext.uiWebUrl``, not from the requested constant."""
+    url = spark.sparkContext.uiWebUrl
+    if not url:  # UI disabled — misconfigured session, fail loudly
+        raise RuntimeError("shuffle audit needs spark.ui.enabled=true")
+    return url
+
+
+def _executor_totals(rest_base: str, app_id: str) -> dict[str, int]:
+    url = f"{rest_base}/api/v1/applications/{app_id}/executors"
     with urllib.request.urlopen(url, timeout=30) as resp:
         execs = json.load(resp)
     out = {"input": 0, "sread": 0, "swrite": 0}
@@ -164,10 +175,23 @@ def _payload_bytes(spark: SparkSession, sf_dir: str) -> dict[str, tuple[int, int
     erow = emb.select(
         (F.sum(F.size(vec)) * 8).alias("b"), F.count("*").alias("n")
     ).collect()[0]
-    # pagerank's input is the synthetic modular link graph over doc ids:
-    # ~1.6 edges per document, 16 B of ids each (see q_graph_pagerank)
+    # pagerank's input is the synthetic modular link graph over doc ids,
+    # 16 B of ids per edge.  Count it by RUNNING q_graph_pagerank's edge
+    # construction (incl. its src != dst filter) instead of re-deriving a
+    # closed-form count that silently drifts if the topology changes.
     n_docs = int(drow["n"])
-    n_edges = n_docs + n_docs // 2 + n_docs // 10
+    ids = docs.select("doc_id")
+    n_edges = (
+        ids.selectExpr("doc_id as src", f"(doc_id*31+7) % {n_docs} as dst")
+        .union(
+            ids.where("doc_id % 2 = 0").selectExpr(
+                "doc_id as src", f"(doc_id*17+3) % {n_docs} as dst"
+            )
+        )
+        .union(ids.where("doc_id % 10 = 0").selectExpr("doc_id as src", "doc_id % 7 as dst"))
+        .where("src != dst")
+        .count()
+    )
     return {
         "pages": pages_b,
         "mp_pages": mp_b,
@@ -177,7 +201,9 @@ def _payload_bytes(spark: SparkSession, sf_dir: str) -> dict[str, tuple[int, int
     }
 
 
-def _synthesis_overhead(spark: SparkSession, sf_dir: str, app_id: str) -> dict[str, int]:
+def _synthesis_overhead(
+    spark: SparkSession, sf_dir: str, rest_base: str, app_id: str
+) -> dict[str, int]:
     """Shuffle bytes of the pages INPUT SYNTHESIS alone, per builder.
 
     The pages builders repartition the raw document rows before
@@ -194,9 +220,9 @@ def _synthesis_overhead(spark: SparkSession, sf_dir: str, app_id: str) -> dict[s
         ("pages", pages_mod.build_pages_df),
         ("mp_pages", pages_mod.build_multipage_pages_df),
     ):
-        before = _executor_totals(app_id)
+        before = _executor_totals(rest_base, app_id)
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        after = _executor_totals(app_id)
+        after = _executor_totals(rest_base, app_id)
         out[key] = after["swrite"] - before["swrite"]
     return out
 
@@ -224,11 +250,12 @@ def main() -> None:
 
     spark = _ui_session()
     app_id = spark.sparkContext.applicationId
+    rest_base = _rest_base(spark)
     payload = _payload_bytes(spark, sf_dir)
     selected = [q for q in QUERIES if only is None or q[0] in only]
     synth: dict[str, int] = {}
     if any(t in ("pages", "mp_pages") for _, t, _ in selected):
-        synth = _synthesis_overhead(spark, sf_dir, app_id)
+        synth = _synthesis_overhead(spark, sf_dir, rest_base, app_id)
     print(
         json.dumps({"payload_bytes": payload, "synthesis_swrite": synth}),
         flush=True,
@@ -236,12 +263,12 @@ def main() -> None:
     rows = []
     for key, table, scales in selected:
         fn = registry[key]
-        before = _executor_totals(app_id)
+        before = _executor_totals(rest_base, app_id)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
-        after = _executor_totals(app_id)
+        after = _executor_totals(rest_base, app_id)
         spark.catalog.clearCache()
         inp = after["input"] - before["input"]
         sw = after["swrite"] - before["swrite"]
@@ -308,9 +335,9 @@ def _write_md(rows: list[dict], sf_dir: str) -> None:
         "  ratio ~1 a 100 TB corpus crosses the wire once — ~90 s of pure",
         "  network on a 1000-node 10 Gb/s-bisection cluster, amortized over",
         "  a parse stage that costs hours of CPU.  For the SINGLE-operator",
-        "  extraction row a ratio meaningfully above ~1.3 would mean the",
-        "  payload moves twice — a defect (pinned in",
-        "  tests/test_shuffle_shape.py).  A COMPOSED pipeline legitimately",
+        "  extraction row the pinned band is 0.4-1.6",
+        "  (tests/test_shuffle_shape.py) — a ratio near ~2 would mean the",
+        "  payload moves twice, a defect.  A COMPOSED pipeline legitimately",
         "  pays one crossing per co-locating stage: pipeline_pretrain's",
         "  ~1.6 is the dedup window plus the packing bins, each over the",
         "  filter-attenuated corpus — two semantic co-locations, not a",
