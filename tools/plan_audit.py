@@ -64,14 +64,24 @@ def plan_string(df) -> str:
     return qe.explainString(mode)
 
 
+def node_count(plan: str, name: str) -> int:
+    """How many NAME operators the formatted plan contains, counted ONCE
+    each: formatted explain prints every node twice — a tree line
+    (``Exchange (4)``) and a details header (``(4) Exchange``) — so a
+    bare word count doubles the inventory, and subtracting a doubled
+    ``BroadcastExchange`` count from it (the old code) went negative on
+    broadcast-only plans (VERDICT r05 #7).  Counting only the details
+    headers is id-exact and non-negative by construction; the anchored
+    prefix also keeps ``Exchange`` from matching ``BroadcastExchange``."""
+    return len(re.findall(rf"(?m)^\(\d+\) {name}\b", plan))
+
+
 def audit_one(name: str, df) -> dict:
     plan = plan_string(df)
-    counts = {k: len(re.findall(rf"\b{k}\b", plan)) for k in JOIN_KINDS}
-    exchanges = len(re.findall(r"\bExchange\b", plan)) - len(
-        re.findall(r"\bBroadcastExchange\b", plan)
-    )
-    python_stages = sum(len(re.findall(rf"\b{k}\b", plan)) for k in PYTHON_STAGES)
-    row_udfs = len(re.findall(r"\bBatchEvalPython\b", plan))
+    counts = {k: node_count(plan, k) for k in JOIN_KINDS}
+    exchanges = node_count(plan, "Exchange")
+    python_stages = sum(node_count(plan, k) for k in PYTHON_STAGES)
+    row_udfs = node_count(plan, "BatchEvalPython")
     violations = []
     if row_udfs:
         violations.append(f"BatchEvalPython x{row_udfs} (row-at-a-time Python UDF)")
